@@ -1,0 +1,226 @@
+"""BGZF (blocked gzip) codec.
+
+Implements the BGZF framing from the SAM spec (section 4.1): a BGZF file is
+a series of gzip members, each carrying a ``BC`` extra subfield recording the
+compressed block size, terminated by a fixed 28-byte EOF member. Virtual file
+offsets pack (compressed_offset << 16 | within_block_offset).
+
+This replaces htslib's bgzf.c in the reference tool chain; written from the
+format specification, not from htslib.
+"""
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+# Fixed EOF marker from the SAM spec.
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+MAX_BLOCK_UNCOMPRESSED = 65280
+
+
+class BgzfError(ValueError):
+    """Malformed BGZF stream."""
+
+
+def _parse_block_header(data: bytes, offset: int):
+    """Return (block_size, xlen) for a BGZF member starting at ``offset``."""
+    if data[offset:offset + 2] != b"\x1f\x8b":
+        raise BgzfError("Not a gzip member at offset {}".format(offset))
+    flg = data[offset + 3]
+    if not flg & 4:
+        raise BgzfError("gzip member without FEXTRA; not BGZF")
+    xlen = struct.unpack_from("<H", data, offset + 10)[0]
+    # scan extra subfields for BC
+    pos = offset + 12
+    end = pos + xlen
+    bsize = None
+    while pos + 4 <= end:
+        si1, si2, slen = data[pos], data[pos + 1], struct.unpack_from(
+            "<H", data, pos + 2)[0]
+        if si1 == 66 and si2 == 67 and slen == 2:
+            bsize = struct.unpack_from("<H", data, pos + 4)[0] + 1
+        pos += 4 + slen
+    if bsize is None:
+        raise BgzfError("BGZF BC subfield missing")
+    return bsize, xlen
+
+
+def decompress_block(data: bytes, offset: int):
+    """Decompress one BGZF block.
+
+    :returns: (payload bytes, offset of next block)
+    """
+    bsize, xlen = _parse_block_header(data, offset)
+    cdata_start = offset + 12 + xlen
+    cdata_end = offset + bsize - 8
+    isize = struct.unpack_from("<I", data, offset + bsize - 4)[0]
+    payload = zlib.decompress(
+        data[cdata_start:cdata_end], wbits=-15, bufsize=max(isize, 1))
+    return payload, offset + bsize
+
+
+def is_bgzf(path: str) -> bool:
+    """Cheap test whether a file looks like BGZF."""
+    with open(path, "rb") as fh:
+        head = fh.read(18)
+    if len(head) < 18 or head[:2] != b"\x1f\x8b" or not head[3] & 4:
+        return False
+    return head[12] == 66 and head[13] == 67
+
+
+class BgzfReader:
+    """Random-access reader over a BGZF file.
+
+    The whole compressed file is mmap-read once; blocks are decompressed on
+    demand and cached (most recent only) which suits both sequential scans
+    and index-driven region jumps.
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as fh:
+            self._data = fh.read()
+        self._block_offset = 0       # compressed offset of current block
+        self._payload = b""
+        self._payload_pos = 0
+        self._next_offset = 0
+        self._load_block(0)
+
+    def _load_block(self, coffset: int):
+        if coffset >= len(self._data) or (
+                len(self._data) - coffset <= len(BGZF_EOF) and
+                self._data[coffset:] == BGZF_EOF):
+            self._block_offset = coffset
+            self._payload = b""
+            self._payload_pos = 0
+            self._next_offset = len(self._data)
+            return
+        payload, nxt = decompress_block(self._data, coffset)
+        self._block_offset = coffset
+        self._payload = payload
+        self._payload_pos = 0
+        self._next_offset = nxt
+
+    @property
+    def eof(self) -> bool:
+        """True when no more payload bytes are available."""
+        return (self._payload_pos >= len(self._payload) and
+                self._next_offset >= len(self._data))
+
+    def tell_virtual(self) -> int:
+        """Return the BGZF virtual offset of the read cursor."""
+        if self._payload_pos == len(self._payload) and not self.eof:
+            return self._next_offset << 16
+        return (self._block_offset << 16) | self._payload_pos
+
+    def seek_virtual(self, voffset: int):
+        """Seek to a BGZF virtual offset."""
+        coffset, uoffset = voffset >> 16, voffset & 0xFFFF
+        if coffset != self._block_offset or uoffset > len(self._payload):
+            self._load_block(coffset)
+        self._payload_pos = uoffset
+
+    def read(self, n: int) -> bytes:
+        """Read exactly ``n`` payload bytes (fewer only at EOF)."""
+        out = []
+        need = n
+        while need > 0:
+            avail = len(self._payload) - self._payload_pos
+            if avail == 0:
+                if self._next_offset >= len(self._data):
+                    break
+                self._load_block(self._next_offset)
+                continue
+            take = min(avail, need)
+            out.append(
+                self._payload[self._payload_pos:self._payload_pos + take])
+            self._payload_pos += take
+            need -= take
+        return b"".join(out)
+
+    def read_all_from(self, voffset: int = 0) -> bytes:
+        """Decompress the entire remaining stream from a virtual offset."""
+        self.seek_virtual(voffset)
+        chunks = [self._payload[self._payload_pos:]]
+        offset = self._next_offset
+        while offset < len(self._data):
+            if self._data[offset:offset + len(BGZF_EOF)] == BGZF_EOF and \
+                    len(self._data) - offset == len(BGZF_EOF):
+                break
+            payload, offset = decompress_block(self._data, offset)
+            chunks.append(payload)
+        return b"".join(chunks)
+
+    def close(self):
+        """Release the underlying buffer."""
+        self._data = b""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class BgzfWriter:
+    """Streaming BGZF writer producing spec-compliant blocks + EOF marker."""
+
+    def __init__(self, path_or_fh, level: int = 6):
+        if isinstance(path_or_fh, (str, bytes)):
+            self._fh = open(path_or_fh, "wb")
+            self._owns = True
+        else:
+            self._fh = path_or_fh
+            self._owns = False
+        self._level = level
+        self._buf = bytearray()
+        self._coffset = 0
+        self._closed = False
+
+    def tell_virtual(self) -> int:
+        """Virtual offset where the next byte written will land."""
+        return (self._coffset << 16) | len(self._buf)
+
+    def write(self, data: bytes):
+        """Buffer payload bytes, flushing full blocks."""
+        self._buf.extend(data)
+        while len(self._buf) >= MAX_BLOCK_UNCOMPRESSED:
+            self._emit(bytes(self._buf[:MAX_BLOCK_UNCOMPRESSED]))
+            del self._buf[:MAX_BLOCK_UNCOMPRESSED]
+
+    def flush_block(self):
+        """Force out any buffered payload as a (short) block."""
+        if self._buf:
+            self._emit(bytes(self._buf))
+            self._buf.clear()
+
+    def _emit(self, payload: bytes):
+        comp = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+        cdata = comp.compress(payload) + comp.flush()
+        bsize = len(cdata) + 25 + 1  # header(12) + extra(6) + crc/isize(8)
+        header = struct.pack(
+            "<4BIBBHBBHH", 0x1f, 0x8b, 8, 4, 0, 0, 0xff, 6,
+            66, 67, 2, bsize - 1)
+        footer = struct.pack(
+            "<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload))
+        block = header + cdata + footer
+        self._fh.write(block)
+        self._coffset += len(block)
+
+    def close(self):
+        """Flush, append the EOF marker and close the file."""
+        if self._closed:
+            return
+        self.flush_block()
+        self._fh.write(BGZF_EOF)
+        if self._owns:
+            self._fh.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

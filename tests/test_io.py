@@ -1,0 +1,218 @@
+"""Tests for the self-contained BGZF/BAM/FASTA IO stack."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from medaka_tpu.io.bam import (
+    BaiIndex, BamReader, BamRecord, reg2bin, reg2bins, write_bam)
+from medaka_tpu.io.bgzf import BGZF_EOF, BgzfReader, BgzfWriter, is_bgzf
+from medaka_tpu.io.fastx import (
+    FastaReader, FastaWriter, FastqWriter, read_fastx, write_fai)
+
+from mock_data import CALLS, REF_NAME, REF_SEQ, create_simple_bam
+
+REF_DATA = "/root/reference/medaka/test/data"
+
+
+class TestBgzf:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "x.bgz")
+        payload = os.urandom(300000) + b"tail"
+        with BgzfWriter(path) as w:
+            w.write(payload[:1000])
+            w.write(payload[1000:])
+        assert is_bgzf(path)
+        with BgzfReader(path) as r:
+            assert r.read(len(payload) + 10) == payload
+        # gzip interoperability
+        assert gzip.open(path, "rb").read() == payload
+
+    def test_virtual_offsets(self, tmp_path):
+        path = str(tmp_path / "x.bgz")
+        with BgzfWriter(path) as w:
+            w.write(b"a" * 100)
+            w.flush_block()
+            vo = w.tell_virtual()
+            w.write(b"b" * 50)
+        r = BgzfReader(path)
+        r.seek_virtual(vo)
+        assert r.read(50) == b"b" * 50
+        r.seek_virtual(0)
+        assert r.read(3) == b"aaa"
+
+    def test_eof_marker(self, tmp_path):
+        path = str(tmp_path / "x.bgz")
+        with BgzfWriter(path) as w:
+            w.write(b"data")
+        raw = open(path, "rb").read()
+        assert raw.endswith(BGZF_EOF)
+
+
+class TestBamRecord:
+    def test_build_and_parse(self):
+        rec = BamRecord.build(
+            query_name="read1", ref_id=0, pos=10, seq="ACGTN",
+            qual=[30, 20, 10, 5, 2], cigar="3M1I1M", flag=16, mapq=42,
+            tags=dict(XX=7, YY="hello", WL=np.array([1.5, 2.5], np.float32),
+                      mv=np.array([1, 0, 1], np.int8)))
+        assert rec.query_name == "read1"
+        assert rec.pos == 10
+        assert rec.mapq == 42
+        assert rec.is_reverse
+        assert rec.query_sequence == "ACGTN"
+        assert list(rec.query_qualities) == [30, 20, 10, 5, 2]
+        assert rec.cigarstring == "3M1I1M"
+        assert rec.reference_length == 4
+        assert rec.reference_end == 14
+        assert rec.tags["XX"] == 7
+        assert rec.tags["YY"] == "hello"
+        np.testing.assert_allclose(rec.tags["WL"], [1.5, 2.5])
+        np.testing.assert_array_equal(rec.tags["mv"], [1, 0, 1])
+
+    def test_aligned_pairs(self):
+        rec = BamRecord.build(
+            query_name="r", ref_id=0, pos=0, seq="ACATAGATG",
+            qual=[1] * 9, cigar="4=1I4=")
+        pairs = rec.get_aligned_pairs()
+        assert pairs[:6] == [(0, 0), (1, 1), (2, 2), (3, 3), (4, None), (5, 4)]
+
+    def test_missing_qual(self):
+        rec = BamRecord.build(
+            query_name="r", ref_id=0, pos=0, seq="ACGT", qual=None,
+            cigar="4M")
+        assert rec.query_qualities is None
+
+
+class TestBamFile:
+    def test_write_read_roundtrip(self, tmp_path):
+        path = str(tmp_path / "mock.bam")
+        create_simple_bam(path)
+        with BamReader(path) as reader:
+            assert reader.references == [REF_NAME]
+            assert reader.lengths == [len(REF_SEQ)]
+            records = list(reader)
+        assert len(records) == len(CALLS)
+        names = {r.query_name for r in records}
+        assert names == {c[0] for c in CALLS}
+        by_name = {r.query_name: r for r in records}
+        assert by_name["basecall_2"].cigarstring == "3=1D4="
+        assert by_name["basecall_3"].is_reverse
+        assert by_name["basecall_1"].tags["DT"] == "r9"
+
+    def test_fetch_with_index(self, tmp_path):
+        path = str(tmp_path / "mock.bam")
+        create_simple_bam(path)
+        assert os.path.exists(path + ".bai")
+        with BamReader(path) as reader:
+            recs = list(reader.fetch(REF_NAME, 0, 8))
+            assert len(recs) == len(CALLS)
+            recs = list(reader.fetch(REF_NAME, 100, 200))
+            assert recs == []
+
+    def test_real_reference_bam(self):
+        # parse a real (htslib-written) BAM from the reference test data
+        path = os.path.join(REF_DATA, "test_annotate.bam")
+        with BamReader(path) as reader:
+            assert len(reader.references) >= 1
+            n = 0
+            span_checked = False
+            for rec in reader:
+                n += 1
+                if rec.query_sequence and not rec.is_unmapped:
+                    assert rec.query_length == len(rec.query_sequence)
+                    span_checked = True
+            assert n > 0
+            assert span_checked
+
+    def test_real_bam_fetch_matches_scan(self):
+        path = os.path.join(REF_DATA, "test_annotate.bam")
+        with BamReader(path) as reader:
+            ref = reader.references[0]
+            first = next(iter(reader))
+            start = first.pos + 10
+            end = start + 2000
+            via_index = [
+                r.query_name for r in reader.fetch(ref, start, end)]
+            via_scan = [
+                r.query_name for r in reader
+                if (r.ref_id == reader.get_tid(ref) and not r.is_unmapped and
+                    r.pos < end and r.reference_end > start)]
+        assert via_index == via_scan
+        assert len(via_index) > 0
+
+    def test_our_index_matches_htslib_index(self, tmp_path):
+        # re-index a real BAM with our BAI builder; region queries must agree
+        src = os.path.join(REF_DATA, "test_annotate.bam")
+        path = str(tmp_path / "copy.bam")
+        with open(src, "rb") as f, open(path, "wb") as g:
+            g.write(f.read())
+        BaiIndex.build(path)
+        with BamReader(src) as r1, BamReader(path) as r2:
+            ref = r1.references[0]
+            for start, end in [(0, 1000), (5000, 8000), (0, r1.lengths[0])]:
+                a = [x.query_name for x in r1.fetch(ref, start, end)]
+                b = [x.query_name for x in r2.fetch(ref, start, end)]
+                assert a == b
+
+
+class TestBinning:
+    def test_reg2bin_windows(self):
+        assert reg2bin(0, 1) == 4681
+        assert reg2bin(0, 1 << 14) == 4681
+        assert reg2bin(0, (1 << 14) + 1) == 585
+        assert reg2bin(1 << 14, (1 << 14) + 5) == 4682
+
+    def test_reg2bins_contains_reg2bin(self):
+        for beg, end in [(0, 100), (100000, 150000), (1 << 20, (1 << 20) + 5)]:
+            assert reg2bin(beg, end) in reg2bins(beg, end)
+
+
+class TestFastx:
+    def test_fasta_roundtrip(self, tmp_path):
+        path = str(tmp_path / "x.fasta")
+        with FastaWriter(path, width=10) as w:
+            w.write("seq1", "ACGT" * 10)
+            w.write("seq2", "GGCC", comment="a comment")
+        recs = list(read_fastx(path))
+        assert [r.name for r in recs] == ["seq1", "seq2"]
+        assert recs[0].sequence == "ACGT" * 10
+        assert recs[1].comment == "a comment"
+        fa = FastaReader(path)
+        assert fa.fetch("seq1", 2, 6) == "GTAC"
+        assert fa.references == ["seq1", "seq2"]
+
+    def test_fastq_roundtrip(self, tmp_path):
+        path = str(tmp_path / "x.fastq")
+        with FastqWriter(path) as w:
+            w.write("r1", "ACGT", "IIII")
+            w.write("r2", "GG", "!!", comment="c")
+        recs = list(read_fastx(path))
+        assert recs[0].quality == "IIII"
+        assert recs[1].comment == "c"
+
+    def test_gzipped_fastq(self):
+        path = os.path.join(REF_DATA, "workflow", "reads.fq.gz")
+        n = 0
+        for rec in read_fastx(path):
+            assert len(rec.sequence) == len(rec.quality)
+            n += 1
+            if n > 50:
+                break
+        assert n > 50
+
+    def test_real_fasta(self):
+        path = os.path.join(REF_DATA, "test_ref.fasta")
+        fa = FastaReader(path)
+        assert len(fa.references) >= 1
+        assert fa.lengths[0] > 0
+
+    def test_write_fai(self, tmp_path):
+        path = str(tmp_path / "x.fasta")
+        with FastaWriter(path, width=10) as w:
+            w.write("seq1", "ACGT" * 10)
+        fai = write_fai(path)
+        line = open(fai).read().split("\t")
+        assert line[0] == "seq1"
+        assert int(line[1]) == 40
