@@ -1,0 +1,629 @@
+"""Pileup featurisation: BAM alignments -> neural network input tensors.
+
+Reimplements the reference C pileup kernel (``src/medaka_counts.c``) and the
+Python feature encoders (``medaka/features.py``) as a single vectorised
+engine. The counting semantics (column emission, minor/insertion columns,
+deletion channels, qscore stratification, Weibull partial counts, datatype
+splitting, read filters of ``src/medaka_bamiter.c:16-48``) are matched
+bit-for-bit against the reference's golden test expectations.
+
+Design: per read the CIGAR is expanded with numpy into flat event arrays
+(column, channel) which are reduced with one ``bincount`` per region —
+a scatter-add formulation that maps directly onto TPU ``segment_sum`` for
+the on-device path (see medaka_tpu.ops).
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import importlib
+import inspect
+from collections import defaultdict
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from medaka_tpu import common
+from medaka_tpu.common import (
+    FEATLEN, FWD_DEL, NT16_TO_CHANNEL, PLP_BASES, REV_DEL, Region, Sample,
+    make_positions)
+from medaka_tpu.io.bam import (
+    C_D, C_EQ, C_I, C_M, C_N, C_S, C_X, BamReader, BamRecord)
+
+_CONSUMES_Q = np.array([1, 1, 0, 0, 1, 0, 0, 1, 1], dtype=np.int64)
+_CONSUMES_R = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=np.int64)
+_ALN_OPS = frozenset((C_M, C_EQ, C_X))
+
+WEIBULL_SCALE = 10000
+
+
+def from_dict(d):
+    """Instantiate a feature encoder from its config dict."""
+    module = importlib.import_module(__name__)
+    return getattr(module, d["type"])(**d["kwargs"])
+
+
+def filter_read(
+        rec: BamRecord, min_mapq: int = 1, tag_name: Optional[str] = None,
+        tag_value: Optional[int] = None, keep_missing: bool = False,
+        read_group: Optional[str] = None) -> bool:
+    """Apply the reference's read filters (``medaka_bamiter.c:16-48``).
+
+    :returns: True when the read should be used.
+    """
+    if rec.flag & (4 | 256 | 512 | 1024 | 2048):
+        return False
+    if rec.mapq < min_mapq:
+        return False
+    if tag_name:
+        tag = rec.tags.get(tag_name)
+        if tag is None:
+            if not keep_missing:
+                return False
+        elif not isinstance(tag, (int, np.integer)):
+            return False
+        elif int(tag) != tag_value:
+            return False
+    if read_group is not None:
+        if rec.tags.get("RG") != read_group:
+            return False
+    return True
+
+
+class ReadEvents:
+    """CIGAR-expansion of one read clipped to a region.
+
+    Attributes are flat numpy arrays describing where each query base and
+    each deletion lands in (reference position, minor index) space.
+    """
+
+    __slots__ = (
+        "aln_rpos", "aln_qpos", "ins_anchor", "ins_minor", "ins_qpos",
+        "del_rpos", "cover_start", "cover_end", "is_rev", "rec")
+
+    def __init__(self, rec: BamRecord, start: int, end: int):
+        self.rec = rec
+        self.is_rev = rec.is_reverse
+        ca = rec.cigar_array
+        ops, lens = ca[:, 0], ca[:, 1]
+        q_excl = np.cumsum(_CONSUMES_Q[ops] * lens) - _CONSUMES_Q[ops] * lens
+        r_excl = rec.pos + (
+            np.cumsum(_CONSUMES_R[ops] * lens) - _CONSUMES_R[ops] * lens)
+
+        def expand(op_mask):
+            """(op_index repeated, within-op offset) for selected ops."""
+            sel = np.flatnonzero(op_mask)
+            ls = lens[sel]
+            idx = np.repeat(sel, ls)
+            off = np.arange(ls.sum()) - np.repeat(
+                np.cumsum(ls) - ls, ls)
+            return idx, off
+
+        # aligned bases
+        idx, off = expand(
+            (ops == C_M) | (ops == C_EQ) | (ops == C_X))
+        rp = r_excl[idx] + off
+        keep = (rp >= start) & (rp < end)
+        self.aln_rpos = rp[keep]
+        self.aln_qpos = (q_excl[idx] + off)[keep]
+
+        # deletions
+        idx, off = expand(ops == C_D)
+        rp = r_excl[idx] + off
+        self.del_rpos = rp[(rp >= start) & (rp < end)]
+
+        # insertions: anchored at the last consumed reference base
+        idx, off = expand(ops == C_I)
+        anchor = r_excl[idx] - 1
+        keep = (anchor >= rec.pos) & (anchor >= start) & (anchor < end)
+        self.ins_anchor = anchor[keep]
+        self.ins_minor = off[keep] + 1
+        self.ins_qpos = (q_excl[idx] + off)[keep]
+
+        self.cover_start = max(rec.pos, start)
+        self.cover_end = min(rec.reference_end, end)
+
+
+def _weibull_fractions(rec: BamRecord, qpos: np.ndarray, num_qstrat: int,
+                       logger) -> np.ndarray:
+    """Per-base homopolymer partial counts from WL/WK Weibull tags.
+
+    Mirrors ``medaka_counts.c:133-171`` (zero counts when tags missing or
+    out of range).
+    """
+    out = np.zeros((len(qpos), num_qstrat), dtype=np.float64)
+    wl = rec.tags.get("WL")
+    wk = rec.tags.get("WK")
+    if wl is None or wk is None:
+        logger.debug(
+            "Failed to retrieve Weibull parameter tags for read %s.",
+            rec.query_name)
+        return out
+    ok = qpos < min(len(wl), len(wk))
+    scale = np.asarray(wl, dtype=np.float64)[qpos[ok]]
+    shape = np.asarray(wk, dtype=np.float64)[qpos[ok]]
+    x = np.arange(1, num_qstrat + 1, dtype=np.float64)
+    with np.errstate(over="ignore", invalid="ignore"):
+        a = np.power((x - 1)[None, :] / scale[:, None], shape[:, None])
+        b = np.power(x[None, :] / scale[:, None], shape[:, None])
+        # fmax (not maximum): C fmax(0, NaN) == 0 for overflowed shapes
+        out[ok] = np.fmax(0.0, -np.exp(-a) * np.expm1(a - b))
+    return out
+
+
+def pileup_counts(
+        region: Region, bam, dtype_prefixes=None, region_split=100000,
+        workers=8, tag_name=None, tag_value=None, keep_missing=False,
+        num_qstrat=1, weibull_summation=False, read_group=None, min_mapq=1):
+    """Create pileup count matrices for a region.
+
+    :param region: `Region` to process.
+    :param bam: path to a sorted, indexed BAM (or an open `BamReader`).
+    :param dtype_prefixes: names of datatypes split by the ``DT`` tag;
+        `None` or a singleton means no splitting.
+    :param num_qstrat: number of qscore stratification layers.
+    :param weibull_summation: use WL/WK Weibull partial counts.
+
+    :returns: list of (counts, positions) tuples, one per contiguous block
+        of covered reference positions. ``counts`` has shape
+        (n_cols, featlen * num_dtypes * num_qstrat), int64; ``positions`` is
+        a structured (major, minor) array.
+
+    Matches ``calculate_pileup`` (``src/medaka_counts.c:199-372``) composed
+    with the chunk-contiguity fixup of ``medaka/features.py:111-164``.
+    """
+    logger = common.get_named_logger("Pileup")
+    if dtype_prefixes is None or isinstance(dtype_prefixes, str):
+        dtypes = [""]
+    else:
+        dtypes = list(dtype_prefixes)
+    num_dtypes = len(dtypes)
+    dtype_index = {d: i for i, d in enumerate(dtypes)}
+    start, end = region.start, region.end
+    span = end - start
+    col_feat = FEATLEN * num_dtypes * num_qstrat
+
+    reader = bam if isinstance(bam, BamReader) else BamReader(bam)
+    try:
+        reads = [
+            rec for rec in reader.fetch(region.ref_name, start, end)
+            if filter_read(
+                rec, min_mapq, tag_name, tag_value, keep_missing, read_group)]
+    finally:
+        if reader is not bam:
+            reader.close()
+
+    if not reads:
+        return [(
+            np.empty((0, col_feat), dtype=np.int64),
+            make_positions([], []))]
+
+    events = [ReadEvents(rec, start, end) for rec in reads]
+
+    # coverage per position and max insertion length per anchor position
+    cover = np.zeros(span + 1, dtype=np.int32)
+    max_ins = np.zeros(span, dtype=np.int64)
+    for ev in events:
+        if ev.cover_end > ev.cover_start:
+            cover[ev.cover_start - start] += 1
+            cover[ev.cover_end - start] -= 1
+        if len(ev.ins_anchor):
+            np.maximum.at(
+                max_ins, ev.ins_anchor - start,
+                ev.ins_minor.astype(np.int64))
+    covered = np.cumsum(cover[:-1]) > 0
+    cov_pos = np.flatnonzero(covered)  # positions relative to start
+    if len(cov_pos) == 0:
+        return [(
+            np.empty((0, col_feat), dtype=np.int64),
+            make_positions([], []))]
+
+    cols_per_pos = 1 + max_ins[cov_pos]
+    col_start = np.concatenate(([0], np.cumsum(cols_per_pos)))
+    n_cols = int(col_start[-1])
+    # map reference offset -> first column index (-1 when uncovered)
+    col_of_pos = np.full(span, -1, dtype=np.int64)
+    col_of_pos[cov_pos] = col_start[:-1]
+
+    # positions array
+    majors = np.repeat(cov_pos + start, cols_per_pos)
+    minors = np.arange(n_cols) - np.repeat(col_start[:-1], cols_per_pos)
+    positions = make_positions(majors, minors)
+
+    # accumulate events
+    flat = np.zeros(n_cols * col_feat, dtype=np.int64)
+    for ev in events:
+        rec = ev.rec
+        strand_off = 16 if ev.is_rev else 0
+        if num_dtypes > 1:
+            dt_tag = rec.tags.get("DT")
+            if dt_tag is None or dt_tag not in dtype_index:
+                raise ValueError(
+                    "Datatype not found for {}.".format(rec.query_name))
+            dtype = dtype_index[dt_tag]
+        else:
+            dtype = 0
+        dtype_off = FEATLEN * dtype * num_qstrat
+
+        # deletion events (always land in qstrat layer 0)
+        if len(ev.del_rpos):
+            del_chan = REV_DEL if ev.is_rev else FWD_DEL
+            cols = col_of_pos[ev.del_rpos - start]
+            np.add.at(flat, cols * col_feat + dtype_off + del_chan, 1)
+
+        # base events: aligned (minor 0) and inserted (minor >= 1)
+        qpos = np.concatenate([ev.aln_qpos, ev.ins_qpos])
+        if not len(qpos):
+            continue
+        cols = np.concatenate([
+            col_of_pos[ev.aln_rpos - start],
+            col_of_pos[ev.ins_anchor - start] + ev.ins_minor])
+        chan = NT16_TO_CHANNEL[rec.seq_nt16[qpos] + strand_off]
+        valid = chan >= 0
+        cols, chan, qpos = cols[valid], chan[valid], qpos[valid]
+
+        if weibull_summation:
+            frac = _weibull_fractions(rec, qpos, num_qstrat, logger)
+            contrib = (WEIBULL_SCALE * frac).astype(np.int64)
+            idx = (cols[:, None] * col_feat + dtype_off +
+                   FEATLEN * np.arange(num_qstrat)[None, :] +
+                   chan[:, None])
+            np.add.at(flat, idx.ravel(), contrib.ravel())
+        else:
+            if num_qstrat > 1:
+                quals = rec.query_qualities
+                q = quals[qpos] if quals is not None else np.zeros(
+                    len(qpos), dtype=np.int64)
+                qstrat = np.maximum(
+                    0, np.minimum(q.astype(np.int64), num_qstrat) - 1)
+            else:
+                qstrat = 0
+            np.add.at(
+                flat, cols * col_feat + dtype_off + FEATLEN * qstrat + chan, 1)
+
+    counts = flat.reshape(n_cols, col_feat)
+
+    # split into contiguous blocks on gaps in major coordinates
+    block_bounds = np.flatnonzero(np.diff(cov_pos) > 1) + 1
+    if len(block_bounds) == 0:
+        return [(counts, positions)]
+    out = []
+    col_cuts = col_start[block_bounds]
+    pieces = np.split(np.arange(n_cols), col_cuts)
+    for piece in pieces:
+        out.append((counts[piece], positions[piece]))
+    return out
+
+
+def pileup_counts_norm_indices(dtypes, num_qstrat=1):
+    """Group feature-vector indices by (datatype, is_reverse).
+
+    Mirrors ``medaka/features.py:647-687``.
+    """
+    indices = defaultdict(list)
+    for dti, _dt in enumerate(dtypes):
+        for qindex in range(num_qstrat):
+            for base_i, code in enumerate(PLP_BASES):
+                indices[_dt, code.islower()].append(
+                    base_i + dti * num_qstrat * FEATLEN + qindex * FEATLEN)
+    return dict(indices)
+
+
+# ---------------------------------------------------------------------------
+# Feature encoders
+# ---------------------------------------------------------------------------
+
+feature_encoders = {}
+
+
+class _EncoderMeta(type):
+    def __new__(mcls, name, bases, attrs):
+        cls = super().__new__(mcls, name, bases, attrs)
+        if name != "BaseFeatureEncoder":
+            feature_encoders[name] = cls
+        return cls
+
+
+class BaseFeatureEncoder(metaclass=_EncoderMeta):
+    """Base class turning BAM pileups into `Sample` objects."""
+
+    def __init__(self):
+        self.logger = common.get_named_logger("Feature")
+
+    def to_dict(self):
+        """Serialise constructor arguments."""
+        kwargs = {}
+        params = inspect.signature(self.__class__.__init__).parameters
+        for opt, param in params.items():
+            if opt == "self":
+                continue
+            if hasattr(self, opt):
+                kwargs[opt] = getattr(self, opt)
+            elif param.default is not inspect.Parameter.empty:
+                kwargs[opt] = param.default
+            else:
+                raise ValueError("Missing value for {}".format(opt))
+        return {"type": self.__class__.__name__, "kwargs": kwargs}
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("logger", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.logger = common.get_named_logger("Feature")
+
+    def bam_to_sample(self, reads_bam, region: Region) -> List[Sample]:
+        """Featurise a region of a BAM into (one or more) `Sample` s."""
+        pileups = self._pileup_function(region, reads_bam)
+        samples = []
+        for counts, positions in pileups:
+            if len(counts) == 0:
+                self.logger.warning(
+                    "Pileup-feature is zero-length for {} indicating no "
+                    "reads in this region.".format(region))
+                samples.append(Sample(
+                    ref_name=region.ref_name, features=None, labels=None,
+                    ref_seq=None, positions=positions, label_probs=None))
+                continue
+            samples.append(
+                self._post_process_pileup(counts, positions, region))
+        return samples
+
+    def bams_to_training_samples(
+            self, truth_bam, bam, region: Region, label_scheme,
+            truth_haplotag=None, min_length=1000):
+        """Create labelled training samples for a region.
+
+        Aligns label-scheme encodings of truth alignments with the feature
+        positions, padding feature-only (read-insertion) columns with the
+        scheme's padding vector (reference ``features.py:937-994``).
+        """
+        import medaka_tpu.labels as labels_mod
+        alns = labels_mod.TruthAlignment.bam_to_alignments(
+            truth_bam, region, haplotag=truth_haplotag,
+            min_length=min_length)
+        if len(alns) == 0:
+            self.logger.info(
+                "Filtering and grouping removed all alignments of truth to "
+                "ref from {}.".format(region))
+
+        samples = []
+        for aln in alns:
+            truth_pos, truth_labels = label_scheme.encode(aln)
+            aln_samples = self.bam_to_sample(
+                bam, Region(region.ref_name, aln[0].start, aln[0].end))
+            for sample in aln_samples:
+                shape = list(truth_labels.shape)
+                shape[0] = len(sample.positions)
+                padded = np.full(
+                    shape, label_scheme.padding_vector,
+                    dtype=truth_labels.dtype)
+                t_in = np.isin(truth_pos, sample.positions)
+                s_in = np.isin(sample.positions, truth_pos)
+                assert t_in.sum() == s_in.sum()
+                padded[np.where(s_in)] = truth_labels[np.where(t_in)]
+                samples.append(sample.amend(labels=padded))
+        return tuple(samples)
+
+
+class CountsFeatureEncoder(BaseFeatureEncoder):
+    """Normalised base-count pileup features (10 channels per dtype)."""
+
+    _norm_modes_ = ["total", "fwd_rev", None]
+    feature_dtype = np.float32
+
+    def __init__(
+            self, normalise="total", dtypes=("",), tag_name=None,
+            tag_value=None, tag_keep_missing=False, read_group=None,
+            min_mapq=1, sym_indels=False):
+        """Initialise the encoder.
+
+        :param normalise: 'total', 'fwd_rev' or None.
+        :param dtypes: datatype names split by the ``DT`` read tag.
+        :param sym_indels: count lack of insertion as deletion at minor
+            columns.
+        """
+        self.normalise = normalise
+        self.dtypes = tuple(dtypes)
+        self.tag_name = tag_name
+        self.tag_value = tag_value
+        self.tag_keep_missing = tag_keep_missing
+        self.read_group = read_group
+        self.min_mapq = min_mapq
+        self.sym_indels = sym_indels
+        self.feature_indices = pileup_counts_norm_indices(self.dtypes)
+        if self.normalise not in self._norm_modes_:
+            raise ValueError("normalise={} is not one of {}".format(
+                self.normalise, self._norm_modes_))
+        super().__init__()
+
+    @property
+    def feature_vector_length(self):
+        """Width of one feature vector."""
+        return len(self.dtypes) * FEATLEN
+
+    def _qstrat(self):
+        return 1
+
+    def _pileup_function(self, region, bam):
+        return pileup_counts(
+            region, bam, dtype_prefixes=self.dtypes,
+            tag_name=self.tag_name, tag_value=self.tag_value,
+            keep_missing=self.tag_keep_missing, read_group=self.read_group,
+            min_mapq=self.min_mapq)
+
+    def _post_process_pileup(self, counts, positions, region) -> Sample:
+        start, end = positions["major"][0], positions["major"][-1]
+        if start != region.start or end + 1 != region.end:
+            self.logger.warning(
+                "Pileup counts do not span requested region, requested {}, "
+                "received {}-{}.".format(region, start, end))
+
+        minor_inds = np.where(positions["minor"] > 0)
+        major_at_minor = positions["major"][minor_inds]
+        major_ind = np.searchsorted(
+            positions["major"], major_at_minor, side="left")
+
+        depth = np.sum(counts, axis=1)
+        depth[minor_inds] = depth[major_ind]
+
+        if self.sym_indels:
+            # fill in implied deletions at minor columns: reads which span
+            # the insertion site but do not carry the insertion
+            for (dt, is_rev), inds in self.feature_indices.items():
+                dt_depth = np.sum(counts[:, inds], axis=1)
+                featlen_index = REV_DEL if is_rev else FWD_DEL
+                dtype_size = FEATLEN * self._qstrat()
+                del_ind = [
+                    x for x in inds if x % dtype_size == featlen_index][0]
+                counts[minor_inds, del_ind] = \
+                    dt_depth[major_ind] - dt_depth[minor_inds]
+
+        if self.normalise == "total":
+            feature_array = counts / np.maximum(1, depth)[:, None]
+        elif self.normalise == "fwd_rev":
+            feature_array = np.empty_like(counts, dtype=self.feature_dtype)
+            for (dt, is_rev), inds in self.feature_indices.items():
+                dt_depth = np.sum(counts[:, inds], axis=1)
+                dt_depth[minor_inds] = dt_depth[major_ind]
+                feature_array[:, inds] = (
+                    counts[:, inds] / np.maximum(1, dt_depth)[:, None])
+        else:
+            feature_array = counts
+        feature_array = feature_array.astype(self.feature_dtype)
+
+        return Sample(
+            ref_name=region.ref_name, features=feature_array, labels=None,
+            ref_seq=None, positions=positions, label_probs=None, depth=depth)
+
+
+class HardRLEFeatureEncoder(CountsFeatureEncoder):
+    """Counts stratified by run length encoded in base qualities."""
+
+    def __init__(
+            self, normalise="total", dtypes=("",), tag_name=None,
+            tag_value=None, tag_keep_missing=False, num_qstrat=15,
+            read_group=None, min_mapq=1):
+        """Initialise with ``num_qstrat`` stratification layers."""
+        self.num_qstrat = num_qstrat
+        super().__init__(
+            normalise, dtypes=dtypes, tag_name=tag_name, tag_value=tag_value,
+            tag_keep_missing=tag_keep_missing, read_group=read_group,
+            min_mapq=min_mapq)
+        self.feature_indices = pileup_counts_norm_indices(
+            self.dtypes, num_qstrat=self.num_qstrat)
+
+    @property
+    def feature_vector_length(self):
+        """Width of one feature vector."""
+        return len(self.dtypes) * FEATLEN * self.num_qstrat
+
+    def _qstrat(self):
+        return self.num_qstrat
+
+    def _pileup_function(self, region, bam):
+        return pileup_counts(
+            region, bam, dtype_prefixes=self.dtypes,
+            tag_name=self.tag_name, tag_value=self.tag_value,
+            keep_missing=self.tag_keep_missing, num_qstrat=self.num_qstrat,
+            read_group=self.read_group, min_mapq=self.min_mapq)
+
+
+class SymHardRLEFeatureEncoder(HardRLEFeatureEncoder):
+    """HardRLE where a spanned-but-absent insertion counts as deletion."""
+
+    def _pileup_function(self, region, bam):
+        [(counts, positions)] = super()._pileup_function(region, bam)
+        minor_inds = np.where(positions["minor"] > 0)
+        major_at_minor = positions["major"][minor_inds]
+        major_ind = np.searchsorted(
+            positions["major"], major_at_minor, side="left")
+        for (dt, is_rev), inds in self.feature_indices.items():
+            dt_depth = np.sum(counts[:, inds], axis=1)
+            featlen_index = REV_DEL if is_rev else FWD_DEL
+            dtype_size = FEATLEN * self.num_qstrat
+            del_ind = [x for x in inds if x % dtype_size == featlen_index][0]
+            counts[minor_inds, del_ind] = \
+                dt_depth[major_ind] - dt_depth[minor_inds]
+        return [(counts, positions)]
+
+
+class SoftRLEFeatureEncoder(HardRLEFeatureEncoder):
+    """RLE pileups from Weibull partial counts (WL/WK tags)."""
+
+    def _pileup_function(self, region, bam):
+        return pileup_counts(
+            region, bam, dtype_prefixes=self.dtypes,
+            tag_name=self.tag_name, tag_value=self.tag_value,
+            keep_missing=self.tag_keep_missing, num_qstrat=self.num_qstrat,
+            weibull_summation=True, read_group=self.read_group,
+            min_mapq=self.min_mapq)
+
+
+# ---------------------------------------------------------------------------
+# Sample generation / chunking
+# ---------------------------------------------------------------------------
+
+
+class SampleGenerator:
+    """Chunked inference/training sample production for one region."""
+
+    def __init__(
+            self, bam, region, feature_encoder, truth_bam=None,
+            label_scheme=None, truth_haplotag=None, chunk_len=1000,
+            chunk_overlap=200, enable_chunking=True, min_truth_length=1000):
+        """See reference ``features.py:1208-1254`` for the contract."""
+        self.logger = common.get_named_logger("Sampler")
+        self.bam = bam
+        self.region = region
+        self.fencoder = feature_encoder
+        self.truth_bam = truth_bam
+        self.label_scheme = label_scheme
+        self.truth_haplotag = truth_haplotag
+        self.chunk_len = chunk_len
+        self.chunk_overlap = chunk_overlap
+        self.enable_chunking = enable_chunking
+        self.min_truth_length = min_truth_length
+        self._source = None
+        self._quarantined = []
+        if truth_bam is not None and label_scheme is None:
+            raise ValueError(
+                "A `LabelScheme` must be given to create training data.")
+
+    def _fill_features(self):
+        if self._source is not None:
+            return
+        if self.truth_bam is not None:
+            self._source = self.fencoder.bams_to_training_samples(
+                self.truth_bam, self.bam, self.region, self.label_scheme,
+                truth_haplotag=self.truth_haplotag,
+                min_length=self.min_truth_length)
+        else:
+            self._source = self.fencoder.bam_to_sample(self.bam, self.region)
+
+    @property
+    def samples(self) -> List[Sample]:
+        """Return (possibly chunked) samples for the region."""
+        self._fill_features()
+        self._quarantined = []
+        out = []
+        for source in self._source:
+            if source.is_empty:
+                continue
+            if not self.enable_chunking:
+                out.append(source)
+                continue
+            if source.size < self.chunk_len:
+                self.logger.debug(
+                    "Region {} ({} positions) is smaller than inference "
+                    "chunk length {}, quarantining.".format(
+                        source.name, source.size, self.chunk_len))
+                start, _ = source.first_pos
+                end, _ = source.last_pos
+                self._quarantined.append((
+                    Region(source.ref_name, start, end + 1), source.size))
+                continue
+            out.extend(source.chunks(
+                chunk_len=self.chunk_len, overlap=self.chunk_overlap))
+        return out
