@@ -252,6 +252,51 @@ class BamRecord:
         ca = self.cigar_array
         return int(np.sum(_CONSUMES_QUERY[ca[:, 0]] * ca[:, 1]))
 
+    def get_reference_sequence(self) -> str:
+        """Reconstruct the aligned reference sequence from the MD tag.
+
+        Matches pysam's ``AlignedSegment.get_reference_sequence``.
+        """
+        md = self.tags.get("MD")
+        if md is None:
+            raise ValueError(
+                "MD tag not present for read {}".format(self.query_name))
+        # query bases consumed at aligned (M/=/X) positions only
+        aligned = []
+        qpos = 0
+        for op, ln in self.cigar_array:
+            if op in (C_M, C_EQ, C_X):
+                aligned.append(self.query_sequence[qpos:qpos + ln])
+                qpos += ln
+            elif op in (C_I, C_S):
+                qpos += ln
+        aligned = "".join(aligned)
+        ref = []
+        apos = 0
+        i = 0
+        n = len(md)
+        while i < n:
+            ch = md[i]
+            if ch.isdigit():
+                j = i
+                while j < n and md[j].isdigit():
+                    j += 1
+                run = int(md[i:j])
+                ref.append(aligned[apos:apos + run])
+                apos += run
+                i = j
+            elif ch == "^":
+                j = i + 1
+                while j < n and md[j].isalpha():
+                    j += 1
+                ref.append(md[i + 1:j])
+                i = j
+            else:
+                ref.append(ch)
+                apos += 1
+                i += 1
+        return "".join(ref)
+
     def get_aligned_pairs(self):
         """Yield (query_pos, ref_pos) pairs; None marks gaps.
 

@@ -1,0 +1,791 @@
+"""Label schemes: encode truth alignments, decode network outputs.
+
+Parity target: ``medaka/labels.py`` (TruthAlignment: labels.py:27-260,
+schemes: labels.py:269-1324). The variant-column marking recurrence of the
+reference C helper (``src/medaka_rnn_variants.c:28-55``) is reimplemented as
+a vectorised grouped reduction.
+"""
+from __future__ import annotations
+
+import abc
+import collections
+import functools
+import importlib
+import itertools
+from copy import copy
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from medaka_tpu import common, vcf
+from medaka_tpu.common import Region, Sample, make_positions
+from medaka_tpu.io.bam import BamReader
+from medaka_tpu.utils.intervals import IntervalSet
+
+
+def from_dict(d):
+    """Instantiate a label scheme from a config dict."""
+    module = importlib.import_module(__name__)
+    kwargs = d.get("kwargs", {})
+    return getattr(module, d["type"])(**kwargs)
+
+
+class TruthAlignment:
+    """A truth-to-reference alignment segment used to derive labels."""
+
+    def __init__(self, alignment):
+        """Wrap a `BamRecord`; start/end may be trimmed by filtering."""
+        self.aln = alignment
+        self.start = alignment.reference_start
+        self.end = alignment.reference_end
+        self.is_kept = True
+        self.logger = common.get_named_logger("TruthAlign")
+
+    def _overlap_with(self, other):
+        first, second = sorted(
+            (self, other), key=lambda t: t.aln.reference_start)
+        if first.aln.reference_end > second.aln.reference_start:
+            return second.aln.reference_start, first.aln.reference_end
+        return None
+
+    @staticmethod
+    def _filter_alignments(
+            alignments, region, min_length=1000, length_ratio=2.0,
+            overlap_fraction=0.5):
+        """Resolve overlapping truth segments and drop unusable ones.
+
+        Mirrors the reference's four-case overlap policy
+        (``labels.py:53-136``).
+        """
+        filtered = [copy(a) for a in alignments]
+
+        def only_valid_symbols(al):
+            symbols = set("ACGT")
+            ref = al.aln.get_reference_sequence().upper()
+            query = al.aln.query_sequence.upper()
+            return set(ref).issubset(symbols) and \
+                set(query).issubset(symbols)
+
+        filtered = [al for al in filtered if only_valid_symbols(al)]
+
+        for al_i, al_j in itertools.combinations(filtered, 2):
+            first, second = sorted(
+                (al_i, al_j), key=lambda t: t.aln.reference_start)
+            overlap = first._overlap_with(second)
+            if overlap is None:
+                continue
+            ovlp_start, ovlp_end = overlap
+            shorter, longer = sorted(
+                (al_i, al_j), key=lambda t: t.aln.reference_length)
+            ratio = (longer.aln.reference_length /
+                     shorter.aln.reference_length)
+            frac = (ovlp_end - ovlp_start) / shorter.aln.reference_length
+            if ratio < length_ratio:  # neither more trustworthy
+                if frac >= overlap_fraction:
+                    shorter.is_kept = False
+                    longer.is_kept = False
+                else:
+                    first.end = ovlp_start
+                    second.start = ovlp_end
+            else:  # trust the longer
+                if frac >= overlap_fraction:
+                    shorter.is_kept = False
+                else:
+                    second.start = ovlp_end
+
+        if region.start > 0 or region.end is not None:
+            for al in filtered:
+                if region.start > 0:
+                    al.start = max(region.start, al.start)
+                if region.end is not None:
+                    al.end = min(region.end, al.end)
+        filtered = [
+            al for al in filtered
+            if al.is_kept and al.end - al.start >= min_length]
+        filtered.sort(key=lambda t: t.start)
+        return filtered
+
+    @staticmethod
+    def _load_alignments(truth_bam, region, haplotag=None):
+        alignments = collections.defaultdict(list)
+        with BamReader(truth_bam) as bam:
+            for rec in bam.fetch(region.ref_name, region.start, region.end):
+                if rec.is_unmapped or rec.is_secondary:
+                    continue
+                hap = rec.get_tag(haplotag) if haplotag is not None else None
+                alignments[hap].append(TruthAlignment(rec))
+        for hap in alignments:
+            alignments[hap].sort(key=lambda t: t.start)
+        return alignments
+
+    @staticmethod
+    def _group_and_trim_by_haplotype(alignments):
+        """Group per-haplotype segments to common windows.
+
+        Mirrors ``labels.py:170-234``.
+        """
+        logger = common.get_named_logger("Group_and_trim")
+        haplotypes = sorted(alignments.keys(), key=lambda h: (h is None, h))
+        if len(haplotypes) == 1:
+            return [(a,) for a in alignments[haplotypes[0]]]
+        trees = {}
+        for h in haplotypes[1:]:
+            trees[h] = IntervalSet(
+                (a.start, a.end, a) for a in alignments[h])
+        grouped = []
+        for a in alignments[haplotypes[0]]:
+            group = [a]
+            common_start, common_end = a.start, a.end
+            for h, tree in trees.items():
+                h_algns = tree.overlap(common_start, common_end)
+                if len(h_algns) == 0:
+                    break
+                if len(h_algns) > 1:
+                    ovlps = [
+                        min(common_end, o[1]) - max(common_start, o[0])
+                        for o in h_algns]
+                    h_algn = h_algns[int(np.argmax(ovlps))][2]
+                else:
+                    h_algn = h_algns[0][2]
+                common_start = max(common_start, h_algn.start)
+                common_end = min(common_end, h_algn.end)
+                group.append(h_algn)
+            if len(group) != len(haplotypes):
+                logger.info(
+                    "Skipping {}:{}-{}; missing alignment for "
+                    "haplotype".format(
+                        a.aln.ref_id, a.start, a.end))
+                continue
+            for i in group:
+                i.start = common_start
+                i.end = common_end
+            grouped.append(tuple(group))
+        return grouped
+
+    @staticmethod
+    def bam_to_alignments(truth_bam, region, haplotag=None, min_length=1000):
+        """Load, filter and group truth alignments for a region."""
+        algns = TruthAlignment._load_alignments(truth_bam, region, haplotag)
+        algns = {
+            h: TruthAlignment._filter_alignments(
+                h_algns, region=region, min_length=min_length)
+            for h, h_algns in algns.items()}
+        if len(algns) == 0:
+            return []
+        return TruthAlignment._group_and_trim_by_haplotype(algns)
+
+
+# ---------------------------------------------------------------------------
+# Label schemes
+# ---------------------------------------------------------------------------
+
+label_schemes = {}
+
+
+class _SchemeMeta(abc.ABCMeta):
+    def __new__(mcls, name, bases, attrs):
+        cls = super().__new__(mcls, name, bases, attrs)
+        if name != "BaseLabelScheme":
+            label_schemes[name] = cls
+        return cls
+
+
+class BaseLabelScheme(metaclass=_SchemeMeta):
+    """Logic for truth encoding and network-output decoding."""
+
+    symbols = "*ACGT"
+    verbose = True
+
+    @property
+    @abc.abstractmethod
+    def n_elements(self):
+        """Number of truth elements per position (~ploidy)."""
+
+    @property
+    @abc.abstractmethod
+    def num_classes(self):
+        """Size of the network output layer."""
+
+    @property
+    @abc.abstractmethod
+    def padding_vector(self):
+        """Encoded label marking a gap/insertion padding column."""
+
+    def to_dict(self):
+        """Serialise the scheme."""
+        return {"type": self.__class__.__name__}
+
+    @staticmethod
+    def _singleton(it):
+        return len(set(it)) == 1
+
+    @staticmethod
+    def _phred(err, cap=70.0):
+        """Error probability to phred score, capped."""
+        err = np.clip(err, 10 ** (-cap / 10.0), 1)
+        return np.minimum(-10 * np.log10(err), cap)
+
+    @staticmethod
+    def _pfmt(p, dp=3):
+        if isinstance(p, np.ndarray):
+            return np.char.mod("%.{}f".format(dp), p)
+        return "{:.{dp}f}".format(round(p, dp), dp=dp)
+
+    # --- encoding ---
+
+    @abc.abstractmethod
+    def _alignment_to_pairs(self, aln):
+        """Yield (ref_pos, label) pairs from an alignment record."""
+
+    def _alignments_to_labels(self, truth_alns):
+        """Expand truth alignments to ((major, minor) positions, labels)."""
+        if len(truth_alns) != self.n_elements:
+            raise ValueError(
+                "{} alignments were passed to {}, requires {}".format(
+                    len(truth_alns), type(self), self.n_elements))
+        if not (self._singleton(a.start for a in truth_alns) and
+                self._singleton(a.end for a in truth_alns)):
+            raise ValueError(
+                "Alignments must have identical genomic start and end.")
+
+        pos_maps = []
+        for aln in truth_alns:
+            pos_to_symbol = collections.defaultdict(lambda: "*")
+            ins_count = 0
+            current_pos = None
+            pairs = self._alignment_to_pairs(aln.aln)
+            pairs = itertools.dropwhile(
+                lambda x: (x[0] is None) or (x[0] < aln.start), pairs)
+            for rpos, label in pairs:
+                if rpos is not None and rpos >= aln.end:
+                    break
+                if rpos is None:
+                    ins_count += 1
+                else:
+                    ins_count = 0
+                    current_pos = rpos
+                pos_to_symbol[(current_pos, ins_count)] = label
+            pos_maps.append(pos_to_symbol)
+
+        positions = sorted(set(itertools.chain.from_iterable(
+            m.keys() for m in pos_maps)))
+        labels = [tuple(m[pos] for m in pos_maps) for pos in positions]
+        positions = np.array(positions, dtype=common.POSITIONS_DTYPE)
+        return positions, labels
+
+    @abc.abstractmethod
+    def _labels_to_encoded_labels(self, labels):
+        """Map label tuples to integer encodings."""
+
+    @abc.abstractmethod
+    def encoded_labels_to_training_vectors(self, enc_labels):
+        """Map integer encodings to training target vectors."""
+
+    @property
+    @abc.abstractmethod
+    def _encoding(self):
+        """dict: label tuple -> integer."""
+
+    @property
+    @functools.lru_cache(1)
+    def _decoding(self):
+        """dict: integer -> label tuple."""
+        return {v: k for k, v in self._encoding.items()}
+
+    @property
+    def _unitary_encoding(self):
+        return {(s,): i for i, s in enumerate(self.symbols)}
+
+    def _unordered_label_combinations(self):
+        return tuple(itertools.combinations_with_replacement(
+            self.symbols, self.n_elements))
+
+    def encode(self, truth_alns):
+        """Truth alignments -> (positions, encoded labels)."""
+        positions, labels = self._alignments_to_labels(truth_alns)
+        return positions, self._labels_to_encoded_labels(labels)
+
+    # --- SNP decoding ---
+
+    def decode_snps(self, sample, ref_seq, ref_vcf=None, threshold=0.04):
+        """Decode network outputs into SNP `Variant` records."""
+        self.ref_seq = ref_seq
+        self.secondary_threshold = threshold
+        self.ref_vcf = vcf.VCFReader(ref_vcf) if ref_vcf else None
+        return self._decode_snps(sample)
+
+    def _decode_snps(self, sample):
+        ref_name = sample.ref_name
+        pos = sample.positions
+        probs = sample.label_probs
+        if self.ref_vcf is not None:
+            loci = {
+                v.pos for v in self.ref_vcf.fetch(
+                    ref_name=ref_name, start=sample.first_pos[0],
+                    end=sample.last_pos[0])}
+            return_all = True
+        else:
+            loci = None
+            return_all = False
+        indices, ref_symbols = [], []
+        for i in range(len(probs)):
+            major = pos["major"][i]
+            reference_symbol = self.ref_seq[major]
+            if pos["minor"][i] != 0 or reference_symbol not in self.symbols:
+                continue
+            if loci is not None and major not in loci:
+                continue
+            indices.append(i)
+            ref_symbols.append(reference_symbol)
+        return self._prob_to_snp(
+            probs[indices], pos["major"][indices], ref_name, ref_symbols,
+            return_all=return_all)
+
+    @abc.abstractmethod
+    def _prob_to_snp(self, outputs, positions, ref_name, ref_symbols,
+                     return_all=False):
+        """Convert network outputs at given loci to SNP records."""
+
+    @property
+    def snp_metainfo(self):
+        """VCF header entries for SNP decoding."""
+        MI = vcf.MetaInfo
+        m = [MI("FORMAT", "GT", 1, "String", "Medaka genotype"),
+             MI("FORMAT", "GQ", 1, "Integer",
+                "Medaka genotype quality score")]
+        if self.verbose:
+            m.extend([
+                MI("INFO", "ref_prob", 1, "Float",
+                   "Medaka probability for reference allele"),
+                MI("INFO", "primary_prob", 1, "Float",
+                   "Medaka probability of primary call"),
+                MI("INFO", "primary_call", 1, "String",
+                   "Medaka primary call"),
+                MI("INFO", "secondary_prob", 1, "Float",
+                   "Medaka probability of secondary call"),
+                MI("INFO", "secondary_call", 1, "String",
+                   "Medaka secondary call")])
+        return m
+
+
+def find_variant_columns(minor, reference, prediction):
+    """Mark pileup columns belonging to variant runs.
+
+    A reference (minor==0) column is variant iff it differs; an insertion
+    column is variant iff any column of its reference position differs.
+    Vectorised equivalent of ``src/medaka_rnn_variants.c:28-55``.
+    """
+    minor = np.asarray(minor)
+    if minor[0] != 0:
+        raise ValueError(
+            "minor array must contain 0 entry at index 0. Found: {}.".format(
+                minor[0]))
+    diff = np.asarray(reference) != np.asarray(prediction)
+    group_starts = np.flatnonzero(minor == 0)
+    group_any = np.logical_or.reduceat(diff, group_starts)
+    group_id = np.cumsum(minor == 0) - 1
+    return np.where(minor == 0, diff, group_any[group_id])
+
+
+class HaploidLabelScheme(BaseLabelScheme):
+    """Single truth element per position; 5-class softmax output."""
+
+    @property
+    def n_elements(self):
+        """Ploidy (1)."""
+        return 1
+
+    @property
+    def num_classes(self):
+        """Output classes (5)."""
+        return len(self._decoding)
+
+    @property
+    def padding_vector(self):
+        """Gap encoding."""
+        return self._labels_to_encoded_labels([("*",)])[0]
+
+    @property
+    @functools.lru_cache(1)
+    def _encoding(self):
+        return self._unitary_encoding
+
+    def _alignment_to_pairs(self, aln):
+        seq = aln.query_sequence
+        for qpos, rpos in aln.get_aligned_pairs():
+            yield rpos, seq[qpos].upper() if qpos is not None else "*"
+
+    def _labels_to_encoded_labels(self, labels):
+        return np.fromiter((self._encoding[x] for x in labels), dtype=int)
+
+    def encoded_labels_to_training_vectors(self, enc_labels):
+        """Integer encodings -> sparse one-hot targets."""
+        if len(enc_labels.dtype) == 2:
+            # legacy (base, runlength) encoding
+            enc_labels = np.array(
+                [max(0, x[0] - 4) for x in enc_labels], dtype="int64")
+        return np.expand_dims(enc_labels, axis=1)
+
+    def _prob_to_snp(self, outputs, positions, ref_name, ref_symbols,
+                     return_all=False):
+        """Threshold-based diploid-from-haploid SNP calling.
+
+        Mirrors ``labels.py:773-867``.
+        """
+        results = []
+        for network_output, pos, ref_symbol in zip(
+                outputs, positions, ref_symbols):
+            order = np.argsort(network_output)
+            secondary_call, primary_call = (
+                self._decoding[p][0] for p in order[-2:])
+            secondary_prob, primary_prob = np.sort(network_output)[-2:]
+            ref_prob = network_output[self._encoding[(ref_symbol,)]]
+
+            info = {}
+            if self.verbose:
+                info = {
+                    "ref_prob": self._pfmt(ref_prob),
+                    "primary_prob": self._pfmt(primary_prob),
+                    "primary_call": primary_call,
+                    "secondary_prob": self._pfmt(secondary_prob),
+                    "secondary_call": secondary_call}
+
+            primary_is_reference = primary_call == ref_symbol
+            primary_is_deletion = primary_call == "*"
+            secondary_is_deletion = secondary_call == "*"
+            secondary_exceeds = \
+                secondary_prob >= self.secondary_threshold
+
+            if (not primary_is_reference and not primary_is_deletion and
+                    not secondary_exceeds):
+                qual = self._phred(1 - primary_prob)
+                results.append(vcf.Variant(
+                    ref_name, pos, ref_symbol, primary_call, filt="PASS",
+                    info=info, qual=self._pfmt(qual),
+                    genotype_data={
+                        "GT": "1/1", "GQ": self._pfmt(qual, 0)}))
+            elif (not primary_is_deletion and not secondary_is_deletion and
+                    secondary_exceeds):
+                err = 1 - (primary_prob + secondary_prob)
+                qual = self._phred(err)
+                alt = [c for c in (primary_call, secondary_call)
+                       if c != ref_symbol]
+                gt = "0/1" if len(alt) == 1 else "1/2"
+                results.append(vcf.Variant(
+                    ref_name, pos, ref_symbol, alt, filt="PASS", info=info,
+                    qual=self._pfmt(qual),
+                    genotype_data={"GT": gt, "GQ": self._pfmt(qual, 0)}))
+            elif (not primary_is_reference and not primary_is_deletion and
+                    secondary_is_deletion and secondary_exceeds):
+                qual = self._phred(1 - primary_prob)
+                results.append(vcf.Variant(
+                    ref_name, pos, ref_symbol, primary_call, filt="PASS",
+                    info=info, qual=self._pfmt(qual),
+                    genotype_data={
+                        "GT": "1/1", "GQ": self._pfmt(qual, 0)}))
+            elif return_all:
+                qual = self._phred(1 - primary_prob)
+                results.append(vcf.Variant(
+                    ref_name, pos, ref_symbol, alt=".", filt="PASS",
+                    info=info, qual=self._pfmt(qual),
+                    genotype_data={
+                        "GT": "0/0", "GQ": self._pfmt(qual, 0)}))
+        return results
+
+    def decode_variants(self, sample, ref_seq, ambig_ref=False,
+                        return_all=False):
+        """Consensus-vs-reference diffing into (multi-base) variants.
+
+        Mirrors ``labels.py:889-1014``.
+        """
+        if sample.positions["minor"][0] != 0:
+            raise ValueError(
+                "The first position of a sample must not be an insertion.")
+        pos = sample.positions
+        probs = sample.label_probs
+        encoding = self._encoding
+
+        predicted = self.decode_consensus(sample, with_gaps=True, dtype="|U1")
+        reference = np.full(len(pos), "*", dtype="|U1")
+        reference[pos["minor"] == 0] = np.frombuffer(
+            ref_seq[pos["major"][0]:pos["major"][-1] + 1].encode(),
+            dtype="S1").astype("U1")
+        is_variant = find_variant_columns(pos["minor"], reference, predicted)
+
+        variants = []
+        runs = common.rle(is_variant)
+        for rlen, rstart, _ in runs[runs["value"]]:
+            rend = rstart + rlen
+            var_ref_with_gaps = "".join(reference[rstart:rend])
+            var_pred_with_gaps = "".join(predicted[rstart:rend])
+            var_ref = var_ref_with_gaps.replace("*", "")
+            var_pred = var_pred_with_gaps.replace("*", "")
+
+            if var_ref == var_pred:
+                # del followed by ins can cancel out
+                continue
+            if not ambig_ref and not set(var_ref).issubset(set(self.symbols)):
+                continue
+
+            var_ref_encoded = (
+                encoding[(s if s != "N" else "*",)]
+                for s in var_ref_with_gaps)
+            var_pred_encoded = (
+                encoding[(s,)] for s in var_pred_with_gaps)
+            var_probs = probs[rstart:rend]
+            ref_probs = np.array(
+                [var_probs[i, j] for i, j in enumerate(var_ref_encoded)])
+            pred_probs = np.array(
+                [var_probs[i, j] for i, j in enumerate(var_pred_encoded)])
+            ref_quals = self._phred(1.0 - ref_probs)
+            pred_quals = self._phred(1.0 - pred_probs)
+
+            info = {}
+            if self.verbose:
+                info = {
+                    "ref_seq": var_ref_with_gaps,
+                    "pred_seq": var_pred_with_gaps,
+                    "ref_qs": ",".join(self._pfmt(q) for q in ref_quals),
+                    "pred_qs": ",".join(self._pfmt(q) for q in pred_quals),
+                    "ref_q": self._pfmt(sum(ref_quals)),
+                    "pred_q": self._pfmt(sum(pred_quals)),
+                    "n_cols": len(pred_quals)}
+
+            qual = sum(pred_quals) - sum(ref_quals)
+            var_pos = pos["major"][rstart]
+            if pos["minor"][rstart] != 0:
+                # variant starting on an insert: prepend the reference base
+                var_ref = ref_seq[var_pos] + var_ref
+                var_pred = ref_seq[var_pos] + var_pred
+            variant = vcf.Variant(
+                sample.ref_name, var_pos, var_ref, alt=var_pred, filt="PASS",
+                info=info, qual=self._pfmt(qual),
+                genotype_data={"GT": "1", "GQ": self._pfmt(qual, 0)})
+            variants.append(variant.normalize(reference=ref_seq))
+
+        if return_all:
+            sites = pos["minor"] == 0
+            _pos = pos["major"][sites]
+            _probs = probs[sites]
+            _ref = reference[sites]
+            _enc = [encoding[(s if s != "N" else "*",)] for s in _ref]
+            _quals = self._phred(
+                1.0 - np.array(_probs[np.arange(_probs.shape[0]), _enc]))
+            for p, base, qf, qi in zip(
+                    _pos, _ref, np.char.mod("%.3f", _quals),
+                    np.char.mod("%d", np.rint(_quals))):
+                variants.append(vcf.Variant(
+                    sample.ref_name, p, base, alt=".", filt=".", info={},
+                    qual=qf,
+                    genotype_data=vcf.GenotypeData(GT="0", GQ=qi)))
+            variants.sort(key=lambda x: x.pos)
+        return variants
+
+    @property
+    def variant_metainfo(self):
+        """VCF header entries for variant decoding."""
+        MI = vcf.MetaInfo
+        m = [MI("FORMAT", "GT", 1, "String", "Medaka genotype."),
+             MI("FORMAT", "GQ", 1, "Integer",
+                "Medaka genotype quality score")]
+        if self.verbose:
+            m.extend([
+                MI("INFO", "ref_seq", 1, "String",
+                   "Medaka reference sequence"),
+                MI("INFO", "pred_seq", 1, "String",
+                   "Medaka predicted sequence"),
+                MI("INFO", "ref_qs", ".", "Float",
+                   "Medaka quality score for reference"),
+                MI("INFO", "pred_qs", ".", "Float",
+                   "Medaka quality score for prediction"),
+                MI("INFO", "ref_q", 1, "Float",
+                   "Medaka per position quality score for reference"),
+                MI("INFO", "pred_q", 1, "Float",
+                   "Medaka per position quality score for prediction"),
+                MI("INFO", "n_cols", 1, "Integer",
+                   "Number of medaka pileup columns in variant call")])
+        return m
+
+    def decode_consensus(self, sample, with_gaps=False, dtype=None,
+                         with_qualities=False):
+        """Argmax decoding of network output into sequence (+ quals)."""
+        mp = np.argmax(sample.label_probs, -1)
+        if with_qualities:
+            probs = np.take_along_axis(
+                sample.label_probs, np.expand_dims(mp, -1), -1).squeeze(-1)
+        if not with_gaps:
+            mask = mp != self.symbols.index("*")
+            mp = mp[mask]
+        if dtype is None:
+            decode = np.array([ord(x) for x in self.symbols], dtype="u1")
+            seq = decode[mp].tobytes().decode()
+        else:
+            seq = np.fromiter(self.symbols, dtype=dtype)[mp]
+        if with_qualities:
+            if not with_gaps:
+                probs = probs[mask]
+            qual_string = (
+                self._phred(1 - probs).astype("u1") + 33).tobytes().decode()
+            return seq, qual_string
+        return seq
+
+
+class DiploidLabelScheme(BaseLabelScheme):
+    """Two truth elements per position; 15-class direct diploid calling."""
+
+    @property
+    def n_elements(self):
+        """Ploidy (2)."""
+        return 2
+
+    @property
+    def num_classes(self):
+        """Output classes (15 = C(5+1, 2))."""
+        return len(self._decoding)
+
+    @property
+    def padding_vector(self):
+        """Gap encoding."""
+        return self._labels_to_encoded_labels([("*", "*")])[0]
+
+    @property
+    @functools.lru_cache(1)
+    def _encoding(self):
+        return {v: k for k, v in
+                enumerate(self._unordered_label_combinations())}
+
+    def _alignment_to_pairs(self, aln):
+        seq = aln.query_sequence
+        for qpos, rpos in aln.get_aligned_pairs():
+            yield rpos, seq[qpos].upper() if qpos is not None else "*"
+
+    def _labels_to_encoded_labels(self, labels):
+        return np.fromiter(
+            (self._encoding[tuple(sorted(x))] for x in labels), dtype=int)
+
+    def encoded_labels_to_training_vectors(self, enc_labels):
+        """Integer encodings -> sparse one-hot targets."""
+        return np.expand_dims(enc_labels, axis=1)
+
+    def _prob_to_snp(self, outputs, positions, ref_name, ref_symbols,
+                     return_all=False):
+        """Direct diploid genotype calling (``labels.py:1158-1230``)."""
+        argmax = outputs.argmax(axis=1)
+        probs = outputs[np.arange(outputs.shape[0]), argmax]
+        quals = self._phred(1 - probs)
+        results = []
+        for network_output, amax, prob, qual, pos, ref_symbol in zip(
+                outputs, argmax, probs, quals, positions, ref_symbols):
+            call = self._decoding[amax]
+
+            def _info(rs, p, c):
+                if not self.verbose:
+                    return {}
+                rp = network_output[self._encoding[(rs, rs)]]
+                return {"ref_prob": self._pfmt(rp), "prob": self._pfmt(p),
+                        "call": c}
+
+            if call == (ref_symbol, ref_symbol):
+                if return_all:
+                    results.append(vcf.Variant(
+                        ref_name, pos, ref_symbol, alt=".", filt="PASS",
+                        info=_info(ref_symbol, prob, call),
+                        qual=self._pfmt(qual),
+                        genotype_data={
+                            "GT": "0/0", "GQ": self._pfmt(qual, 0)}))
+                continue
+            contains_deletion = "*" in call
+            if not self._singleton(call):  # heterozygous
+                if not contains_deletion:
+                    alt = [s for s in call if s != ref_symbol]
+                    gt = "0/1" if len(alt) == 1 else "1/2"
+                    results.append(vcf.Variant(
+                        ref_name, pos, ref_symbol, alt, filt="PASS",
+                        info=_info(ref_symbol, prob, call),
+                        qual=self._pfmt(qual),
+                        genotype_data={"GT": gt, "GQ": self._pfmt(qual, 0)}))
+                else:
+                    nonref_nondel = [
+                        s for s in call if s != ref_symbol and s != "*"]
+                    if nonref_nondel:
+                        alt = [s for s in call if s != "*"]
+                        results.append(vcf.Variant(
+                            ref_name, pos, ref_symbol, alt, filt="PASS",
+                            info=_info(ref_symbol, prob, call),
+                            qual=self._pfmt(qual),
+                            genotype_data={
+                                "GT": "1/1", "GQ": self._pfmt(qual, 0)}))
+            elif not contains_deletion:  # homozygous alt
+                results.append(vcf.Variant(
+                    ref_name, pos, ref_symbol, call[0], filt="PASS",
+                    info=_info(ref_symbol, prob, call),
+                    qual=self._pfmt(qual),
+                    genotype_data={"GT": "1/1", "GQ": self._pfmt(qual, 0)}))
+        return results
+
+    @property
+    def snp_metainfo(self):
+        """VCF header entries for diploid SNP decoding."""
+        MI = vcf.MetaInfo
+        m = [MI("FORMAT", "GT", 1, "String", "Medaka genotype"),
+             MI("FORMAT", "GQ", 1, "Float",
+                "Medaka genotype quality score")]
+        if self.verbose:
+            m.extend([
+                MI("INFO", "ref_prob", 1, "Float",
+                   "Medaka probability of reference"),
+                MI("INFO", "prob", 1, "Float",
+                   "Medaka probability of variant"),
+                MI("INFO", "call", 1, "String", "Medaka variant call")])
+        return m
+
+
+class RLELabelScheme(HaploidLabelScheme):
+    """Haploid labels over (base, run length) alphabet for RLE models."""
+
+    def __init__(self, max_run=12):
+        """Runs longer than ``max_run`` are clipped."""
+        self.max_run = max_run
+
+    def to_dict(self):
+        """Serialise including max_run."""
+        return {"type": self.__class__.__name__,
+                "kwargs": {"max_run": self.max_run}}
+
+    @property
+    def padding_vector(self):
+        """Gap encoding."""
+        return self._labels_to_encoded_labels([(("*", 1),)])[0]
+
+    @property
+    @functools.lru_cache(1)
+    def _encoding(self):
+        encoding = {(("*", 1),): 0}
+        bases = [s for s in self.symbols if s != "*"]
+        for i, (b, l) in enumerate(
+                itertools.product(bases, range(1, self.max_run + 1)), 1):
+            encoding[((b, l),)] = i
+        return encoding
+
+    def _alignment_to_pairs(self, aln):
+        seq = aln.query_sequence
+        run_lengths = aln.query_qualities
+        for qpos, rpos in aln.get_aligned_pairs():
+            qbase = seq[qpos] if qpos is not None else "*"
+            qlen = run_lengths[qpos] if qpos is not None else 1
+            yield rpos, (qbase, min(qlen, self.max_run))
+
+    def _labels_to_encoded_labels(self, labels):
+        return np.fromiter((self._encoding[x] for x in labels), dtype=int)
+
+    def decode_consensus(self, sample):
+        """Argmax decode expanding run lengths."""
+        decode = self._decoding
+        mp = np.argmax(sample.label_probs, -1)
+        return "".join(
+            base * run for ((base, run),) in (decode[x] for x in mp)
+            if base != "*")
+
+    def _prob_to_snp(self, *args, **kwargs):
+        """SNP decoding is undefined for RLE outputs."""
+        raise NotImplementedError

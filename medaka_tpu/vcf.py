@@ -1,0 +1,538 @@
+"""Variant Call Format data structures and IO.
+
+Parity target: ``medaka/vcf.py`` (Variant: vcf.py:160-437, writer/reader:
+vcf.py:440-677, classification: vcf.py:985-1072). Pure Python, no pysam.
+"""
+from __future__ import annotations
+
+import collections
+import itertools
+from copy import deepcopy
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from medaka_tpu import __version__ as package_version
+from medaka_tpu import common
+from medaka_tpu.utils.intervals import IntervalSet
+
+
+def self_return(x):
+    """Identity (used as a no-op field parser)."""
+    return x
+
+
+# Reserved INFO fields from the VCF v4.3 spec, Table 1.
+reserved_info_fields = {
+    'AA': (1, str), 'AC': ('A', int), 'AD': ('R', int), 'ADF': ('R', int),
+    'ADR': ('R', int), 'AF': ('A', float), 'AN': (1, int), 'BQ': (1, float),
+    'CIGAR': ('A', str), 'DB': (0, self_return), 'DP': (1, int),
+    'END': (1, int), 'H2': (0, self_return), 'H3': (0, self_return),
+    'MQ': (1, self_return), 'MQ0': (1, int), 'NS': (1, int),
+    'SB': ('.', self_return), 'SOMATIC': (0, self_return),
+    'VALIDATED': (0, self_return), '1000G': (0, self_return)}
+own_info_fields = {'SCORES': ('R', float)}
+all_info_fields = dict(reserved_info_fields, **own_info_fields)
+
+
+def parse_tags_to_string(tags: Dict) -> str:
+    """Serialise an INFO dict to its VCF column representation."""
+    str_tags = []
+    for key, value in sorted(tags.items()):
+        if value is True:
+            str_tags.append(key)
+        else:
+            if isinstance(value, (tuple, list)):
+                value = ','.join(str(x) for x in value)
+            str_tags.append('{}={}'.format(key, value))
+    return ';'.join(str_tags) if tags else '.'
+
+
+def parse_string_to_tags(string: str, splitter: str = ',') -> Dict:
+    """Parse a VCF INFO column into a dict."""
+    tags = {}
+    for field in string.split(';'):
+        if field in ('', '.'):
+            continue
+        try:
+            tag, value = field.split('=')
+            if tag in all_info_fields:
+                _type = all_info_fields[tag][1]
+                value = [_type(x) for x in value.split(splitter)]
+                if len(value) == 1:
+                    value = value[0]
+        except ValueError:
+            tag, value = field, True
+        tags[tag] = value
+    return tags
+
+
+class MetaInfo:
+    """A VCF header meta-information line."""
+
+    __valid_groups__ = ('INFO', 'FILTER', 'FORMAT')
+    __valid_group_sort__ = {v: k for k, v in enumerate(__valid_groups__)}
+    __valid_non_int_nums__ = {'A', 'R', 'G', '.'}
+    __valid_types__ = {'Integer', 'Float', 'Flag', 'Character', 'String'}
+
+    def __init__(self, group, ident, number, typ, descr):
+        """Validate and store the header entry fields."""
+        if group not in self.__valid_groups__:
+            raise ValueError('Group {} is not one of {}'.format(
+                group, self.__valid_groups__))
+        if (not isinstance(number, int)
+                and not (isinstance(number, str) and number.isdigit())
+                and number not in self.__valid_non_int_nums__):
+            raise ValueError(
+                'Number {} is not an int, digit str or one of {}'.format(
+                    number, self.__valid_non_int_nums__))
+        if typ not in self.__valid_types__:
+            raise ValueError(
+                'typ {} is not one of {}'.format(typ, self.__valid_types__))
+        self.group = group
+        self.ident = ident
+        self.number = number
+        self.typ = typ
+        self.descr = descr
+
+    def __repr__(self):
+        return '{}=<ID={},Number={},Type={},Description="{}">'.format(
+            self.group, self.ident, self.number, self.typ, self.descr)
+
+    __str__ = __repr__
+
+
+class GenotypeData(dict):
+    """Genotype FORMAT data; keeps GT as the first key."""
+
+    def __init__(self, GT, **kwargs):
+        """Store GT first, then other FORMAT fields."""
+        super().__init__(GT=GT, **kwargs)
+
+
+class Variant:
+    """One genomic variant record (0-based position)."""
+
+    def __init__(self, chrom, pos, ref, alt='.', ident='.', qual='.',
+                 filt='.', info='.', genotype_data=None):
+        """Create a variant; see the VCF spec for field meanings."""
+        self.chrom = chrom
+        self.pos = int(pos)
+        self.ref = ref.upper()
+        self.alt = alt.split(',') if isinstance(alt, str) else alt
+        self.ident = str(ident)
+        self.qual = float(qual) if qual != '.' else qual
+        self.filt = filt.split(';') if ';' in filt else filt
+        self.info = info if isinstance(info, dict) else \
+            parse_string_to_tags(info)
+        if genotype_data is None:
+            self.genotype_data = collections.OrderedDict()
+        elif isinstance(genotype_data, GenotypeData):
+            self.genotype_data = genotype_data
+        else:
+            self.genotype_data = self._sort_genotype_data(genotype_data)
+
+    @staticmethod
+    def _sort_genotype_data(gd):
+        return GenotypeData(
+            gd['GT'], **{k: v for k, v in gd.items() if k != 'GT'})
+
+    def __eq__(self, other):
+        for field in ('chrom', 'pos', 'ident', 'ref', 'alt', 'qual', 'filt',
+                      'info', 'genotype_data'):
+            if getattr(self, field) != getattr(other, field):
+                return False
+        return True
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __repr__(self):
+        return (
+            "Variant('{}', {}, '{}', alt={}, ident={}, qual={}, filt={}, "
+            "info='{}', genotype_data='{}')".format(
+                self.chrom, self.pos, self.ref, self.alt, self.ident,
+                self.qual, self.filt, self.info_string,
+                ';'.join('{}={}'.format(*d)
+                         for d in self.genotype_data.items())))
+
+    # --- derived fields ---
+
+    @property
+    def genotype_keys(self):
+        """FORMAT column."""
+        return ':'.join(self.genotype_data)
+
+    @property
+    def genotype_values(self):
+        """Sample column."""
+        return ':'.join(str(v) for v in self.genotype_data.values())
+
+    @property
+    def info_string(self):
+        """INFO column."""
+        return parse_tags_to_string(self.info)
+
+    @property
+    def gt(self):
+        """Genotype allele indices, or None."""
+        gt = self.genotype_data.get('GT')
+        if gt is None:
+            return None
+        return tuple(int(x) for x in gt.replace('|', '/').split('/'))
+
+    @property
+    def phased(self):
+        """Whether GT is phased (None when no GT)."""
+        gt = self.genotype_data.get('GT')
+        return None if gt is None else '|' in gt
+
+    @property
+    def alleles(self):
+        """Alleles selected by the genotype."""
+        if self.gt is None:
+            return None
+        all_alleles = [self.ref] + self.alt
+        return tuple(all_alleles[i] for i in self.gt)
+
+    @classmethod
+    def from_text(cls, line: str) -> 'Variant':
+        """Parse one VCF data line (tab separated, 1-based POS)."""
+        (chrom, pos, ident, ref, alt, qual, filt, info,
+         *rest) = line.rstrip('\n').split('\t')
+        gt = None
+        if len(rest) >= 2:
+            gt = cls._sort_genotype_data(
+                dict(zip(rest[0].split(':'), rest[1].split(':'))))
+        return cls(chrom, int(pos) - 1, ref, alt=alt, ident=ident, qual=qual,
+                   filt=filt, info=info, genotype_data=gt)
+
+    def add_tag(self, tag, value=None):
+        """Set an INFO tag."""
+        self.info[tag] = value
+        if len(self.info) > 0:
+            self.info.pop('.', None)
+
+    def get_tag(self, tag):
+        """Read an INFO tag."""
+        return self.info[tag]
+
+    def deep_copy(self):
+        """Deep copy of the variant."""
+        return deepcopy(self)
+
+    def to_dict(self):
+        """Flatten the record into a dict (used by vcf2tsv)."""
+        d = dict(alt=','.join(self.alt))
+        for attr in ('chrom', 'pos', 'qual', 'ident', 'filt', 'ref'):
+            d[attr] = getattr(self, attr)
+        d.update(self.info)
+        d.update(self.genotype_data)
+        return d
+
+    # --- normalisation (https://genome.sph.umich.edu/wiki/Variant_Normalization)
+
+    def trim(self, reference: Optional[str] = None) -> 'Variant':
+        """Return a parsimonious (and, given a reference, left-aligned) copy."""
+
+        def trim_start(var, rev=False):
+            seqs = [var.ref] + list(var.alt)
+            if rev:
+                seqs = [s[::-1] for s in seqs]
+            min_len = min(len(s) for s in seqs)
+            cut = 0
+            for bases in zip(*seqs):
+                if len(set(bases)) != 1 or cut == min_len - 1:
+                    break
+                cut += 1
+            seqs = [s[cut:] for s in seqs]
+            if rev:
+                seqs = [s[::-1] for s in seqs]
+                cut = 0
+            var.pos += cut
+            var.ref = seqs[0]
+            var.alt = seqs[1:]
+            return var
+
+        def trim_end_and_align(var, ref):
+            seqs = [var.ref] + list(var.alt)
+            changed = True
+            while changed:
+                changed = False
+                if (all(len(s) > 0 for s in seqs) and
+                        len({s[-1] for s in seqs}) == 1):
+                    seqs = [s[:-1] for s in seqs]
+                    changed = True
+                if any(len(s) == 0 for s in seqs):
+                    if var.pos == 0:
+                        # multibase deletion at the reference start
+                        seqs = [s + ref[len(seqs[0])] for s in seqs]
+                        break
+                    var.pos -= 1
+                    seqs = [ref[var.pos] + s for s in seqs]
+                    changed = True
+            var.ref = seqs[0]
+            var.alt = seqs[1:]
+            return var
+
+        trimmed = self.deep_copy()
+        if reference is None:
+            trimmed = trim_start(trimmed, rev=True)
+        else:
+            trimmed = trim_end_and_align(trimmed, reference)
+        return trim_start(trimmed)
+
+    def normalize(self, reference: str) -> 'Variant':
+        """Trim and left-align against the full chrom reference sequence."""
+        if all(x == self.ref for x in self.alt):
+            return self
+        return self.trim(reference=reference)
+
+    def split_haplotypes(self) -> Tuple:
+        """Split a multiploid record into per-haplotype records."""
+        if 'GT' not in self.genotype_data:
+            return tuple()
+        out = []
+        gd = self.genotype_data.copy()
+        gd['GT'] = '1/1'
+        for hap_n, n in enumerate(self.gt, 1):
+            if n == 0:
+                v = None
+            else:
+                v = Variant(
+                    self.chrom, self.pos, self.ref, self.alt[n - 1],
+                    qual=self.qual, info=self.info.copy(), genotype_data=gd)
+            out.append((hap_n, v))
+        return tuple(out)
+
+
+class VCFWriter:
+    """Write `Variant` records with a well-formed header."""
+
+    version_options = {'4.3', '4.1'}
+
+    def __init__(self, filename, mode='w',
+                 header=('CHROM', 'POS', 'ID', 'REF', 'ALT', 'QUAL',
+                         'FILTER', 'INFO', 'FORMAT', 'SAMPLE'),
+                 contigs=None, meta_info=None, version='4.1'):
+        """Write VCFv4.1 by default for maximal tool compatibility."""
+        self.filename = filename
+        self.mode = mode
+        self.header = header
+        if version not in self.version_options:
+            raise ValueError(
+                'version must be one of {}'.format(self.version_options))
+        self.version = version
+        self.meta = [
+            'fileformat=VCFv{}'.format(self.version),
+            'medaka_tpu_version={}'.format(package_version)]
+        if contigs is not None:
+            self.meta.extend('contig=<ID={}>'.format(c) for c in contigs)
+        if meta_info is not None:
+            try:
+                meta_info.sort(
+                    key=lambda x: MetaInfo.__valid_group_sort__[x.group])
+            except Exception:
+                pass
+            meta_info = [str(m) for m in meta_info]
+            self.meta.extend(
+                m for m in meta_info if 'fileformat=VCFv' not in m)
+        self.logger = common.get_named_logger('VCFWriter')
+
+    def __enter__(self):
+        self.handle = open(self.filename, self.mode, encoding='utf-8')
+        self.handle.write(
+            '\n'.join('##' + line for line in self.meta) + '\n')
+        self.handle.write('#' + '\t'.join(self.header) + '\n')
+        return self
+
+    def __exit__(self, *exc):
+        self.handle.close()
+
+    def write_variants(self, variants, sort=True):
+        """Write many records, optionally sorting by (chrom, pos)."""
+        if sort:
+            variants = common.loose_version_sort(
+                variants, key=lambda v: '{}-{}'.format(v.chrom, v.pos))
+        for variant in variants:
+            self.write_variant(variant)
+
+    def write_variant(self, variant: Variant):
+        """Write one record (POS converted to 1-based)."""
+        variant = variant.deep_copy()
+        for attribute in ('alt', 'filt'):
+            value = getattr(variant, attribute)
+            if isinstance(value, (tuple, list)):
+                setattr(variant, attribute, ','.join(str(x) for x in value))
+        variant.info = variant.info_string
+        fields = ('chrom', 'pos', 'ident', 'ref', 'alt', 'qual', 'filt',
+                  'info', 'genotype_keys', 'genotype_values')
+        elements = [getattr(variant, field) for field in fields]
+        elements[self.header.index('POS')] += 1
+        self.handle.write('\t'.join(str(x) for x in elements) + '\n')
+
+
+class VCFReader:
+    """Parse `.vcf` files with an optional in-memory interval index."""
+
+    def __init__(self, filename, cache=True):
+        """Read header eagerly; records lazily."""
+        self.filename = filename
+        self.cache = cache
+        self.chroms = []
+        self._indexed = False
+        self._tree = None
+        self.logger = common.get_named_logger('VCFReader')
+        self.meta = []
+        self.header = None
+        with open(filename, encoding='utf-8') as handle:
+            for line in handle:
+                line = line.rstrip('\n')
+                if line.startswith('##'):
+                    self.meta.append(line[2:])
+                elif line.startswith('#'):
+                    self.header = line[1:].split('\t')
+                    break
+
+    def _parse(self):
+        last_pos = [None, None]
+        with open(self.filename, encoding='utf-8') as handle:
+            for index, line in enumerate(handle):
+                line = line.rstrip('\n')
+                if line.startswith('#') or not line:
+                    continue
+                try:
+                    variant = Variant.from_text(line)
+                except Exception as e:
+                    raise IOError(
+                        'Exception while reading variant #{}.\n'
+                        'Line: {}'.format(index, line)) from e
+                if variant.chrom != last_pos[0]:
+                    last_pos = [variant.chrom, None]
+                elif last_pos[1] is not None and last_pos[1] > variant.pos:
+                    raise IOError(
+                        '.vcf is unsorted at index #{}.'.format(index))
+                if variant.chrom not in self.chroms:
+                    self.chroms.append(variant.chrom)
+                yield variant
+                last_pos[1] = variant.pos
+
+    def index(self):
+        """Build the interval index (idempotent)."""
+        if self._indexed:
+            return
+        self.cache = True
+        self._tree = collections.defaultdict(IntervalSet)
+        for variant in self._parse():
+            self._tree[variant.chrom].add(
+                variant.pos, variant.pos + len(variant.ref), variant)
+        self._indexed = True
+
+    def fetch(self, ref_name=None, start=None, end=None, strict=True):
+        """Yield variants in a region.
+
+        With ``strict`` any overlapping variant is returned, otherwise only
+        variants fully contained in the region.
+        """
+        if start is None:
+            start = float('-inf')
+        if end is None:
+            end = float('inf')
+        if not self.cache:
+            for variant in self._parse():
+                keep = all([
+                    ref_name is None or variant.chrom == ref_name,
+                    variant.pos > start,
+                    variant.pos + len(variant.ref) < end])
+                if keep:
+                    yield variant
+            return
+        self.index()
+
+        def search(tree):
+            lo = int(start) if start != float('-inf') else -(1 << 60)
+            hi = int(end) if end != float('inf') else (1 << 60)
+            ivs = tree.overlap(lo, hi) if strict else tree.envelop(lo, hi)
+            return sorted(ivs, key=lambda iv: (iv[0], iv[1]))
+
+        if ref_name is not None:
+            results = search(self._tree[ref_name])
+        else:
+            results = itertools.chain(
+                *(search(self._tree[chrom]) for chrom in self.chroms))
+        for iv in results:
+            yield iv[2]
+
+
+# ---------------------------------------------------------------------------
+# Variant classification (reference vcf.py:985-1072)
+# ---------------------------------------------------------------------------
+
+
+def classify_variant(var: Variant) -> str:
+    """Classify a variant record.
+
+    :returns: one of snp, mnp, sni, mni, snd, mnd, indel, other.
+    """
+    def is_start_same(v):
+        return all(a[0] == v.ref[0] for a in v.alt)
+
+    def is_end_same(v):
+        return all(a[-1] == v.ref[-1] for a in v.alt)
+
+    len_ref = len(var.ref)
+    alt_lens = {len(a) for a in var.alt}
+
+    if alt_lens == {len_ref}:
+        return 'snp' if len_ref == 1 else 'mnp'
+    if all(len_ref < la for la in alt_lens) and (
+            is_start_same(var) or is_end_same(var)):
+        return 'sni' if alt_lens == {len_ref + 1} else 'mni'
+    if all(len_ref > la for la in alt_lens) and (
+            is_start_same(var) or is_end_same(var)):
+        return 'snd' if alt_lens == {len_ref - 1} else 'mnd'
+    if len(alt_lens) > 1 or (
+            len_ref != next(iter(alt_lens))):
+        return 'indel'
+    return 'other'
+
+
+def classify_variants(args):
+    """CLI: split a VCF into per-class files (medaka.py 'classify_variants')."""
+    path = args.vcf
+    base, ext = path.rsplit('.', 1)
+    reader = VCFReader(path, cache=False)
+    groups = {
+        'snp': ['snp'], 'indel': ['sni', 'mni', 'snd', 'mnd', 'indel'],
+        'all': ['snp', 'mnp', 'sni', 'mni', 'snd', 'mnd', 'indel', 'other']}
+    writers = {}
+    classified = {k: [] for k in groups}
+    for variant in reader.fetch():
+        klass = classify_variant(variant)
+        for group, members in groups.items():
+            if klass in members:
+                classified[group].append(variant)
+    for group, variants in classified.items():
+        out = '{}.{}.{}'.format(base, group, ext)
+        with VCFWriter(out, meta_info=reader.meta) as writer:
+            writer.write_variants(variants, sort=False)
+        writers[group] = out
+    return writers
+
+
+def vcf2tsv(args):
+    """CLI: flatten a VCF into a tab separated table."""
+    reader = VCFReader(args.vcf, cache=False)
+    rows = [v.to_dict() for v in reader.fetch()]
+    cols = []
+    for row in rows:
+        for key in row:
+            if key not in cols:
+                cols.append(key)
+    out = args.vcf + '.tsv'
+    with open(out, 'w') as fh:
+        fh.write('\t'.join(cols) + '\n')
+        for row in rows:
+            fh.write(
+                '\t'.join(str(row.get(c, '.')) for c in cols) + '\n')
+    return out

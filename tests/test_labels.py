@@ -1,0 +1,234 @@
+"""Tests for label schemes (parity: reference test_labels.py golden cases)."""
+import numpy as np
+import pytest
+
+from medaka_tpu.common import Region, Sample, make_positions
+from medaka_tpu.features import CountsFeatureEncoder
+from medaka_tpu.labels import (
+    DiploidLabelScheme, HaploidLabelScheme, RLELabelScheme, TruthAlignment,
+    find_variant_columns, from_dict, label_schemes)
+
+from mock_data import create_simple_bam, create_truth_bam
+
+# Golden from the reference mock scenario (test_counts.py:90-116)
+EXPECTED_LABELS = [1, 2, 1, 4, 1, 3, 1, 4, 3]
+EXPECTED_POSITIONS = [
+    (0, 0), (1, 0), (2, 0), (3, 0), (3, 1), (4, 0), (5, 0), (6, 0), (7, 0)]
+
+
+@pytest.fixture(scope="module")
+def bams(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bams")
+    reads = str(d / "reads.bam")
+    truth = str(d / "truth.bam")
+    create_simple_bam(reads)
+    create_truth_bam(truth)
+    return reads, truth
+
+
+class TestEncoding:
+    def test_haploid_encoding(self):
+        scheme = HaploidLabelScheme()
+        assert scheme.num_classes == 5
+        assert scheme.padding_vector == 0
+        assert scheme._encoding[("A",)] == 1
+        assert scheme._encoding[("T",)] == 4
+
+    def test_diploid_encoding(self):
+        scheme = DiploidLabelScheme()
+        assert scheme.num_classes == 15
+        # combinations_with_replacement of '*ACGT'
+        assert scheme._encoding[("*", "*")] == 0
+        assert scheme._encoding[("A", "A")] == 5
+        enc = scheme._labels_to_encoded_labels([("C", "A")])
+        assert enc[0] == scheme._encoding[("A", "C")]
+
+    def test_rle_encoding(self):
+        scheme = RLELabelScheme(max_run=12)
+        assert scheme.num_classes == 1 + 4 * 12
+        assert scheme._encoding[(("*", 1),)] == 0
+        assert scheme._encoding[(("A", 1),)] == 1
+        assert scheme._encoding[(("T", 12),)] == 48
+
+    def test_registry_and_from_dict(self):
+        for name in ("HaploidLabelScheme", "DiploidLabelScheme",
+                     "RLELabelScheme"):
+            assert name in label_schemes
+        scheme = from_dict({"type": "RLELabelScheme",
+                            "kwargs": {"max_run": 7}})
+        assert scheme.max_run == 7
+
+    def test_truth_to_labels(self, bams):
+        reads, truth = bams
+        scheme = HaploidLabelScheme()
+        alns = TruthAlignment.bam_to_alignments(
+            truth, Region("ref", 0, 100), min_length=0)
+        assert len(alns) == 1
+        positions, encoded = scheme.encode(alns[0])
+        # truth ACATAGATCTG, 4=1I3=2I1=
+        assert list(map(tuple, positions)) == [
+            (0, 0), (1, 0), (2, 0), (3, 0), (3, 1), (4, 0), (5, 0), (6, 0),
+            (6, 1), (6, 2), (7, 0)]
+        assert list(encoded) == [1, 2, 1, 4, 1, 3, 1, 4, 2, 4, 3]
+
+    def test_training_samples_golden(self, bams):
+        # The full parity check of reference test_counts.py:73-116
+        reads, truth = bams
+        encoder = CountsFeatureEncoder(normalise="total")
+        scheme = HaploidLabelScheme()
+        result = encoder.bams_to_training_samples(
+            truth, reads, Region("ref", 0, 100), scheme, min_length=0)[0]
+        assert list(map(tuple, result.positions)) == EXPECTED_POSITIONS
+        np.testing.assert_array_equal(result.labels, EXPECTED_LABELS)
+
+
+class TestVariantColumns:
+    def test_basic(self):
+        minor = np.array([0, 0, 1, 1, 0, 0])
+        ref = np.array(list("AC**GT"))
+        pred = np.array(list("ACA*GT"))
+        out = find_variant_columns(minor, ref, pred)
+        # insertion column differs -> inserts of that major marked,
+        # but the major itself is only variant if IT differs
+        assert list(out) == [False, False, True, True, False, False]
+
+    def test_major_substitution_marks_inserts(self):
+        minor = np.array([0, 1, 0])
+        ref = np.array(list("A*T"))
+        pred = np.array(list("C*T"))
+        out = find_variant_columns(minor, ref, pred)
+        assert list(out) == [True, True, False]
+
+    def test_requires_leading_major(self):
+        with pytest.raises(ValueError):
+            find_variant_columns(np.array([1, 0]), np.array(list("AA")),
+                                 np.array(list("AA")))
+
+
+def _probs_from_seq(seq, scheme, p=0.9):
+    """Synthesize confident label_probs yielding the given symbols."""
+    probs = np.full((len(seq), len(scheme.symbols)),
+                    (1 - p) / (len(scheme.symbols) - 1), dtype=np.float32)
+    for i, s in enumerate(seq):
+        probs[i, scheme.symbols.index(s)] = p
+    return probs
+
+
+class TestHaploidDecoding:
+    def setup_method(self):
+        self.scheme = HaploidLabelScheme()
+
+    def _sample(self, symbols, majors, minors):
+        pos = make_positions(majors, minors)
+        probs = _probs_from_seq(symbols, self.scheme)
+        return Sample("chr1", None, None, None, pos, probs)
+
+    def test_decode_consensus(self):
+        s = self._sample("AC*GT", range(5), [0] * 5)
+        assert self.scheme.decode_consensus(s) == "ACGT"
+        seq, quals = self.scheme.decode_consensus(s, with_qualities=True)
+        assert seq == "ACGT"
+        assert len(quals) == 4
+        # p=0.9 (float32) -> q9.9999 truncated -> chr(42) == '*'
+        assert quals == "****"
+
+    def test_decode_consensus_with_gaps(self):
+        s = self._sample("AC*GT", range(5), [0] * 5)
+        assert self.scheme.decode_consensus(s, with_gaps=True) == "AC*GT"
+
+    def test_decode_variants_substitution(self):
+        ref_seq = "AACGT"
+        # consensus differs at position 2: C->T
+        s = self._sample("AATGT", range(5), [0] * 5)
+        variants = self.scheme.decode_variants(s, ref_seq)
+        assert len(variants) == 1
+        v = variants[0]
+        assert v.pos == 2
+        assert v.ref == "C"
+        assert v.alt == ["T"]
+        assert v.genotype_data["GT"] == "1"
+
+    def test_decode_variants_insertion(self):
+        ref_seq = "AACGT"
+        s = self._sample(
+            "AACTGT", [0, 1, 2, 2, 3, 4], [0, 0, 0, 1, 0, 0])
+        variants = self.scheme.decode_variants(s, ref_seq)
+        assert len(variants) == 1
+        v = variants[0]
+        # insertion of T after C at pos 2, normalised
+        assert v.pos == 2
+        assert v.ref == "C"
+        assert v.alt == ["CT"]
+
+    def test_decode_variants_deletion(self):
+        ref_seq = "AACGT"
+        s = self._sample("AA*GT", range(5), [0] * 5)
+        variants = self.scheme.decode_variants(s, ref_seq)
+        assert len(variants) == 1
+        v = variants[0]
+        assert v.pos == 1
+        assert v.ref == "AC"
+        assert v.alt == ["A"]
+
+    def test_decode_variants_return_all(self):
+        ref_seq = "AACGT"
+        s = self._sample("AACGT", range(5), [0] * 5)
+        variants = self.scheme.decode_variants(
+            s, ref_seq, return_all=True)
+        assert len(variants) == 5
+        assert all(v.alt == ["."] for v in variants)
+
+    def test_decode_snps(self):
+        ref_seq = "AACGT"
+        probs = _probs_from_seq("AATGT", self.scheme, p=0.96)
+        s = Sample("chr1", None, None, None,
+                   make_positions(range(5), [0] * 5), probs)
+        snps = self.scheme.decode_snps(s, ref_seq)
+        assert len(snps) == 1
+        assert snps[0].pos == 2
+        assert snps[0].alt == ["T"]
+        assert snps[0].genotype_data["GT"] == "1/1"
+
+    def test_decode_snps_heterozygous(self):
+        ref_seq = "AACGT"
+        probs = _probs_from_seq("AACGT", self.scheme, p=0.96)
+        # secondary call T at pos 2 with prob 0.45
+        probs[2] = [0.01, 0.02, 0.50, 0.02, 0.45]
+        s = Sample("chr1", None, None, None,
+                   make_positions(range(5), [0] * 5), probs)
+        snps = self.scheme.decode_snps(s, ref_seq, threshold=0.04)
+        assert len(snps) == 1
+        assert snps[0].alt == ["T"]
+        assert snps[0].genotype_data["GT"] == "0/1"
+
+
+class TestDiploidDecoding:
+    def test_decode_snps(self):
+        scheme = DiploidLabelScheme()
+        probs = np.zeros((3, scheme.num_classes), dtype=np.float32)
+        probs[0, scheme._encoding[("A", "A")]] = 1.0  # hom ref
+        probs[1, scheme._encoding[("A", "C")]] = 1.0  # het
+        probs[2, scheme._encoding[("T", "T")]] = 1.0  # hom alt
+        s = Sample("chr1", None, None, None,
+                   make_positions(range(3), [0] * 3), probs)
+        snps = scheme.decode_snps(s, "AAC")
+        assert len(snps) == 2
+        assert snps[0].pos == 1
+        assert snps[0].alt == ["C"]
+        assert snps[0].genotype_data["GT"] == "0/1"
+        assert snps[1].pos == 2
+        assert snps[1].alt == ["T"]
+        assert snps[1].genotype_data["GT"] == "1/1"
+
+
+class TestRLEDecoding:
+    def test_decode_consensus(self):
+        scheme = RLELabelScheme(max_run=3)
+        probs = np.zeros((4, scheme.num_classes), dtype=np.float32)
+        probs[0, scheme._encoding[(("A", 2),)]] = 1.0
+        probs[1, scheme._encoding[(("*", 1),)]] = 1.0
+        probs[2, scheme._encoding[(("C", 1),)]] = 1.0
+        probs[3, scheme._encoding[(("G", 3),)]] = 1.0
+        s = Sample("chr1", None, None, None,
+                   make_positions(range(4), [0] * 4), probs)
+        assert scheme.decode_consensus(s) == "AACGGG"

@@ -1,0 +1,128 @@
+"""Tests for the VCF toolkit (parity: reference test_vcf.py behaviours)."""
+import os
+
+import pytest
+
+from medaka_tpu.vcf import (
+    GenotypeData, MetaInfo, Variant, VCFReader, VCFWriter, classify_variant,
+    parse_string_to_tags, parse_tags_to_string)
+
+REF_DATA = "/root/reference/medaka/test/data"
+
+
+class TestTags:
+    def test_roundtrip(self):
+        tags = {"DP": 10, "AF": 0.5, "DB": True}
+        s = parse_tags_to_string(tags)
+        back = parse_string_to_tags(s)
+        assert back["DP"] == 10
+        assert back["AF"] == 0.5
+        assert back["DB"] is True
+
+
+class TestVariant:
+    def test_basic(self):
+        v = Variant("chr1", 9, "a", alt="C", qual="12.5",
+                    genotype_data={"GT": "1/1", "GQ": "12"})
+        assert v.ref == "A"
+        assert v.alt == ["C"]
+        assert v.qual == 12.5
+        assert v.gt == (1, 1)
+        assert v.phased is False
+        assert v.alleles == ("C", "C")
+
+    def test_from_text(self):
+        line = ("chr1\t10\t.\tA\tC,G\t12.5\tPASS\tDP=10\tGT:GQ\t1/2:12")
+        v = Variant.from_text(line)
+        assert v.pos == 9  # 0-based internally
+        assert v.alt == ["C", "G"]
+        assert v.info["DP"] == 10
+        assert v.gt == (1, 2)
+
+    def test_trim_parsimony(self):
+        v = Variant("c", 5, "CAC", alt=["CGC"])
+        t = v.trim()
+        assert (t.pos, t.ref, t.alt) == (6, "A", ["G"])
+
+    def test_normalize_left_align(self):
+        #  ref GGGCACACAC, del of AC: GCACACAC -> left aligns to pos 2
+        ref = "GGGCACACAC"
+        v = Variant("c", 5, "ACAC", alt=["AC"])
+        n = v.normalize(reference=ref)
+        # matches the reference's trim_end_and_align output exactly
+        assert (n.pos, n.ref, n.alt) == (4, "AAC", ["A"])
+
+    def test_normalize_identity(self):
+        v = Variant("c", 5, "A", alt=["A"])
+        assert v.normalize(reference="AAAAAAA") is v
+
+    def test_split_haplotypes(self):
+        v = Variant("c", 5, "A", alt=["C", "G"],
+                    genotype_data={"GT": "1|2"})
+        parts = v.split_haplotypes()
+        assert len(parts) == 2
+        assert parts[0][1].alt == ["C"]
+        assert parts[1][1].alt == ["G"]
+        v0 = Variant("c", 5, "A", alt=["C"], genotype_data={"GT": "0/1"})
+        parts = v0.split_haplotypes()
+        assert parts[0][1] is None
+        assert parts[1][1].alt == ["C"]
+
+
+class TestClassify:
+    @pytest.mark.parametrize("ref,alt,expected", [
+        ("A", "C", "snp"),
+        ("AT", "CG", "mnp"),
+        ("A", "AC", "sni"),
+        ("A", "ACGT", "mni"),
+        ("AC", "A", "snd"),
+        ("ACGT", "A", "mnd"),
+    ])
+    def test_classes(self, ref, alt, expected):
+        v = Variant("c", 0, ref, alt=[alt])
+        assert classify_variant(v) == expected
+
+
+class TestReaderWriter:
+    def test_write_read_roundtrip(self, tmp_path):
+        path = str(tmp_path / "out.vcf")
+        variants = [
+            Variant("chr1", 4, "A", alt="C", qual="10.0",
+                    info={"DP": 7},
+                    genotype_data={"GT": "1/1", "GQ": "10"}),
+            Variant("chr1", 9, "AT", alt="A", qual="5.5",
+                    genotype_data={"GT": "0/1", "GQ": "5"}),
+            Variant("chr2", 1, "G", alt="T", qual="7.0",
+                    genotype_data={"GT": "1/1", "GQ": "7"})]
+        meta = [MetaInfo("INFO", "DP", 1, "Integer", "depth")]
+        with VCFWriter(path, contigs=["chr1", "chr2"],
+                       meta_info=meta) as writer:
+            writer.write_variants(variants)
+        reader = VCFReader(path)
+        back = list(reader.fetch())
+        assert len(back) == 3
+        assert back[0].pos == 4
+        assert back[0].info["DP"] == 7
+        assert back[1].ref == "AT"
+        assert any("contig=<ID=chr1>" in m for m in reader.meta)
+
+    def test_fetch_region(self, tmp_path):
+        path = str(tmp_path / "out.vcf")
+        variants = [
+            Variant("chr1", p, "A", alt="C",
+                    genotype_data={"GT": "1/1"}) for p in range(0, 100, 10)]
+        with VCFWriter(path) as writer:
+            writer.write_variants(variants)
+        reader = VCFReader(path)
+        got = list(reader.fetch("chr1", 25, 55))
+        assert [v.pos for v in got] == [30, 40, 50]
+
+    def test_real_fixture(self):
+        reader = VCFReader(os.path.join(REF_DATA, "test1.vcf"))
+        variants = list(reader.fetch())
+        assert len(variants) > 0
+        for v in variants:
+            assert v.pos >= 0
+            assert v.ref
+        hap = VCFReader(os.path.join(REF_DATA, "test_hap1.vcf"))
+        assert len(list(hap.fetch())) > 0
