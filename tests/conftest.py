@@ -1,9 +1,17 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh."""
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+The ambient environment pins JAX_PLATFORMS to the TPU tunnel and pytest
+plugins import jax before this conftest runs, so the platform is forced
+via jax.config (backends initialise lazily, on first device use).
+"""
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
