@@ -157,6 +157,21 @@ def convert_model_function(obj) -> Dict:
         "Cannot interpret model function {!r}".format(obj))
 
 
+def convert_meta(key: str, obj):
+    """Convert one pickled HDF5 ``meta/`` item onto medaka_tpu objects.
+
+    Reference stores {feature_encoder, label_scheme, model_function}
+    (``medaka/datastore.py:96-99``).
+    """
+    if key == "feature_encoder":
+        return convert_feature_encoder(obj)
+    if key == "label_scheme":
+        return convert_label_scheme(obj)
+    if key == "model_function":
+        return convert_model_function(obj)
+    return obj
+
+
 def load_medaka_tgz(path: str):
     """Import a reference medaka model tarball into a `ModelBundle`.
 

@@ -1,0 +1,355 @@
+"""Storage of inference/training samples and indexing over sample files.
+
+Reimplements the contracts of the reference's ``medaka/datastore.py``:
+
+- :class:`DataStore` — one HDF5 file holding ``samples/data/<name>/{...}``
+  datasets plus metadata (reference ``datastore.py:178-360``). Layout is
+  byte-compatible with reference files so that HDF5s written by either
+  implementation can be read by the other; metadata objects are stored as
+  JSON (a ``meta_json/`` group) by this implementation while pickled
+  reference metadata (``meta/``) is read through :mod:`medaka_tpu.compat`.
+- :class:`DataIndex` — multi-file sample registry with per-contig sorted
+  iteration (reference ``datastore.py:363-520``).
+
+Writes are funnelled through a single background thread, mirroring the
+reference's single-writer executor, so featurization threads never block on
+HDF5 (reference ``datastore.py:196``).
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import json
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional
+
+import h5py
+import numpy as np
+
+from medaka_tpu import common
+from medaka_tpu.common import Region, Sample
+
+
+_SAMPLE_FIELDS = (
+    "features", "labels", "ref_seq", "positions", "label_probs", "depth")
+
+
+class DataStore:
+    """Read/write access to a single sample HDF5 file."""
+
+    _data_path_ = "samples/data"
+    _meta_path_ = "meta"
+    _meta_json_path_ = "meta_json"
+    _registry_path_ = "samples/registry"
+
+    def __init__(self, filename: str, mode: str = "r", verify_on_close=True):
+        """Open an HDF5 sample store.
+
+        :param filename: file path.
+        :param mode: h5py mode ('r' or 'w' or 'a').
+        """
+        self.filename = filename
+        self.mode = mode
+        self.verify_on_close = verify_on_close
+        self.logger = common.get_named_logger("DataStore")
+        self.fh = h5py.File(filename, mode)
+        self._meta: Optional[Dict] = None
+        self.write_executor = None
+        self._futures: List = []
+        if mode != "r":
+            self.write_executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        """Flush pending writes, persist metadata, close the file."""
+        if self.write_executor is not None:
+            for fut in self._futures:
+                fut.result()
+            self.write_executor.shutdown(wait=True)
+            self.write_executor = None
+        if self.mode != "r" and self._meta is not None:
+            self._write_metadata(self._meta)
+        if self.fh is not None:
+            self.fh.close()
+            self.fh = None
+
+    # -- metadata ----------------------------------------------------------
+
+    @property
+    def meta(self) -> Dict:
+        """Metadata dict {feature_encoder, label_scheme, model_function}."""
+        if self._meta is None:
+            self._meta = self._load_metadata()
+        return self._meta
+
+    def set_meta(self, obj, name: str):
+        """Store a metadata item under ``name``."""
+        self.meta[name] = obj
+
+    def get_meta(self, name: str):
+        """Retrieve a metadata item (converting reference pickles)."""
+        try:
+            return self.meta[name]
+        except KeyError:
+            raise KeyError(
+                "Sample file {} lacks meta item '{}'".format(
+                    self.filename, name))
+
+    def copy_meta(self, other: "DataStore"):
+        """Copy all metadata from another (open) store."""
+        self._meta = dict(other.meta)
+
+    def _load_metadata(self) -> Dict:
+        meta: Dict = {}
+        # reference pickled metadata
+        if self._meta_path_ in self.fh:
+            from medaka_tpu import compat
+            grp = self.fh[self._meta_path_]
+            for key in grp:
+                try:
+                    obj = compat.medaka_loads(grp[key][()])
+                    meta[key] = compat.convert_meta(key, obj)
+                except Exception as e:  # pragma: no cover - corrupt files
+                    self.logger.warning(
+                        "Could not load meta/%s from %s: %s",
+                        key, self.filename, e)
+        # native JSON metadata wins over pickles when both exist
+        if self._meta_json_path_ in self.fh:
+            from medaka_tpu import features as feat_mod
+            from medaka_tpu import labels as label_mod
+            grp = self.fh[self._meta_json_path_]
+            for key in grp:
+                d = json.loads(grp[key][()].decode())
+                if key == "feature_encoder":
+                    meta[key] = feat_mod.from_dict(d)
+                elif key == "label_scheme":
+                    meta[key] = label_mod.from_dict(d)
+                else:
+                    meta[key] = d
+        return meta
+
+    def _write_metadata(self, data: Dict):
+        self.logger.debug("Writing metadata for %s.", self.filename)
+        for key, value in data.items():
+            path = "{}/{}".format(self._meta_json_path_, key)
+            if hasattr(value, "to_dict"):
+                doc = value.to_dict()
+            else:
+                doc = value
+            blob = np.bytes_(json.dumps(doc).encode())
+            if path in self.fh:
+                del self.fh[path]
+            self.fh[path] = blob
+
+    # -- samples -----------------------------------------------------------
+
+    @property
+    def write_executor_pending(self) -> int:
+        """Number of queued writes (for observability)."""
+        return sum(1 for f in self._futures if not f.done())
+
+    def write_sample(self, sample: Sample):
+        """Asynchronously write a sample if not already present.
+
+        Mirrors the idempotent-append behaviour of reference
+        ``datastore.py:278-299``.
+        """
+        contains_numpy_array = any(
+            isinstance(getattr(sample, field), np.ndarray)
+            for field in _SAMPLE_FIELDS)
+        if not contains_numpy_array:
+            self.logger.debug("Not writing sample with no data: %s",
+                              sample.name)
+            return
+        if sample.name in self.sample_registry:
+            self.logger.debug("Sample %s already in store.", sample.name)
+            return
+        self.sample_registry.add(sample.name)
+        self._futures.append(
+            self.write_executor.submit(self._write_sample, sample))
+
+    def _write_sample(self, sample: Sample):
+        grp = "{}/{}".format(self._data_path_, sample.name)
+        for field in _SAMPLE_FIELDS:
+            value = getattr(sample, field)
+            if value is None:
+                continue
+            path = "{}/{}".format(grp, field)
+            if isinstance(value, np.ndarray):
+                self.fh.create_dataset(
+                    path, data=value, compression="gzip",
+                    compression_opts=1)
+            else:
+                self.fh[path] = value
+        self.fh["{}/ref_name".format(grp)] = sample.ref_name
+        self.fh.flush()
+
+    def load_sample(self, name: str) -> Sample:
+        """Load a single sample by name."""
+        grp = self.fh["{}/{}".format(self._data_path_, name)]
+        fields = {k: None for k in Sample._fields}
+        for field in grp:
+            value = grp[field][()]
+            if isinstance(value, bytes):
+                value = value.decode()
+            fields[field] = value
+        return Sample(**fields)
+
+    @property
+    def sample_registry(self) -> set:
+        """Set of sample names stored in the file."""
+        if not hasattr(self, "_sample_registry"):
+            self._sample_registry = self._load_registry()
+        return self._sample_registry
+
+    def _load_registry(self) -> set:
+        if self._registry_path_ in self.fh:
+            blob = self.fh[self._registry_path_][()]
+            try:
+                doc = json.loads(blob.decode())
+                return set(doc)
+            except (UnicodeDecodeError, json.JSONDecodeError):
+                from medaka_tpu import compat
+                return set(compat.medaka_loads(blob))
+        if self._data_path_ in self.fh:
+            return set(self.fh[self._data_path_].keys())
+        return set()
+
+    @property
+    def n_samples(self) -> int:
+        """Number of samples stored."""
+        return len(self.sample_registry)
+
+    def write_registry(self):
+        """Persist the sample registry (JSON)."""
+        if self._registry_path_ in self.fh:
+            del self.fh[self._registry_path_]
+        self.fh[self._registry_path_] = np.bytes_(
+            json.dumps(sorted(self.sample_registry)).encode())
+
+
+class _IndexEntry(tuple):
+    """(sample_name, filename) with parsed coordinates."""
+
+    def __new__(cls, sample_name, filename):
+        return tuple.__new__(cls, (sample_name, filename))
+
+    sample_name = property(lambda self: self[0])
+    filename = property(lambda self: self[1])
+
+
+class DataIndex:
+    """Index over samples distributed across many HDF5 files.
+
+    Reference: ``medaka/datastore.py:363-520``.
+    """
+
+    def __init__(self, filenames, threads: int = 4):
+        """Build an index over ``filenames`` (list or single path)."""
+        if isinstance(filenames, str):
+            filenames = [filenames]
+        self.filenames = list(filenames)
+        self.logger = common.get_named_logger("DataIndex")
+        self._meta: Optional[Dict] = None
+        self._index: Optional[Dict[str, List[_IndexEntry]]] = None
+        self.samples: List = []
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=threads) as ex:
+            for fname, registry in zip(
+                    self.filenames,
+                    ex.map(self._load_one_registry, self.filenames)):
+                self.samples.extend(
+                    (name, fname) for name in sorted(registry))
+
+    @staticmethod
+    def _load_one_registry(fname: str) -> set:
+        with DataStore(fname, "r") as ds:
+            return ds.sample_registry
+
+    @property
+    def metadata(self) -> Dict:
+        """Metadata of the first file (all files share it by contract)."""
+        if self._meta is None:
+            with DataStore(self.filenames[0], "r") as ds:
+                self._meta = dict(ds.meta)
+        return self._meta
+
+    def get_metadata(self, key: str):
+        """Return one metadata item."""
+        return self.metadata[key]
+
+    @property
+    def index(self) -> Dict[str, List[_IndexEntry]]:
+        """Per-contig entries sorted by (start, -end)."""
+        if self._index is None:
+            index = defaultdict(list)
+            for name, fname in self.samples:
+                d = Sample.decode_sample_name(name)
+                if d is None:
+                    continue
+                index[d["ref_name"]].append(
+                    (float(d["start"]), -float(d["end"]),
+                     _IndexEntry(name, fname)))
+            self._index = {
+                ref: [e for _, _, e in sorted(entries)]
+                for ref, entries in index.items()}
+        return self._index
+
+    @property
+    def regions(self) -> List[Region]:
+        """One region per contig spanning all indexed samples.
+
+        Unlike the reference (which returns unbounded regions,
+        ``datastore.py:446-451``) the end-exclusive extent of the indexed
+        samples is reported.
+        """
+        out = []
+        for ref_name, entries in self.index.items():
+            starts, ends = [], []
+            for e in entries:
+                d = Sample.decode_sample_name(e.sample_name)
+                starts.append(int(float(d["start"])))
+                ends.append(int(float(d["end"])) + 1)
+            out.append(Region(ref_name, min(starts), max(ends)))
+        return sorted(out)
+
+    def yield_from_feature_files(
+            self, regions: Optional[Iterable[Region]] = None,
+            samples: Optional[Iterable] = None):
+        """Yield `Sample` objects in genomic order.
+
+        :param regions: restrict to these regions (default: everything).
+        :param samples: explicit (sample_name, filename) list to load.
+        """
+        handles: Dict[str, DataStore] = {}
+
+        def _get(fname):
+            if fname not in handles:
+                handles[fname] = DataStore(fname, "r")
+            return handles[fname]
+
+        try:
+            if samples is not None:
+                for name, fname in samples:
+                    yield _get(fname).load_sample(name)
+                return
+            if regions is None:
+                regions = self.regions
+            for region in regions:
+                for entry in self.index.get(region.ref_name, ()):
+                    d = Sample.decode_sample_name(entry.sample_name)
+                    start = int(float(d["start"]))
+                    end = int(np.ceil(float(d["end"])))
+                    rstart = region.start if region.start is not None else 0
+                    rend = region.end if region.end is not None else np.inf
+                    if start < rend and end > rstart:
+                        yield _get(entry.filename).load_sample(
+                            entry.sample_name)
+        finally:
+            for ds in handles.values():
+                ds.close()

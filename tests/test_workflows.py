@@ -1,0 +1,322 @@
+"""Tests for datastore, stitch and variant workflow modules.
+
+Mirrors the reference's test strategy (``test_datastore.py``,
+``test_stitch.py``, ``test_variant.py``) including reading genuine
+reference-written HDF5 fixtures from ``/root/reference/medaka/test/data``.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from medaka_tpu import common, datastore, stitch, variant
+from medaka_tpu.common import POSITIONS_DTYPE, Region, Sample
+from medaka_tpu.labels import HaploidLabelScheme
+
+REF_DATA = "/root/reference/medaka/test/data"
+STITCH_HDFS = [
+    os.path.join(REF_DATA, "test_stitch_1.hdf"),
+    os.path.join(REF_DATA, "test_stitch_2.hdf")]
+
+
+def mock_positions(ref_with_gaps):
+    """(major, minor) positions array for a gapped reference drawing."""
+    pos = []
+    major, minor = -1, 0
+    for c in ref_with_gaps:
+        if c == "*":
+            minor += 1
+        else:
+            major += 1
+            minor = 0
+        pos.append((major, minor))
+    return np.array(pos, dtype=POSITIONS_DTYPE)
+
+
+def haploid_sample_from_labels(ls, ref, pri, pri_prob=0.6, sec=None,
+                               sec_prob=0.3):
+    """Build a Sample with label_probs voting for ``pri`` over ``ref``."""
+    assert len(ref) == len(pri)
+    pos = mock_positions(ref)
+    probs = np.zeros((len(pos), len(ls._decoding)), dtype=np.float32)
+    if sec is None:
+        pri_prob = pri_prob + sec_prob
+    for i, sym in enumerate(pri):
+        probs[i, ls._encoding[(sym,)]] = pri_prob
+        if sec is not None:
+            probs[i, ls._encoding[(sec[i],)]] = sec_prob
+        rest = np.flatnonzero(probs[i] == 0)
+        other = ls._encoding[(ref[i],)]
+        if other not in rest:
+            other = rest[0]
+        probs[i, other] = 1 - probs[i].sum()
+    sample = Sample(
+        ref_name="contig1", features=None, labels=None, ref_seq=None,
+        positions=pos, label_probs=probs, depth=None)
+    return sample, ref
+
+
+def make_sample(name="contig1", start=0, n=100, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = np.array([(start + i, 0) for i in range(n)],
+                   dtype=POSITIONS_DTYPE)
+    probs = rng.random((n, 5)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    feats = rng.random((n, 10)).astype(np.float32)
+    return Sample(
+        ref_name=name, features=feats, labels=None, ref_seq=None,
+        positions=pos, label_probs=probs,
+        depth=np.full(n, 7, dtype=np.uint64))
+
+
+class TestDataStore:
+    def test_round_trip(self, tmp_path):
+        path = str(tmp_path / "samples.hdf5")
+        s1 = make_sample(start=0, seed=1)
+        s2 = make_sample(start=90, seed=2)
+        with datastore.DataStore(path, "w") as ds:
+            ds.set_meta(HaploidLabelScheme(), "label_scheme")
+            ds.write_sample(s1)
+            ds.write_sample(s2)
+            ds.write_sample(s2)  # dedup: idempotent append
+            ds.write_registry()
+        with datastore.DataStore(path, "r") as ds:
+            assert ds.n_samples == 2
+            got = ds.load_sample(s1.name)
+            assert got == s1
+            assert isinstance(
+                ds.get_meta("label_scheme"), HaploidLabelScheme)
+
+    def test_index_round_trip(self, tmp_path):
+        paths = []
+        for i, start in enumerate((0, 90)):
+            p = str(tmp_path / "part{}.hdf5".format(i))
+            with datastore.DataStore(p, "w") as ds:
+                ds.set_meta(HaploidLabelScheme(), "label_scheme")
+                ds.write_sample(make_sample(start=start, seed=start))
+                ds.write_registry()
+            paths.append(p)
+        di = datastore.DataIndex(paths)
+        assert len(di.samples) == 2
+        assert di.regions == [Region("contig1", 0, 190)]
+        got = list(di.yield_from_feature_files())
+        assert [s.first_pos[0] for s in got] == [0, 90]
+        # filtered yield
+        got = list(di.yield_from_feature_files(
+            regions=[Region("contig1", 100, 150)]))
+        assert len(got) == 1
+
+    def test_read_reference_file(self):
+        di = datastore.DataIndex(STITCH_HDFS)
+        assert len(di.samples) == 4
+        scheme = di.get_metadata("label_scheme")
+        assert isinstance(scheme, HaploidLabelScheme)
+        samples = list(di.yield_from_feature_files(
+            regions=[Region("utg1190", None, None)]))
+        assert len(samples) == 2
+        assert all(s.label_probs.shape == (10000, 5) for s in samples)
+
+
+class FakeFasta:
+    def __init__(self, lengths):
+        self.lengths_map = dict(lengths)
+        self._cache = {}
+
+    @property
+    def references(self):
+        return list(self.lengths_map)
+
+    def get_reference_length(self, ref):
+        return self.lengths_map[ref]
+
+    def fetch(self, ref, start=None, end=None):
+        if ref not in self._cache:
+            rng = np.random.default_rng(
+                abs(hash(ref)) % np.iinfo(np.uint32).max)
+            codes = np.frombuffer(b"ACGT", dtype=np.uint8)[
+                rng.integers(0, 4, self.lengths_map[ref])]
+            self._cache[ref] = codes.tobytes().decode()
+        seq = self._cache[ref]
+        return seq[start:end] if start is not None else seq
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+
+class TestStitch:
+    def test_collapse_neighbours(self):
+        pieces = [
+            (("c1", 0, 9), ["A" * 10], ["!" * 10]),
+            (("c1", 10, 19), ["C" * 10], ["!" * 10]),
+            (("c1", 30, 39), ["G" * 10], ["!" * 10]),
+            (("c2", 0, 4), ["T" * 5], ["!" * 5])]
+        out = list(stitch.collapse_neighbours(iter(pieces)))
+        assert [p[0] for p in out] == [
+            ("c1", 0, 19), ("c1", 30, 39), ("c2", 0, 4)]
+        assert "".join(out[0][1]) == "A" * 10 + "C" * 10
+
+    def test_fill_gaps_with_draft(self):
+        draft = FakeFasta({"c1": 50})
+        pieces = [
+            (("c1", 10, 19), ["X" * 10], ["J" * 10]),
+            (("c1", 30, 39), ["Y" * 10], ["J" * 10])]
+        filled, gaps = stitch.fill_gaps(pieces, draft)
+        (ref, start, stop), seqs, quals = filled[0]
+        joined = "".join(seqs)
+        dseq = draft.fetch("c1")
+        assert joined[:10] == dseq[:10]
+        assert joined[10:20] == "X" * 10
+        assert joined[20:30] == dseq[20:30]
+        assert joined[30:40] == "Y" * 10
+        assert joined[40:] == dseq[40:]
+        assert gaps["c1"] == [(0, 10), (20, 30), (40, 50)]
+        assert "".join(quals) == (
+            "!" * 10 + "J" * 10 + "!" * 10 + "J" * 10 + "!" * 10)
+
+    def test_fill_gaps_with_char(self):
+        draft = FakeFasta({"c1": 30})
+        pieces = [(("c1", 10, 19), ["X" * 10], ["J" * 10])]
+        filled, _ = stitch.fill_gaps(pieces, draft, fill_char="N")
+        joined = "".join(filled[0][1])
+        assert joined == "N" * 10 + "X" * 10 + "N" * 10
+
+    def test_regression_reference_fixtures(self, tmp_path, monkeypatch):
+        """Stitch genuine reference HDF fixtures; invariants from
+        reference ``test_stitch.py:163-199``."""
+        fake = FakeFasta({
+            "utg1190": 11_010_000, "scaffold_117": 36_010_000,
+            "missing_contig": 100})
+        monkeypatch.setattr(stitch, "FastaReader", lambda p: fake)
+        out = str(tmp_path / "consensus.fasta")
+        stitch.stitch_to_fasta(
+            STITCH_HDFS, "fake_draft", out, threads=2, qualities=False)
+        seqs = {}
+        with open(out) as fh:
+            name = None
+            for line in fh:
+                if line.startswith(">"):
+                    name = line[1:].strip()
+                    seqs[name] = []
+                else:
+                    seqs[name].append(line.strip())
+        seqs = {k: "".join(v) for k, v in seqs.items()}
+        assert set(seqs) == {"utg1190", "scaffold_117", "missing_contig"}
+        # uncovered contig copied verbatim
+        assert seqs["missing_contig"] == fake.fetch("missing_contig")
+        # flanks outside the polished windows come from the draft
+        assert seqs["utg1190"][:100] == fake.fetch("utg1190")[:100]
+        # polished span exists and is ACGT-only
+        assert set(seqs["utg1190"]) <= set("ACGT")
+        bed = out + ".gaps_in_draft_coords.bed"
+        lines = open(bed).read().splitlines()
+        assert any(li.startswith("utg1190\t0\t10994249") for li in lines)
+
+
+class TestJoinSamples:
+    def setup_method(self):
+        self.ls = HaploidLabelScheme()
+
+    indel = "CATGCG****TGCATCG"
+    sub = "CATGCGATACTGCATCG"
+    ref = "CATGCGTCGATGCATCG"
+    mix = "CATGCGAT**TGCATCG"
+
+    def _check(self, refs_calls, inp_slices, exp_slices, last_flags):
+        for ref, call in refs_calls:
+            sample, ref_seq = haploid_sample_from_labels(self.ls, ref, call)
+            inp = [sample.slice(sl) for sl in inp_slices]
+            exp = [sample.slice(sl) for sl in exp_slices]
+            joined = list(variant.join_samples(
+                zip(inp, last_flags, [False] * len(last_flags)),
+                ref_seq.replace("*", ""), self.ls))
+            assert len(joined) == len(exp)
+            for expt, got in zip(exp, joined):
+                assert got.name == expt.name
+                assert got == expt
+
+    def test_not_spanning(self):
+        self._check(
+            [(self.ref, self.indel), (self.ref, self.sub),
+             (self.indel, self.ref), (self.indel, self.mix)],
+            [slice(0, 4), slice(4, 12), slice(12, None)],
+            [slice(0, 3), slice(3, 11), slice(11, None)],
+            [False, False, True])
+
+    def test_spanning(self):
+        self._check(
+            [(self.ref, self.indel), (self.ref, self.sub),
+             (self.indel, self.ref), (self.indel, self.mix)],
+            [slice(0, 8), slice(8, None)],
+            [slice(0, 5), slice(5, None)],
+            [False, True])
+
+    def test_no_pos_same(self):
+        self._check(
+            [(self.ref, self.indel), (self.ref, self.sub),
+             (self.ref, self.mix), (self.indel, self.ref),
+             (self.indel, self.mix)],
+            [slice(0, 6), slice(6, 10), slice(10, None)],
+            [slice(0, 5), slice(5, None)],
+            [False, False, True])
+
+    def test_gh384_insertion_only_chunk(self):
+        ref_ = "C*******ATGCGTCGATGCATCG"
+        call = "CCCCCCCCATGCGTCGATGCATCG"
+        sample, ref_seq = haploid_sample_from_labels(self.ls, ref_, call)
+        inp = [sample.slice(slice(0, 8)), sample.slice(slice(8, None))]
+        for s in variant.join_samples(
+                zip(inp, [False, True], [False, False]),
+                ref_seq.replace("*", ""), self.ls):
+            assert s.size > 0
+
+    def test_missing_last_raises(self):
+        sample, ref_seq = haploid_sample_from_labels(
+            self.ls, self.ref, self.sub)
+        with pytest.raises(ValueError):
+            list(variant.join_samples(
+                zip([sample], [False], [False]),
+                ref_seq.replace("*", ""), self.ls))
+
+
+class TestVariantsFromHdf:
+    def test_end_to_end(self, tmp_path, monkeypatch):
+        """Write probs voting for known variants, decode to VCF."""
+        ls = HaploidLabelScheme()
+        ref_ = "CATGCGTCGATGCATCGACCGTTGC"
+        call = "CATACGTCGA*GCATCGACCGTTGC"  # sub at 3, del at 10
+        sample, _ = haploid_sample_from_labels(ls, ref_, call)
+        path = str(tmp_path / "probs.hdf5")
+        with datastore.DataStore(path, "w") as ds:
+            ds.set_meta(ls, "label_scheme")
+            ds.write_sample(sample)
+            ds.write_registry()
+        fake = FakeFasta({"contig1": len(ref_)})
+        fake.fetch = lambda r, s=None, e=None: ref_
+        monkeypatch.setattr(variant, "FastaReader", lambda p: fake)
+        out = str(tmp_path / "out.vcf")
+        variant.variants_from_hdf(path, "fake_ref", out)
+        from medaka_tpu.vcf import VCFReader
+        records = list(VCFReader(out).fetch())
+        assert len(records) == 2
+        subv = records[0]
+        assert (subv.pos, subv.ref, subv.alt) == (3, "G", ["A"])
+        delv = records[1]
+        assert (delv.pos, delv.ref, delv.alt) == (9, "AT", ["A"])
+
+    def test_samples_to_bed(self, tmp_path):
+        path = str(tmp_path / "probs.hdf5")
+        with datastore.DataStore(path, "w") as ds:
+            ds.write_sample(make_sample(start=0))
+            ds.write_sample(make_sample(start=99))
+            ds.write_sample(make_sample(start=300))
+            ds.write_registry()
+        out = str(tmp_path / "out.bed")
+        variant.samples_to_bed(path, out)
+        lines = open(out).read().splitlines()
+        assert lines == ["contig1\t0\t199", "contig1\t300\t400"]
