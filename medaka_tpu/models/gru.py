@@ -105,18 +105,20 @@ class GRUModel:
     # --- forward ---
 
     def apply(self, params: Dict, x: jnp.ndarray, normalise: bool = True,
-              compute_dtype=None) -> jnp.ndarray:
+              compute_dtype=None, lengths=None) -> jnp.ndarray:
         """Forward pass.
 
         :param x: (batch, positions, num_features) counts features.
         :param normalise: apply softmax (False for training logits).
         :param compute_dtype: optional lower precision (e.g. bfloat16) for
             the recurrent compute; the head always accumulates in float32.
+        :param lengths: optional (batch,) valid lengths for ragged chunks
+            padded to a static shape (see ``ops.rnn.gru_scan``).
         :returns: (batch, positions, num_classes).
         """
         feats = bigru_stack(
             params["gru"], x, bidirectional=self.bidirectional,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, lengths=lengths)
         logits = (
             jnp.einsum(
                 "bth,ch->btc", feats.astype(jnp.float32),

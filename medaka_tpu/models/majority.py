@@ -32,7 +32,8 @@ class MajorityVoteModel:
         """No parameters to import."""
         return {}
 
-    def apply(self, params, x, normalise=True, compute_dtype=None):
+    def apply(self, params, x, normalise=True, compute_dtype=None,
+              lengths=None):
         """Class probabilities (del, A, C, G, T) by direct vote counting."""
         b2i = base2index
         bases = (x[..., b2i["a"]:b2i["t"] + 1] +

@@ -34,7 +34,7 @@ def gru_layer_params(rng, input_size: int, hidden_size: int,
 
 
 def gru_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
-             compute_dtype=None) -> jnp.ndarray:
+             compute_dtype=None, lengths=None) -> jnp.ndarray:
     """Run a single-direction GRU over a batch.
 
     :param params: dict with w_ih (3H, in), w_hh (3H, H), b_ih, b_hh;
@@ -44,6 +44,12 @@ def gru_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
     :param compute_dtype: run the recurrence in this dtype (e.g. bfloat16
         for the TPU fast path). When None, float32 math uses HIGHEST matmul
         precision for checkpoint-parity with CPU/CUDA references.
+    :param lengths: optional (batch,) int array of valid sequence lengths.
+        The hidden state is frozen at padded steps, so outputs on the
+        valid prefix are bitwise-identical to an unpadded run — this is
+        what lets inference batch ragged chunks into one static
+        (B, T, F) shape on TPU instead of the reference's dynamic-shape
+        remainder pass (``medaka/prediction.py:196-215``).
 
     :returns: (batch, time, hidden) outputs.
     """
@@ -72,7 +78,7 @@ def gru_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
     w_hh_t = w_hh.T  # (H, 3H)
     h0 = jnp.zeros((batch, hidden), dtype=x.dtype)
 
-    def step(h, xp):
+    def cell(h, xp):
         hp = jnp.dot(
             h, w_hh_t, preferred_element_type=h.dtype,
             precision=precision) + b_hh
@@ -82,29 +88,49 @@ def gru_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
         h_new = (1.0 - z) * n + z * h
-        return h_new, h_new
+        return h_new
 
-    _, ys = jax.lax.scan(step, h0, x_proj, reverse=reverse)
+    if lengths is None:
+        def step(h, xp):
+            h_new = cell(h, xp)
+            return h_new, h_new
+
+        _, ys = jax.lax.scan(step, h0, x_proj, reverse=reverse)
+    else:
+        t_idx = jnp.arange(x.shape[1], dtype=jnp.int32)
+        valid = (t_idx[:, None] < lengths[None, :]).astype(x.dtype)
+        valid = valid[:, :, None]  # (T, B, 1)
+
+        def step(h, inp):
+            xp, m = inp
+            h_new = cell(h, xp)
+            h_new = m * h_new + (1.0 - m) * h
+            return h_new, h_new
+
+        _, ys = jax.lax.scan(step, h0, (x_proj, valid), reverse=reverse)
     return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 
 def bigru_stack(layers, x: jnp.ndarray, bidirectional: bool = True,
-                compute_dtype=None) -> jnp.ndarray:
+                compute_dtype=None, lengths=None) -> jnp.ndarray:
     """Apply a stack of (bi)GRU layers.
 
     :param layers: list of per-layer param dicts; each has key 'fwd' and,
         when bidirectional, 'bwd'.
     :param x: (batch, time, features).
+    :param lengths: optional (batch,) valid lengths; see :func:`gru_scan`.
 
     :returns: (batch, time, hidden * n_dirs) features of the last layer.
     """
     out = x
     for layer in layers:
         fwd = gru_scan(
-            layer["fwd"], out, reverse=False, compute_dtype=compute_dtype)
+            layer["fwd"], out, reverse=False, compute_dtype=compute_dtype,
+            lengths=lengths)
         if bidirectional:
             bwd = gru_scan(
-                layer["bwd"], out, reverse=True, compute_dtype=compute_dtype)
+                layer["bwd"], out, reverse=True, compute_dtype=compute_dtype,
+                lengths=lengths)
             out = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             out = fwd

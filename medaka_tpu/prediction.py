@@ -1,0 +1,349 @@
+"""Inference engine: BAM → features → device batches → probability HDF5.
+
+Functional equivalent of the reference's ``medaka inference``
+(reference ``medaka/prediction.py``), redesigned for TPU execution:
+
+- **One static batch shape.** Every chunk — full ``chunk_len`` windows and
+  ragged remainders alike — rides in a single ``(B, chunk_len, F)``
+  float32 batch with a per-row ``lengths`` vector; the masked GRU scan
+  (``ops/rnn.py``) freezes hidden state at padded steps so results are
+  bitwise-identical to unpadded computation. This removes the reference's
+  second batch-size-1 remainder pass (``prediction.py:196-215``) and
+  guarantees XLA compiles the forward exactly once.
+- **Threaded host pipeline.** ``bam_workers`` featurization threads feed a
+  bounded sample queue; a batcher thread pads and packs fixed arrays; the
+  main thread keeps the device busy while HDF5 writes happen on the
+  datastore's own writer thread (reference pipeline shape:
+  ``prediction.py:225-370``).
+- **Device-count agnostic.** When multiple devices are visible the batch
+  is sharded over them via ``jax.sharding`` (data parallel over chunks);
+  parameters are replicated.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from timeit import default_timer as now
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medaka_tpu import common
+from medaka_tpu import datastore as datastore_mod
+from medaka_tpu import features as features_mod
+from medaka_tpu.common import Region, Sample
+
+
+@dataclasses.dataclass
+class Batch:
+    """A fixed-shape inference batch.
+
+    ``features`` is (B, T, F) float32; rows beyond ``n_valid`` are zero
+    padding (whole-row padding keeps the batch shape static across the
+    tail of the stream). ``lengths`` holds per-row valid column counts.
+    """
+
+    features: np.ndarray
+    lengths: np.ndarray
+    samples: List[Sample]
+
+    @property
+    def n_valid(self) -> int:
+        """Number of real (non-padding) rows."""
+        return len(self.samples)
+
+    @classmethod
+    def collate(cls, samples: Sequence[Sample], batch_size: int,
+                chunk_len: int) -> "Batch":
+        """Pack samples into a padded (batch_size, chunk_len, F) array."""
+        feat_dim = samples[0].features.shape[-1]
+        feats = np.zeros(
+            (batch_size, chunk_len, feat_dim), dtype=np.float32)
+        lengths = np.zeros((batch_size,), dtype=np.int32)
+        for i, s in enumerate(samples):
+            n = min(s.size, chunk_len)
+            feats[i, :n] = s.features[:n]
+            lengths[i] = n
+        return cls(feats, lengths, list(samples))
+
+
+class DataLoader:
+    """Threaded region → sample → batch pipeline.
+
+    Reference contract: ``medaka/prediction.py:225-370`` (bounded queues,
+    ``bam_workers`` producer threads, one batcher thread). Exposes the
+    remainder/quarantine accounting the reference tracks, though with the
+    masked-scan design quarantined short regions are simply featurized
+    with chunking disabled and ride in normal batches.
+    """
+
+    def __init__(self, bam, regions: Iterable[Region], feature_encoder,
+                 batch_size: int = 100, chunk_len: int = 10000,
+                 chunk_overlap: int = 1000, bam_workers: int = 2,
+                 sample_cache_size: int = 8, batch_cache_size: int = 8):
+        self.logger = common.get_named_logger("DataLoader")
+        self.bam = bam
+        self.regions = list(regions)
+        self.fencoder = feature_encoder
+        self.batch_size = batch_size
+        self.chunk_len = chunk_len
+        self.chunk_overlap = chunk_overlap
+        self.bam_workers = max(1, bam_workers)
+        self._sample_q: "queue.Queue" = queue.Queue(
+            maxsize=sample_cache_size * batch_size)
+        self._batch_q: "queue.Queue" = queue.Queue(maxsize=batch_cache_size)
+        self._region_q: "queue.Queue" = queue.Queue()
+        for region in self.regions:
+            self._region_q.put(region)
+        self._errors: List[BaseException] = []
+        self.n_samples = 0
+        self.remainder_regions: List[Region] = []
+
+        self._workers = [
+            threading.Thread(
+                target=self._region_worker, daemon=True,
+                name="bam_worker_{}".format(i))
+            for i in range(self.bam_workers)]
+        self._batcher = threading.Thread(
+            target=self._batch_worker, daemon=True, name="batcher")
+        for t in self._workers:
+            t.start()
+        self._batcher.start()
+
+    def _region_worker(self):
+        try:
+            while True:
+                try:
+                    region = self._region_q.get_nowait()
+                except queue.Empty:
+                    break
+                gen = features_mod.SampleGenerator(
+                    self.bam, region, self.fencoder,
+                    chunk_len=self.chunk_len,
+                    chunk_overlap=self.chunk_overlap)
+                for sample in gen.samples:
+                    self._sample_q.put(sample)
+                # short regions were quarantined: featurize unchunked
+                for qregion, _size in gen._quarantined:
+                    self.remainder_regions.append(qregion)
+                    sub = features_mod.SampleGenerator(
+                        self.bam, qregion, self.fencoder,
+                        enable_chunking=False)
+                    for sample in sub.samples:
+                        self._sample_q.put(sample)
+        except BaseException as e:  # pragma: no cover - surfaced on join
+            self.logger.exception("Featurization worker failed.")
+            self._errors.append(e)
+        finally:
+            self._sample_q.put(None)
+
+    def _batch_worker(self):
+        done_workers = 0
+        pending: List[Sample] = []
+        try:
+            while done_workers < len(self._workers):
+                item = self._sample_q.get()
+                if item is None:
+                    done_workers += 1
+                    continue
+                if item.size > self.chunk_len:
+                    # unchunked sample wider than the static shape: split
+                    for piece in item.chunks(
+                            chunk_len=self.chunk_len,
+                            overlap=self.chunk_overlap):
+                        pending.append(piece)
+                        if len(pending) == self.batch_size:
+                            self._emit(pending)
+                            pending = []
+                    continue
+                pending.append(item)
+                if len(pending) == self.batch_size:
+                    self._emit(pending)
+                    pending = []
+            if pending:
+                self._emit(pending)
+        except BaseException as e:  # pragma: no cover
+            self.logger.exception("Batcher failed.")
+            self._errors.append(e)
+        finally:
+            self._batch_q.put(None)
+
+    def _emit(self, samples: List[Sample]):
+        self.n_samples += len(samples)
+        self._batch_q.put(
+            Batch.collate(samples, self.batch_size, self.chunk_len))
+
+    def __iter__(self):
+        while True:
+            batch = self._batch_q.get()
+            if batch is None:
+                break
+            yield batch
+        for t in self._workers:
+            t.join()
+        self._batcher.join()
+        if self._errors:
+            raise self._errors[0]
+
+
+class Predictor:
+    """Jitted forward pass over fixed-shape batches, sharded over devices.
+
+    Parameters are replicated; the batch dimension is sharded across all
+    visible devices of ``mesh`` (data parallelism over genome chunks —
+    the TPU-native analogue of the reference's scale-out-by-region advice,
+    ``README.md:294-330``).
+    """
+
+    def __init__(self, model, params, mesh: Optional[jax.sharding.Mesh]
+                 = None, compute_dtype=jnp.bfloat16):
+        self.model = model
+        self.compute_dtype = compute_dtype
+        if mesh is None:
+            devices = jax.devices()
+            mesh = jax.sharding.Mesh(np.array(devices), ("data",))
+        self.mesh = mesh
+        spec_batch = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        spec_repl = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())
+        self.params = jax.device_put(params, spec_repl)
+        self._batch_sharding = spec_batch
+
+        def forward(params, x, lengths):
+            return self.model.apply(
+                params, x, normalise=True,
+                compute_dtype=compute_dtype, lengths=lengths)
+
+        self._forward = jax.jit(
+            forward,
+            in_shardings=(spec_repl, spec_batch, spec_batch),
+            out_shardings=spec_batch)
+
+    def predict_on_batch(self, batch: Batch) -> np.ndarray:
+        """Probabilities (n_valid, T, C) for the real rows of a batch."""
+        n_dev = self.mesh.devices.size
+        feats, lengths = batch.features, batch.lengths
+        pad = (-feats.shape[0]) % n_dev
+        if pad:
+            feats = np.pad(feats, ((0, pad), (0, 0), (0, 0)))
+            lengths = np.pad(lengths, (0, pad))
+        probs = self._forward(
+            self.params, jnp.asarray(feats), jnp.asarray(lengths))
+        return np.asarray(probs[:batch.n_valid]).astype(np.float32)
+
+
+def run_prediction(
+        output: str, bam, regions: Sequence[Region], model, params,
+        feature_encoder, label_scheme=None, batch_size: int = 100,
+        chunk_len: int = 10000, chunk_overlap: int = 1000,
+        bam_workers: int = 2, compute_dtype=jnp.bfloat16,
+        mesh=None, full_precision: bool = False):
+    """Run inference and write probability samples to ``output``.
+
+    Reference: ``medaka/prediction.py:14-81``.
+
+    :returns: (n_samples, n_columns) processed.
+    """
+    logger = common.get_named_logger("PWorker")
+    if full_precision:
+        compute_dtype = None
+    predictor = Predictor(
+        model, params, mesh=mesh, compute_dtype=compute_dtype)
+    loader = DataLoader(
+        bam, regions, feature_encoder, batch_size=batch_size,
+        chunk_len=chunk_len, chunk_overlap=chunk_overlap,
+        bam_workers=bam_workers)
+
+    total_region_mbases = sum(r.size for r in regions) / 1e6
+    t0 = now()
+    tlast = t0
+    n_columns = 0
+    mbases_done = 0.0
+
+    with datastore_mod.DataStore(output, "a") as ds:
+        if feature_encoder is not None:
+            ds.set_meta(feature_encoder, "feature_encoder")
+        if label_scheme is not None:
+            ds.set_meta(label_scheme, "label_scheme")
+        ds.set_meta(model.to_dict(), "model_function")
+        for batch in loader:
+            probs = predictor.predict_on_batch(batch)
+            for i, sample in enumerate(batch.samples):
+                n = sample.size
+                n_columns += n
+                ds.write_sample(
+                    sample.amend(
+                        features=None, label_probs=probs[i, :n]))
+            mbases_done = n_columns / 1e6
+            t1 = now()
+            if t1 - tlast > 10:
+                tlast = t1
+                logger.info(
+                    "%.1f%% Done (~%.2f Mbases) in %.1fs",
+                    100 * min(1.0, mbases_done / max(
+                        1e-9, total_region_mbases)),
+                    mbases_done, t1 - t0)
+        ds.write_registry()
+
+    t1 = now()
+    logger.info(
+        "Processed %d samples (%d columns) in %.2fs (%.0f columns/s).",
+        loader.n_samples, n_columns, t1 - t0,
+        n_columns / max(1e-9, t1 - t0))
+    return loader.n_samples, n_columns
+
+
+def predict(
+        bam, output: str, model_path: Optional[str] = None,
+        model=None, params=None, feature_encoder=None, label_scheme=None,
+        regions: Optional[Sequence[Region]] = None,
+        batch_size: int = 100, chunk_len: int = 10000,
+        chunk_overlap: int = 1000, bam_workers: int = 2,
+        bam_chunk: int = 1_000_000, full_precision: bool = False,
+        mesh=None):
+    """Top-level inference entry (reference ``prediction.py:84-222``).
+
+    Either ``model_path`` (native tarball or reference ``.tar.gz``) or an
+    explicit (model, params, feature_encoder, label_scheme) must be given.
+    """
+    logger = common.get_named_logger("Predict")
+    if model_path is not None:
+        from medaka_tpu import models as models_mod
+        bundle = models_mod.open_model(model_path)
+        model = bundle.model
+        params = bundle.params
+        feature_encoder = feature_encoder or bundle.feature_encoder
+        label_scheme = label_scheme or bundle.label_scheme
+    if model is None or params is None or feature_encoder is None:
+        raise ValueError(
+            "Provide model_path or explicit model/params/feature_encoder.")
+    model.check_feature_encoder_compatibility(feature_encoder)
+
+    if regions is None:
+        from medaka_tpu.io.bam import BamReader
+        with BamReader(bam) as br:
+            regions = [
+                Region(name, 0, length)
+                for name, length in zip(br.references, br.lengths)]
+    # large regions are split into bam_chunk pieces overlapping by
+    # chunk_overlap columns so chunk joins can be overlap-trimmed
+    work: List[Region] = []
+    for region in regions:
+        if region.size > bam_chunk:
+            work.extend(region.split(
+                bam_chunk, overlap=chunk_overlap, fixed_size=False))
+        else:
+            work.append(region)
+    logger.info(
+        "Processing %d region chunk(s) over %d device(s).",
+        len(work), len(jax.devices()) if mesh is None
+        else mesh.devices.size)
+    return run_prediction(
+        output, bam, work, model, params, feature_encoder,
+        label_scheme=label_scheme, batch_size=batch_size,
+        chunk_len=chunk_len, chunk_overlap=chunk_overlap,
+        bam_workers=bam_workers, full_precision=full_precision, mesh=mesh)
