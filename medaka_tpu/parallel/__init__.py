@@ -1,0 +1,204 @@
+"""Device-mesh parallelism for medaka_tpu.
+
+The reference is single-node (SURVEY §2.3): its only scale-out is "run
+independent jobs per contig and merge HDF5s". Here parallelism is
+first-class: a `jax.sharding.Mesh` with axes
+
+- ``data``  — batch dimension (genome chunks). The dominant axis: chunks
+  are independent, so DP scales embarrassingly and collectives only carry
+  metrics.
+- ``model`` — tensor parallelism over the recurrent gate dimension
+  (Megatron-style sharding of the (3H, in)/(3H, H) GRU weights and the
+  (4H, ·) LSTM weights). XLA/GSPMD inserts the all-gathers over ICI.
+
+Parameters are annotated with `PartitionSpec`s; everything else is left
+to sharding propagation. ``shard_map`` is intentionally avoided for the
+compute path — GSPMD handles the einsum/scan layouts well and keeps the
+code a single pure function.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from medaka_tpu import common
+
+logger = common.get_named_logger("parallel")
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices=None, data: Optional[int] = None,
+              model: int = 1) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    :param devices: explicit device list (default ``jax.devices()``).
+    :param data: data-axis size (default: n_devices // model).
+    :param model: model (tensor-parallel) axis size.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(
+                "{} devices not divisible by model={}".format(n, model))
+        data = n // model
+    if data * model != n:
+        raise ValueError(
+            "mesh {}x{} != {} devices".format(data, model, n))
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def gru_param_spec() -> Dict:
+    """PartitionSpecs for one GRU direction's params.
+
+    Gate-dimension (3H) sharding over the model axis; biases likewise.
+    The recurrent input dim stays replicated — GSPMD all-gathers the
+    hidden state where required.
+    """
+    return {
+        "w_ih": P(MODEL_AXIS, None),
+        "w_hh": P(MODEL_AXIS, None),
+        "b_ih": P(MODEL_AXIS),
+        "b_hh": P(MODEL_AXIS),
+    }
+
+
+def params_spec_for_model(model, params) -> Dict:
+    """PartitionSpec pytree matching a model's parameter pytree.
+
+    Recurrent weight matrices are sharded over ``model``; small heads and
+    anything unrecognised is replicated.
+    """
+    def spec_for(path: Tuple[str, ...], leaf) -> P:
+        names = set(path)
+        if {"w_ih", "w_hh"} & names:
+            return P(MODEL_AXIS, None)
+        if {"b_ih", "b_hh"} & names and leaf.ndim == 1:
+            return P(MODEL_AXIS)
+        return P()
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            out = [walk(v, path) for v in node]
+            return type(node)(out) if isinstance(node, tuple) else out
+        return spec_for(path, node)
+
+    return walk(params, ())
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params on the mesh according to :func:`params_spec_for_model`."""
+    specs = params_spec_for_model(None, params)
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(
+            leaf, NamedSharding(mesh, spec)),
+        params, specs)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding on a mesh."""
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dimension sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16):
+    """Jit a forward pass with DP batch + TP param shardings."""
+    def forward(params, x, lengths):
+        return model.apply(
+            params, x, normalise=True, compute_dtype=compute_dtype,
+            lengths=lengths)
+
+    return jax.jit(
+        forward,
+        in_shardings=(
+            None,  # params carry their shardings from device_put
+            batch_sharding(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh))
+
+
+def cross_entropy_loss(model, params, batch, compute_dtype=None):
+    """Masked cross-entropy over a (features, labels, mask) batch dict.
+
+    ``labels`` are int class ids; ``mask`` (B, T) excludes padding.
+    Returns (loss, (n_correct, n_total)) for accuracy accounting mirroring
+    the reference metrics (``medaka/models.py:315-345``).
+    """
+    logits = model.apply(
+        params, batch["features"], normalise=False,
+        compute_dtype=compute_dtype,
+        lengths=batch.get("lengths"))
+    labels = batch["labels"]
+    mask = batch["mask"].astype(logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(
+        logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    loss = -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    pred = jnp.argmax(logits, axis=-1)
+    n_correct = ((pred == labels) * batch["mask"]).sum()
+    n_total = batch["mask"].sum()
+    return loss, (n_correct, n_total)
+
+
+def make_train_step(model, optimizer, mesh: Mesh,
+                    compute_dtype=jnp.bfloat16):
+    """Build a jitted, mesh-sharded SGD step.
+
+    Batch is sharded over ``data``; params/opt-state are laid out by
+    their own shardings (TP over ``model`` via :func:`shard_params`).
+    Loss/metric outputs are replicated scalars (GSPMD inserts the psum).
+    """
+    bspec = batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(None, None,
+                      {"features": bspec, "labels": bspec, "mask": bspec,
+                       "lengths": bspec}),
+        out_shardings=(None, None, replicated(mesh), replicated(mesh),
+                       replicated(mesh)),
+        donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        (loss, (n_correct, n_total)), grads = jax.value_and_grad(
+            lambda p: cross_entropy_loss(
+                model, p, batch, compute_dtype=compute_dtype),
+            has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), params, updates)
+        return params, opt_state, loss, n_correct, n_total
+
+    return train_step
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host bring-up (`jax.distributed.initialize` wrapper).
+
+    On single-host (or under the test CPU mesh) this is a no-op; on a pod
+    slice each host calls it before building the global mesh.
+    """
+    if num_processes is None or num_processes <= 1:
+        logger.debug("Single-process run; skipping jax.distributed init.")
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes, process_id=process_id)
+    logger.info(
+        "Initialized process %d/%d (global devices: %d).",
+        process_id, num_processes, len(jax.devices()))
