@@ -105,7 +105,8 @@ class GRUModel:
     # --- forward ---
 
     def apply(self, params: Dict, x: jnp.ndarray, normalise: bool = True,
-              compute_dtype=None, lengths=None) -> jnp.ndarray:
+              compute_dtype=None, lengths=None,
+              fused: Optional[bool] = None) -> jnp.ndarray:
         """Forward pass.
 
         :param x: (batch, positions, num_features) counts features.
@@ -114,11 +115,24 @@ class GRUModel:
             the recurrent compute; the head always accumulates in float32.
         :param lengths: optional (batch,) valid lengths for ragged chunks
             padded to a static shape (see ``ops.rnn.gru_scan``).
+        :param fused: use the fused Pallas recurrent kernel. Default
+            (None): on for bf16 inference on TPU backends, off elsewhere
+            (CPU tests, full-precision parity runs, autodiff).
         :returns: (batch, positions, num_classes).
         """
-        feats = bigru_stack(
-            params["gru"], x, bidirectional=self.bidirectional,
-            compute_dtype=compute_dtype, lengths=lengths)
+        if fused is None:
+            fused = (
+                compute_dtype == jnp.bfloat16
+                and jax.default_backend() not in ("cpu",))
+        if fused:
+            from medaka_tpu.ops.pallas_gru import bigru_stack_fused
+            feats = bigru_stack_fused(
+                params["gru"], x, bidirectional=self.bidirectional,
+                lengths=lengths, compute_dtype=compute_dtype)
+        else:
+            feats = bigru_stack(
+                params["gru"], x, bidirectional=self.bidirectional,
+                compute_dtype=compute_dtype, lengths=lengths)
         logits = (
             jnp.einsum(
                 "bth,ch->btc", feats.astype(jnp.float32),

@@ -1,0 +1,322 @@
+"""Fused Pallas GRU kernel for TPU.
+
+The ``lax.scan`` GRU (``ops/rnn.py``) is correct but launches 10k tiny
+per-step HLO ops; on TPU this is ~99% loop overhead and minutes of XLA
+compile time at the default inference geometry. This kernel is the
+speed-of-light path (SURVEY §7 "hard parts"):
+
+- the input projection for all timesteps is one large MXU matmul done
+  outside the kernel (time-major ``(T, B, 3H)``);
+- the kernel walks the grid over time blocks; the hidden state lives in
+  a VMEM scratch accumulator across grid steps, the recurrent weights
+  stay VMEM-resident, and each step is a single (B, H) x (H, 3H) MXU
+  matmul plus fused VPU gate math;
+- the backward direction reuses the same kernel with reversed block
+  index maps (no data movement to reverse the sequence);
+- ragged chunks keep exact masked-scan semantics: hidden state freezes
+  at steps beyond a row's ``length``.
+
+Numerics: gate matmuls run in bf16 with f32 accumulation; the hidden
+state is carried in f32. Gate order (r, z, n) matches torch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_time_block(T: int, B: int, H: int, budget_bytes: int = 4 << 20,
+                     dtype_bytes: int = 2) -> int:
+    """Largest divisor of T whose (BT, B, 3H) block fits the budget."""
+    best = 1
+    for bt in range(1, T + 1):
+        if T % bt:
+            continue
+        if bt * B * 3 * H * dtype_bytes > budget_bytes:
+            break
+        best = bt
+    return best
+
+
+def _gru_kernel(x_proj_ref, w_hh_t_ref, b_hh_ref, lengths_ref, out_ref,
+                h_scratch, *, time_block: int, reverse: bool,
+                total_t: int):
+    """One time-block of the recurrence. Grid walks blocks sequentially."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+
+    hidden = h_scratch.shape[-1]
+    w_hh_t = w_hh_t_ref[...]
+    b_hh = b_hh_ref[...]
+    lengths = lengths_ref[...]  # (B, 1) int32
+
+    # global time index of local step t within this block
+    if reverse:
+        block_start = (n_blocks - 1 - i) * time_block
+    else:
+        block_start = i * time_block
+
+    def step(t_iter, h):
+        t_local = (time_block - 1 - t_iter) if reverse else t_iter
+        t_global = block_start + t_local
+        xp = x_proj_ref[t_local].astype(jnp.float32)  # (B, 3H)
+        hp = jnp.dot(
+            h.astype(w_hh_t.dtype), w_hh_t,
+            preferred_element_type=jnp.float32) + b_hh
+        xr = xp[:, :hidden]
+        xz = xp[:, hidden:2 * hidden]
+        xn = xp[:, 2 * hidden:]
+        hr = hp[:, :hidden]
+        hz = hp[:, hidden:2 * hidden]
+        hn = hp[:, 2 * hidden:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        valid = (lengths > t_global)  # (B, 1)
+        h_new = jnp.where(valid, h_new, h)
+        out_ref[t_local] = h_new.astype(out_ref.dtype)
+        return h_new
+
+    h = jax.lax.fori_loop(0, time_block, step, h_scratch[...])
+    h_scratch[...] = h
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "time_block", "interpret"))
+def gru_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+               lengths: Optional[jnp.ndarray] = None, reverse: bool = False,
+               time_block: Optional[int] = None,
+               interpret: bool = False) -> jnp.ndarray:
+    """Run one GRU direction over pre-projected inputs.
+
+    :param x_proj: (T, B, 3H) time-major input projections
+        (``x @ w_ih.T + b_ih``), any float dtype (bf16 recommended).
+    :param w_hh: (3H, H) recurrent weights (torch layout).
+    :param b_hh: (3H,) recurrent bias.
+    :param lengths: optional (B,) valid lengths (masked-scan semantics).
+    :param reverse: process time back-to-front (output in natural order).
+    :param time_block: steps per grid iteration (auto if None).
+
+    :returns: (T, B, H) hidden-state outputs, dtype of ``x_proj``.
+    """
+    T, B, threeH = x_proj.shape
+    H = threeH // 3
+    if time_block is None:
+        time_block = _pick_time_block(T, B, H)
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    w_hh_t = w_hh.T.astype(jnp.bfloat16)  # (H, 3H)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(1, threeH)
+
+    if reverse:
+        idx = lambda i: (n_blocks - 1 - i, 0, 0)  # noqa: E731
+    else:
+        idx = lambda i: (i, 0, 0)  # noqa: E731
+
+    kernel = functools.partial(
+        _gru_kernel, time_block=time_block, reverse=reverse, total_t=T)
+    flops = 2 * T * B * (H * threeH) + 10 * T * B * threeH
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, threeH), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (time_block, B, H), idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_proj.size * 2 + T * B * H * 2,
+            transcendentals=3 * T * B * H),
+        interpret=interpret,
+    )(x_proj, w_hh_t, b_hh_row, lengths2d)
+
+
+def _bigru_kernel(xp_f_ref, xp_b_ref, w_hh_t_ref, b_hh_ref, lengths_ref,
+                  out_f_ref, out_b_ref, h_scratch, *, time_block: int):
+    """Both directions in one kernel.
+
+    The two recurrences have independent dependency chains, so their
+    per-step matmuls are issued as one batched (2, B, H) x (2, H, 3H)
+    contraction — the MXU overlaps their latencies, which is the win over
+    running two single-direction kernels (small-matmul latency, not
+    FLOPs, bounds this workload).
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+
+    hidden = h_scratch.shape[-1]
+    w_f = w_hh_t_ref[0]               # (H, 3H) bf16
+    w_b = w_hh_t_ref[1]
+    b_f = b_hh_ref[0]                 # (1, 3H) f32
+    b_b = b_hh_ref[1]
+    lengths = lengths_ref[...]        # (B, 1) int32
+
+    fwd_start = i * time_block
+    bwd_start = (n_blocks - 1 - i) * time_block
+
+    def cell(h, xp, w, b):
+        hp = jnp.dot(
+            h.astype(w.dtype), w,
+            preferred_element_type=jnp.float32) + b
+        xr = xp[:, :hidden]
+        xz = xp[:, hidden:2 * hidden]
+        xn = xp[:, 2 * hidden:]
+        hr = hp[:, :hidden]
+        hz = hp[:, hidden:2 * hidden]
+        hn = hp[:, 2 * hidden:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        return (1.0 - z) * n + z * h
+
+    def step(t, carry):
+        # two independent recurrence chains; the per-step matmuls are
+        # independent ops so the MXU pipelines them, which is the win
+        # over two single-direction kernel passes
+        h_f, h_b = carry
+        t_b = time_block - 1 - t
+        nh_f = cell(h_f, xp_f_ref[t].astype(jnp.float32), w_f, b_f)
+        nh_b = cell(h_b, xp_b_ref[t_b].astype(jnp.float32), w_b, b_b)
+        h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
+        h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
+        out_f_ref[t] = h_f.astype(out_f_ref.dtype)
+        out_b_ref[t_b] = h_b.astype(out_b_ref.dtype)
+        return (h_f, h_b)
+
+    h_f, h_b = jax.lax.fori_loop(
+        0, time_block, step, (h_scratch[0], h_scratch[1]))
+    h_scratch[0] = h_f
+    h_scratch[1] = h_b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("time_block", "interpret"))
+def bigru_pallas(x_proj_f: jnp.ndarray, x_proj_b: jnp.ndarray,
+                 w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None,
+                 time_block: Optional[int] = None,
+                 interpret: bool = False):
+    """Fused forward+backward GRU directions over one layer.
+
+    :param x_proj_f/x_proj_b: (T, B, 3H) per-direction input projections.
+    :param w_hh: (2, 3H, H) stacked recurrent weights (fwd, bwd).
+    :param b_hh: (2, 3H) stacked recurrent biases.
+    :returns: ((T, B, H) fwd outputs, (T, B, H) bwd outputs).
+    """
+    T, B, threeH = x_proj_f.shape
+    H = threeH // 3
+    if time_block is None:
+        time_block = _pick_time_block(T, B, H, budget_bytes=2 << 20)
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    w_hh_t = jnp.swapaxes(w_hh, 1, 2).astype(jnp.bfloat16)  # (2, H, 3H)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, threeH)
+
+    fwd_idx = lambda i: (i, 0, 0)                    # noqa: E731
+    bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)     # noqa: E731
+
+    kernel = functools.partial(_bigru_kernel, time_block=time_block)
+    flops = 2 * 2 * T * B * (H * threeH) + 20 * T * B * threeH
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, threeH), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, threeH), bwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (time_block, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), bwd_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), x_proj_f.dtype),
+            jax.ShapeDtypeStruct((T, B, H), x_proj_f.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, B, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_proj_f.size * 4 + T * B * H * 4,
+            transcendentals=6 * T * B * H),
+        interpret=interpret,
+    )(x_proj_f, x_proj_b, w_hh_t, b_hh_row, lengths2d)
+
+
+def bigru_stack_fused(layers, x: jnp.ndarray, bidirectional: bool = True,
+                      lengths: Optional[jnp.ndarray] = None,
+                      compute_dtype=jnp.bfloat16,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused-kernel counterpart of ``ops.rnn.bigru_stack``.
+
+    :param x: (B, T, F) batch-major input (converted to time-major once).
+    :returns: (B, T, H * n_dirs) last-layer features.
+    """
+    cd = compute_dtype or jnp.bfloat16
+    out = jnp.swapaxes(x, 0, 1).astype(cd)  # (T, B, F)
+    for layer in layers:
+        if bidirectional:
+            projs = []
+            for key in ("fwd", "bwd"):
+                p = layer[key]
+                projs.append(
+                    jnp.einsum(
+                        "tbi,hi->tbh", out, p["w_ih"].astype(cd),
+                        preferred_element_type=cd)
+                    + p["b_ih"].astype(cd))
+            w_hh = jnp.stack(
+                [layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])
+            b_hh = jnp.stack(
+                [layer["fwd"]["b_hh"], layer["bwd"]["b_hh"]])
+            fwd_out, bwd_out = bigru_pallas(
+                projs[0], projs[1], w_hh, b_hh, lengths=lengths,
+                interpret=interpret)
+            out = jnp.concatenate([fwd_out, bwd_out], -1)
+        else:
+            p = layer["fwd"]
+            x_proj = (
+                jnp.einsum(
+                    "tbi,hi->tbh", out, p["w_ih"].astype(cd),
+                    preferred_element_type=cd)
+                + p["b_ih"].astype(cd))
+            out = gru_pallas(
+                x_proj, p["w_hh"], p["b_hh"], lengths=lengths,
+                reverse=False, interpret=interpret)
+    return jnp.swapaxes(out, 0, 1)  # (B, T, H * n_dirs)
