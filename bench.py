@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-BATCH = 100
+BATCH = 128  # MXU-aligned (reference default is 100, medaka.py:581)
 CHUNK = 10000
 FEATS = 10
 CLASSES = 5

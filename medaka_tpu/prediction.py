@@ -81,7 +81,7 @@ class DataLoader:
     """
 
     def __init__(self, bam, regions: Iterable[Region], feature_encoder,
-                 batch_size: int = 100, chunk_len: int = 10000,
+                 batch_size: int = 128, chunk_len: int = 10000,
                  chunk_overlap: int = 1000, bam_workers: int = 2,
                  sample_cache_size: int = 8, batch_cache_size: int = 8):
         self.logger = common.get_named_logger("DataLoader")
@@ -238,7 +238,7 @@ class Predictor:
 
 def run_prediction(
         output: str, bam, regions: Sequence[Region], model, params,
-        feature_encoder, label_scheme=None, batch_size: int = 100,
+        feature_encoder, label_scheme=None, batch_size: int = 128,
         chunk_len: int = 10000, chunk_overlap: int = 1000,
         bam_workers: int = 2, compute_dtype=jnp.bfloat16,
         mesh=None, full_precision: bool = False):
@@ -301,7 +301,7 @@ def predict(
         bam, output: str, model_path: Optional[str] = None,
         model=None, params=None, feature_encoder=None, label_scheme=None,
         regions: Optional[Sequence[Region]] = None,
-        batch_size: int = 100, chunk_len: int = 10000,
+        batch_size: int = 128, chunk_len: int = 10000,
         chunk_overlap: int = 1000, bam_workers: int = 2,
         bam_chunk: int = 1_000_000, full_precision: bool = False,
         mesh=None):

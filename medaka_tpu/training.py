@@ -1,0 +1,389 @@
+"""Model training from feature HDF5 files.
+
+Functional equivalent of the reference's ``medaka train``
+(``medaka/training.py`` + ``medaka/torch_ext.py``) on the TPU stack:
+
+- batches are fixed-shape ``{features, labels, mask, lengths}`` dicts fed
+  to the mesh-sharded jitted train step (``parallel.make_train_step``) —
+  data parallel over chunks, optional tensor parallel over gate dims;
+- optimisation via optax: adam/nadam/rmsprop/sgd with the reference's
+  default hyperparameters (``training.py:107-142``), linear-warmup cosine
+  LR decay (warmup 500 steps, ``torch_ext.py:452-460``), and a
+  running-median gradient clip mirroring the reference's quantile
+  ``ClipGrad`` (buffer 100, 2x median, ``torch_ext.py:206-239``);
+- per-epoch checkpoints ``model-{epoch}.tar.gz`` plus best-by-val-loss /
+  best-by-val-accuracy, early stop after 20 epochs without improvement
+  (``training.py:222-236``);
+- metrics reported as accuracy and Q = -10 log10(1 - acc)
+  (``torch_ext.py:258-272``) against the majority-vote baseline.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import threading
+import queue as queue_mod
+from timeit import default_timer as now
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medaka_tpu import common, datastore, parallel
+from medaka_tpu import models as models_mod
+
+
+def qscore(acc: float) -> float:
+    """Accuracy as a phred-style Q score."""
+    return float(-10 * np.log10(max(1e-9, 1.0 - acc)))
+
+
+# ---------------------------------------------------------------------------
+# gradient clipping: running-median analogue of the reference's ClipGrad
+# ---------------------------------------------------------------------------
+
+
+def clip_by_running_median(buffer_size: int = 100, factor: float = 2.0,
+                           warmup: int = 5) -> optax.GradientTransformation:
+    """Clip global norm to ``factor`` x median of the recent norms.
+
+    Mirrors the reference's quantile ``ClipGrad`` (buffer 100, 2x median,
+    ``torch_ext.py:206-239``) as a pure optax transformation whose state
+    carries the norm ring buffer.
+    """
+
+    def init(params):
+        del params
+        return {
+            "norms": jnp.zeros((buffer_size,), jnp.float32),
+            "count": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates).astype(jnp.float32)
+        count = state["count"]
+        n_valid = jnp.minimum(count, buffer_size)
+        # median over the valid prefix: mask invalid slots to +inf and
+        # take the midpoint of the sorted array
+        masked = jnp.where(
+            jnp.arange(buffer_size) < n_valid, state["norms"], jnp.inf)
+        med = jnp.sort(masked)[jnp.maximum(0, (n_valid - 1) // 2)]
+        limit = factor * med
+        use_clip = count >= warmup
+        scale = jnp.where(
+            use_clip & (norm > limit) & jnp.isfinite(limit),
+            limit / jnp.maximum(norm, 1e-12), 1.0)
+        new_updates = jax.tree_util.tree_map(
+            lambda u: u * scale.astype(u.dtype), updates)
+        clipped_norm = jnp.minimum(
+            norm, jnp.where(use_clip, limit, norm))
+        new_state = {
+            "norms": state["norms"].at[count % buffer_size].set(
+                clipped_norm),
+            "count": count + 1}
+        return new_updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+_OPTIMIZERS = {
+    # reference per-optimizer defaults (training.py:107-142)
+    "adam": (optax.adam, {"learning_rate": 1e-4}),
+    "nadam": (optax.nadam, {"learning_rate": 1e-4}),
+    "rmsprop": (optax.rmsprop, {"learning_rate": 1e-3}),
+    "sgd": (optax.sgd, {"learning_rate": 1e-3}),
+}
+
+
+def build_optimizer(name: str = "nadam", lr_schedule=None,
+                    optim_args: Optional[Dict] = None,
+                    clip: bool = True) -> optax.GradientTransformation:
+    """Construct the optax chain (clip -> optimizer [-> schedule])."""
+    factory, defaults = _OPTIMIZERS[name]
+    kwargs = dict(defaults)
+    if optim_args:
+        kwargs.update(optim_args)
+    if lr_schedule is not None:
+        kwargs["learning_rate"] = lr_schedule
+    chain = []
+    if clip:
+        chain.append(clip_by_running_median())
+    chain.append(factory(**kwargs))
+    return optax.chain(*chain)
+
+
+def cosine_schedule(peak_lr: float, total_steps: int,
+                    warmup_steps: int = 500):
+    """Linear warmup + cosine decay (reference ``torch_ext.py:452-471``)."""
+    warmup_steps = min(warmup_steps, max(1, total_steps // 10))
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=peak_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1))
+
+
+# ---------------------------------------------------------------------------
+# Batching from HDF5 sample files
+# ---------------------------------------------------------------------------
+
+
+class TrainBatcher:
+    """Index feature files, split train/valid, serve fixed-shape batches.
+
+    Reference: ``medaka/training.py:295-391``.
+    """
+
+    def __init__(self, features: Sequence[str], validation: float = 0.2,
+                 seed: int = 0, batch_size: int = 128,
+                 max_samples: Optional[int] = None,
+                 max_valid_samples: Optional[int] = None):
+        """:param features: HDF5 feature file paths.
+
+        :param validation: fraction for validation, or a list of file
+            paths to use exclusively for validation.
+        """
+        self.logger = common.get_named_logger("TrainBatcher")
+        self.batch_size = batch_size
+        if isinstance(validation, (list, tuple)):
+            train_index = datastore.DataIndex(list(features))
+            valid_index = datastore.DataIndex(list(validation))
+            self.train_samples = list(train_index.samples)
+            self.valid_samples = list(valid_index.samples)
+            self._index = train_index
+        else:
+            index = datastore.DataIndex(list(features))
+            samples = list(index.samples)
+            rng = np.random.default_rng(seed)
+            rng.shuffle(samples)
+            n_valid = int(len(samples) * validation)
+            self.valid_samples = samples[:n_valid]
+            self.train_samples = samples[n_valid:]
+            self._index = index
+        if max_samples is not None:
+            self.train_samples = self.train_samples[:max_samples]
+        if max_valid_samples is not None:
+            self.valid_samples = self.valid_samples[:max_valid_samples]
+        if not self.train_samples:
+            raise ValueError("No training samples found.")
+        self.meta = dict(self._index.metadata)
+        first = next(self._index.yield_from_feature_files(
+            samples=self.train_samples[:1]))
+        self.time_steps = first.features.shape[0]
+        self.feat_dim = first.features.shape[-1]
+        self.logger.info(
+            "%d train / %d valid samples of shape (%d, %d).",
+            len(self.train_samples), len(self.valid_samples),
+            self.time_steps, self.feat_dim)
+
+    def _load(self, sample_names) -> Dict[str, np.ndarray]:
+        feats = np.zeros(
+            (self.batch_size, self.time_steps, self.feat_dim), np.float32)
+        labels = np.zeros((self.batch_size, self.time_steps), np.int32)
+        mask = np.zeros((self.batch_size, self.time_steps), np.float32)
+        lengths = np.zeros((self.batch_size,), np.int32)
+        for i, sample in enumerate(self._index.yield_from_feature_files(
+                samples=sample_names)):
+            n = min(sample.features.shape[0], self.time_steps)
+            feats[i, :n] = sample.features[:n]
+            labels[i, :n] = np.asarray(sample.labels[:n]).reshape(n)
+            mask[i, :n] = 1.0
+            lengths[i] = n
+        return {"features": feats, "labels": labels, "mask": mask,
+                "lengths": lengths}
+
+    def batches(self, split: str = "train", shuffle: bool = True,
+                seed: int = 0, prefetch: int = 4):
+        """Yield batch dicts for an epoch, loading in a worker thread."""
+        names = list(
+            self.train_samples if split == "train" else self.valid_samples)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(names)
+        groups = [
+            names[i:i + self.batch_size]
+            for i in range(0, len(names), self.batch_size)]
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
+
+        def worker():
+            try:
+                for g in groups:
+                    q.put(self._load(g))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+
+    def n_batches(self, split: str = "train") -> int:
+        """Batches per epoch."""
+        n = len(self.train_samples if split == "train"
+                else self.valid_samples)
+        return int(np.ceil(n / self.batch_size))
+
+
+class CSVLogger:
+    """Append-only CSV metrics log (reference ``training.py:480-531``)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fieldnames: Optional[List[str]] = None
+        self._fh = None
+
+    def append(self, row: Dict):
+        if self._fh is None:
+            self._fieldnames = list(row.keys())
+            exists = os.path.exists(self.path)
+            self._fh = open(self.path, "a", newline="")
+            self._writer = csv.DictWriter(
+                self._fh, fieldnames=self._fieldnames)
+            if not exists:
+                self._writer.writeheader()
+        self._writer.writerow(row)
+        self._fh.flush()
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+
+def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
+              logger, csv_logger=None, is_training=True, eval_fn=None):
+    """One pass over a split; returns (params, opt_state, loss, acc)."""
+    total_loss, total_correct, total_count, n_batches = 0.0, 0.0, 0.0, 0
+    t0 = now()
+    for batch in batcher.batches(split, shuffle=is_training, seed=epoch):
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if is_training:
+            params, opt_state, loss, n_c, n_t = step_fn(
+                params, opt_state, jbatch)
+        else:
+            loss, (n_c, n_t) = eval_fn(params, jbatch)
+        total_loss += float(loss)
+        total_correct += float(n_c)
+        total_count += float(n_t)
+        n_batches += 1
+        if csv_logger is not None:
+            csv_logger.append({
+                "split": split, "epoch": epoch, "batch": n_batches,
+                "loss": float(loss),
+                "acc": float(n_c) / max(1.0, float(n_t)),
+                "time": now() - t0})
+    acc = total_correct / max(1.0, total_count)
+    mean_loss = total_loss / max(1, n_batches)
+    logger.info(
+        "[%s] epoch %d: loss %.4f acc %.4f (Q%.1f) in %.1fs",
+        split, epoch, mean_loss, acc, qscore(acc), now() - t0)
+    return params, opt_state, mean_loss, acc
+
+
+def run_training(
+        train_name: str, batcher: TrainBatcher,
+        model_dict: Optional[Dict] = None, epochs: int = 10,
+        optimizer: str = "nadam", optim_args: Optional[Dict] = None,
+        mesh=None, model_parallel: int = 1,
+        compute_dtype=jnp.bfloat16, seed: int = 0,
+        early_stop_epochs: int = 20):
+    """Train a consensus model (reference ``training.py:60-236``).
+
+    :param train_name: output directory.
+    :param batcher: a :class:`TrainBatcher`.
+    :param model_dict: {type, kwargs} architecture (default: bundled
+        GRUModel geometry, scaled to the batcher's feature width).
+    :returns: (model, params) of the final epoch.
+    """
+    logger = common.get_named_logger("Training")
+    os.makedirs(train_name, exist_ok=True)
+
+    if model_dict is None:
+        model_dict = dict(models_mod.DEFAULT_MODEL_DICT)
+        model_dict["kwargs"] = dict(model_dict["kwargs"])
+        model_dict["kwargs"]["num_features"] = batcher.feat_dim
+    model = models_mod.model_from_dict(model_dict)
+    feature_encoder = batcher.meta.get("feature_encoder")
+    label_scheme = batcher.meta.get("label_scheme")
+
+    if mesh is None:
+        mesh = parallel.make_mesh(model=model_parallel)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    params = parallel.shard_params(params, mesh)
+
+    steps_per_epoch = batcher.n_batches("train")
+    schedule = cosine_schedule(
+        _OPTIMIZERS[optimizer][1]["learning_rate"]
+        if not (optim_args or {}).get("learning_rate")
+        else optim_args["learning_rate"],
+        total_steps=epochs * steps_per_epoch)
+    opt = build_optimizer(optimizer, schedule, optim_args)
+    opt_state = opt.init(params)
+
+    step_fn = parallel.make_train_step(
+        model, opt, mesh, compute_dtype=compute_dtype)
+
+    eval_fn = jax.jit(
+        lambda p, b: parallel.cross_entropy_loss(
+            model, p, b, compute_dtype=compute_dtype))
+
+    csv_logger = CSVLogger(os.path.join(train_name, "training.csv"))
+    best = {"val_loss": np.inf, "val_acc": -np.inf}
+    best_epoch = 0
+
+    def save(name, p):
+        return models_mod.save_model(
+            os.path.join(train_name, name + ".tar.gz"), model,
+            jax.tree_util.tree_map(np.asarray, p),
+            feature_encoder=feature_encoder, label_scheme=label_scheme)
+
+    for epoch in range(epochs):
+        params, opt_state, _loss, _acc = run_epoch(
+            step_fn, params, opt_state, batcher, "train", epoch,
+            logger, csv_logger, is_training=True)
+        save("model-{}".format(epoch), params)
+        if batcher.valid_samples:
+            _, _, val_loss, val_acc = run_epoch(
+                step_fn, params, opt_state, batcher, "validation",
+                epoch, logger, csv_logger, is_training=False,
+                eval_fn=eval_fn)
+            if val_loss < best["val_loss"]:
+                best["val_loss"] = val_loss
+                best_epoch = epoch
+                save("model-best_val_loss", params)
+            if val_acc > best["val_acc"]:
+                best["val_acc"] = val_acc
+                save("model-best_val_acc", params)
+            if epoch - best_epoch >= early_stop_epochs:
+                logger.info(
+                    "Early stop: no val-loss improvement in %d epochs.",
+                    early_stop_epochs)
+                break
+    csv_logger.close()
+    return model, jax.tree_util.tree_map(np.asarray, params)
+
+
+def train(args):
+    """CLI entry point for `medaka_tpu train`."""
+    batcher = TrainBatcher(
+        args.features, validation=args.validation_features
+        or args.validation_split, seed=args.seed,
+        batch_size=args.batch_size, max_samples=args.max_samples,
+        max_valid_samples=args.max_valid_samples)
+    model_dict = None
+    if getattr(args, "model", None):
+        bundle = models_mod.open_model(args.model)
+        model_dict = bundle.model.to_dict()
+    run_training(
+        args.train_name, batcher, model_dict=model_dict,
+        epochs=args.epochs, optimizer=args.optimizer,
+        optim_args=args.optim_args, seed=args.seed)
