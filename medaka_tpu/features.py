@@ -562,6 +562,296 @@ class SoftRLEFeatureEncoder(HardRLEFeatureEncoder):
 
 
 # ---------------------------------------------------------------------------
+# Read-level (3-D) feature matrices
+# ---------------------------------------------------------------------------
+
+# strand-symmetric nt16 -> base code (1..4), 0 = pad, 5 = deletion
+# (reference ``medaka_read_matrix.h:37-46``)
+NT16_TO_SYMM = np.zeros(16, dtype=np.int8)
+for _code, _base in ((1, 1), (2, 2), (4, 3), (8, 4)):
+    NT16_TO_SYMM[_code] = _base
+READ_DEL_VAL = 5
+BASE_FEATLEN = 4  # base, qual, strand, mapq
+READ_ROW_MIN_GAP = 5  # reference ``medaka_read_matrix.c:329``
+
+
+def calculate_dwells(rec: BamRecord) -> Optional[np.ndarray]:
+    """Per-base dwell times (basecaller strides) from the ``mv`` tag.
+
+    Mirrors ``calculate_dwells`` (``medaka_read_matrix.c:169-228``):
+    returns None when the tag is absent or inconsistent with the
+    sequence length (clipped records).
+    """
+    mv = rec.tags.get("mv")
+    if mv is None:
+        return None
+    mv = np.asarray(mv)
+    length = len(rec.seq_nt16)
+    # tag layout: [stride, move, move, ...]; a move of 1 starts a base
+    moves = np.flatnonzero(mv[1:] == 1) + 1  # indices into mv
+    if len(moves) != length:
+        common.get_named_logger("Dwells").debug(
+            "Invalid move array detected for read %s.", rec.query_name)
+        return None
+    out = np.empty(length, dtype=np.int64)
+    if rec.is_reverse:
+        # first basecalled base is the last stored base; C iterates the
+        # move table backwards filling qpos 0.. ascending
+        bounds = np.concatenate((moves, [len(mv)]))
+        out[:] = np.diff(bounds)[::-1]
+    else:
+        out[:-1] = np.diff(moves)
+        out[-1] = len(mv) - moves[-1]
+    return np.minimum(out, np.iinfo(np.int8).max).astype(np.int8)
+
+
+def read_alignment_matrix(
+        region: Region, bam, dtype_prefixes=None, tag_name=None,
+        tag_value=None, keep_missing=False, read_group=None, min_mapq=1,
+        row_per_read=False, include_dwells=True, include_haplotype=False,
+        max_reads=100):
+    """Build read-level feature tensors for a region.
+
+    Produces an int8 tensor (n_cols, n_reads, featlen) with per-read
+    channels [base, qual, strand, mapq(, dwell)(, haplotype)(, dtype)]
+    following ``calculate_read_alignment``
+    (``src/medaka_read_matrix.c:277-615``): deletion columns get
+    ``del_val=5``/qual -1, columns a read spans but has no insertion for
+    are filled as deletions, read rows are reused once a prior occupant
+    has ended ``min_gap=5`` positions earlier.
+
+    Unlike the reference (which computes 100 kb chunks in C threads and
+    re-aligns read rows across joins by id, ``features.py:412-467``) the
+    whole region is processed in one vectorised pass, so row identity is
+    globally consistent — downstream models mean-pool over rows, making
+    the two layouts equivalent.
+
+    :returns: list of (matrix, positions) per contiguous coverage block.
+    """
+    logger = common.get_named_logger("ReadMatrix")
+    if dtype_prefixes is None or isinstance(dtype_prefixes, str):
+        dtypes = [""]
+    else:
+        dtypes = list(dtype_prefixes)
+    num_dtypes = len(dtypes)
+    dtype_index = {d: i for i, d in enumerate(dtypes)}
+    featlen = (BASE_FEATLEN + int(include_dwells) + int(include_haplotype)
+               + int(num_dtypes > 1))
+    start, end = region.start, region.end
+    span = end - start
+
+    reader = bam if isinstance(bam, BamReader) else BamReader(bam)
+    try:
+        reads = [
+            rec for rec in reader.fetch(region.ref_name, start, end)
+            if filter_read(
+                rec, min_mapq, tag_name, tag_value, keep_missing,
+                read_group)]
+    finally:
+        if reader is not bam:
+            reader.close()
+
+    def empty():
+        return [(
+            np.empty((0, 0, featlen), dtype=np.int8),
+            make_positions([], []))]
+
+    if not reads:
+        return empty()
+
+    events = [ReadEvents(rec, start, end) for rec in reads]
+    events = [ev for ev in events if ev.cover_end > ev.cover_start]
+    if not events:
+        return empty()
+
+    # column geometry (as for counts)
+    cover = np.zeros(span + 1, dtype=np.int32)
+    max_ins = np.zeros(span, dtype=np.int64)
+    for ev in events:
+        cover[ev.cover_start - start] += 1
+        cover[ev.cover_end - start] -= 1
+        if len(ev.ins_anchor):
+            np.maximum.at(
+                max_ins, ev.ins_anchor - start,
+                ev.ins_minor.astype(np.int64))
+    covered = np.cumsum(cover[:-1]) > 0
+    cov_pos = np.flatnonzero(covered)
+    if len(cov_pos) == 0:
+        return empty()
+    cols_per_pos = 1 + max_ins[cov_pos]
+    col_start = np.concatenate(([0], np.cumsum(cols_per_pos)))
+    n_cols = int(col_start[-1])
+    col_of_pos = np.full(span, -1, dtype=np.int64)
+    col_of_pos[cov_pos] = col_start[:-1]
+    majors = np.repeat(cov_pos + start, cols_per_pos)
+    minors = np.arange(n_cols) - np.repeat(col_start[:-1], cols_per_pos)
+    positions = make_positions(majors, minors)
+    first_pos = int(cov_pos[0] + start)
+    last_pos = int(cov_pos[-1] + start)
+
+    # row assignment in pileup order with slot reuse
+    row_end: List[int] = []    # current occupant's reference end per row
+    rows: List[int] = []       # row of each event (-1 = dropped)
+    for ev in events:
+        p0 = ev.cover_start
+        row = None
+        if not row_per_read:
+            for r, rend in enumerate(row_end):
+                if p0 >= rend + READ_ROW_MIN_GAP:
+                    row = r
+                    break
+        if row is None:
+            row = len(row_end)
+            row_end.append(ev.rec.reference_end)
+        else:
+            row_end[row] = ev.rec.reference_end
+        rows.append(row if row < max_reads else -1)
+    n_reads = min(max_reads, len(row_end))
+
+    matrix = np.zeros((n_cols, n_reads, featlen), dtype=np.int8)
+    read_ids_left = np.array([b""] * n_reads, dtype=object)
+    read_ids_right = np.array([b""] * n_reads, dtype=object)
+
+    dwell_ch = BASE_FEATLEN if include_dwells else None
+    hap_ch = (BASE_FEATLEN + int(include_dwells)
+              if include_haplotype else None)
+    dt_ch = (BASE_FEATLEN + int(include_dwells) + int(include_haplotype)
+             if num_dtypes > 1 else None)
+
+    for ev, row in zip(events, rows):
+        if row < 0:
+            continue
+        rec = ev.rec
+        strand = -1 if ev.is_rev else 1
+        mapq = min(rec.mapq, np.iinfo(np.int8).max)
+        hap = int(rec.tags.get("HP", 0)) if include_haplotype else 0
+        if num_dtypes > 1:
+            dt_tag = rec.tags.get("DT")
+            if dt_tag is None or dt_tag not in dtype_index:
+                raise ValueError(
+                    "Datatype not found for {}.".format(rec.query_name))
+            dtype = dtype_index[dt_tag]
+        else:
+            dtype = 0
+        dwells = calculate_dwells(rec) if include_dwells else None
+
+        # default-fill the read's whole covered column span as deletions
+        lo = col_of_pos[ev.cover_start - start]
+        hi_pos = ev.cover_end - 1 - start
+        hi = col_of_pos[hi_pos] + max_ins[hi_pos] + 1
+        sl = matrix[lo:hi, row]
+        sl[:, 0] = READ_DEL_VAL
+        sl[:, 1] = -1
+        sl[:, 2] = strand
+        sl[:, 3] = mapq
+        if dwell_ch is not None:
+            sl[:, dwell_ch] = -1
+        if hap_ch is not None:
+            sl[:, hap_ch] = hap
+        if dt_ch is not None:
+            sl[:, dt_ch] = dtype
+
+        # overwrite with real base calls (aligned + inserted)
+        qpos = np.concatenate([ev.aln_qpos, ev.ins_qpos])
+        if len(qpos):
+            cols = np.concatenate([
+                col_of_pos[ev.aln_rpos - start],
+                col_of_pos[ev.ins_anchor - start] + ev.ins_minor])
+            base = NT16_TO_SYMM[rec.seq_nt16[qpos]]
+            matrix[cols, row, 0] = base
+            quals = rec.query_qualities
+            matrix[cols, row, 1] = (
+                np.minimum(quals[qpos], np.iinfo(np.int8).max)
+                if quals is not None else 0)
+            if dwell_ch is not None and dwells is not None:
+                matrix[cols, row, dwell_ch] = dwells[qpos]
+
+        if ev.cover_start <= first_pos < ev.cover_end:
+            read_ids_left[row] = rec.query_name.encode()
+        if rec.reference_end - 1 >= last_pos >= rec.pos:
+            read_ids_right[row] = rec.query_name.encode()
+
+    # blank ids for unoccupied boundary rows (reference
+    # ``medaka_read_matrix.c:573-587``)
+    n_blank_l = n_blank_r = 0
+    for r in range(n_reads):
+        if read_ids_left[r] == b"":
+            n_blank_l += 1
+            read_ids_left[r] = "__blank_{}".format(n_blank_l).encode()
+        if read_ids_right[r] == b"":
+            n_blank_r += 1
+            read_ids_right[r] = "__blank_{}".format(n_blank_r).encode()
+
+    logger.debug(
+        "Processed %s: %d cols x %d reads.", region, n_cols, n_reads)
+
+    # split on gaps in major coordinates (chunk contiguity)
+    block_bounds = np.flatnonzero(np.diff(cov_pos) > 1) + 1
+    if len(block_bounds) == 0:
+        return [(matrix, positions)]
+    out = []
+    col_cuts = col_start[block_bounds]
+    for piece in np.split(np.arange(n_cols), col_cuts):
+        out.append((matrix[piece], positions[piece]))
+    return out
+
+
+class ReadAlignmentFeatureEncoder(CountsFeatureEncoder):
+    """Read-level 3-D feature tensors (reference ``features.py:1100-1205``).
+
+    Features are int8 (positions, reads, channels); channels are
+    [base, qual, strand, mapq(, dwell)(, haplotype)]. Bases are 0-5 for
+    [pad, A, C, G, T, deletion] (strand symmetric); strand is +1/-1;
+    dwell is basecaller strides.
+    """
+
+    feature_dtype = np.int8
+
+    def __init__(
+            self, dtypes=("",), tag_name=None, tag_value=None,
+            tag_keep_missing=False, read_group=None, min_mapq=1,
+            max_reads=100, row_per_read=False, include_dwells=True,
+            include_haplotype=False):
+        """See class docstring; parameters follow the reference."""
+        self.max_reads = max_reads
+        self.row_per_read = row_per_read
+        self.include_dwells = include_dwells
+        self.include_haplotype = include_haplotype
+        super().__init__(
+            normalise=None, dtypes=dtypes, tag_name=tag_name,
+            tag_value=tag_value, tag_keep_missing=tag_keep_missing,
+            read_group=read_group, min_mapq=min_mapq)
+
+    @property
+    def feature_vector_length(self):
+        """Channels per read per position."""
+        return (BASE_FEATLEN + int(self.include_dwells)
+                + int(self.include_haplotype) + int(len(self.dtypes) > 1))
+
+    def _pileup_function(self, region, bam):
+        return read_alignment_matrix(
+            region, bam, dtype_prefixes=self.dtypes,
+            tag_name=self.tag_name, tag_value=self.tag_value,
+            keep_missing=self.tag_keep_missing,
+            read_group=self.read_group, min_mapq=self.min_mapq,
+            row_per_read=self.row_per_read,
+            include_dwells=self.include_dwells,
+            include_haplotype=self.include_haplotype,
+            max_reads=self.max_reads)
+
+    def _post_process_pileup(self, features, positions, region) -> Sample:
+        depth = np.count_nonzero(features[..., 0], axis=-1)
+        sample = Sample(
+            ref_name=region.ref_name, features=features, labels=None,
+            ref_seq=None, positions=positions, label_probs=None,
+            depth=depth)
+        self.logger.debug(
+            "Processed %s (median depth %s)", sample.name,
+            np.median(depth) if len(depth) else 0)
+        return sample
+
+
+# ---------------------------------------------------------------------------
 # Sample generation / chunking
 # ---------------------------------------------------------------------------
 

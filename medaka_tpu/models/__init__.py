@@ -185,4 +185,6 @@ def resolve_model(model: str) -> str:
 
 # register concrete models on import
 from medaka_tpu.models.gru import GRUModel  # noqa: E402,F401
+from medaka_tpu.models.latent_space_lstm import (  # noqa: E402,F401
+    LatentSpaceLSTM)
 from medaka_tpu.models.majority import MajorityVoteModel  # noqa: E402,F401

@@ -1,0 +1,279 @@
+"""Read-level latent-space LSTM consensus model.
+
+Parity target: ``medaka/architectures/latent_space_lstm.py`` (+
+``read_level_modules.py``): base/strand embeddings summed, scaled qscores
+(and optional dwells) appended, per-read 1-D convs along positions,
+linear expansion, masked mean-pool over read rows, 2-layer bi-LSTM and a
+linear head. Torch checkpoints (``rl_lstm384_*`` bundled models) import
+1:1.
+
+TPU notes: convolutions and the pooling are pure MXU/VPU work batched
+over (batch x reads); the LSTM stack reuses :mod:`medaka_tpu.ops.rnn`.
+Only the basecall, qual, strand (and dwell) channels are consumed,
+mirroring the reference (mapq/haplotype/dtype channels ignored).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medaka_tpu.models import register_model
+from medaka_tpu.ops.rnn import bilstm_stack, lstm_layer_params
+
+
+def _conv1d_params(rng, in_ch, out_ch, kernel, dtype=jnp.float32):
+    k = 1.0 / np.sqrt(in_ch * kernel)
+    k1, k2 = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(
+            k1, (out_ch, in_ch, kernel), dtype, -k, k),
+        "b": jax.random.uniform(k2, (out_ch,), dtype, -k, k)}
+
+
+def _linear_params(rng, in_f, out_f, dtype=jnp.float32):
+    k = 1.0 / np.sqrt(in_f)
+    k1, k2 = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(k1, (out_f, in_f), dtype, -k, k),
+        "b": jax.random.uniform(k2, (out_f,), dtype, -k, k)}
+
+
+def _bn_params(ch):
+    return {
+        "scale": jnp.ones((ch,), jnp.float32),
+        "bias": jnp.zeros((ch,), jnp.float32),
+        "mean": jnp.zeros((ch,), jnp.float32),
+        "var": jnp.ones((ch,), jnp.float32)}
+
+
+@register_model
+class LatentSpaceLSTM:
+    """Functional read-level model: params pytree + pure ``apply``."""
+
+    input_kind = "reads"
+
+    def __init__(self, num_classes=5, lstm_size=128, cnn_size=128,
+                 kernel_sizes=(1, 17), pooler_type="mean", pooler_args=None,
+                 use_dwells=False, bases_alphabet_size=6,
+                 bases_embedding_size=6, bidirectional=True,
+                 time_steps=None):
+        """Mirror the reference constructor (checkpoint compatible)."""
+        if pooler_type != "mean":
+            raise NotImplementedError(
+                "Only mean pooling is implemented (as in the reference).")
+        self.num_classes = num_classes
+        self.lstm_size = lstm_size
+        self.cnn_size = cnn_size
+        self.kernel_sizes = list(kernel_sizes)
+        self.pooler_type = pooler_type
+        self.pooler_args = dict(pooler_args or {})
+        self.use_dwells = use_dwells
+        self.bases_alphabet_size = bases_alphabet_size
+        self.bases_embedding_size = bases_embedding_size
+        self.bidirectional = bidirectional
+        self.normalise = True
+
+    def to_dict(self):
+        """Architecture config."""
+        return {
+            "type": "LatentSpaceLSTM",
+            "kwargs": {
+                "num_classes": self.num_classes,
+                "lstm_size": self.lstm_size,
+                "cnn_size": self.cnn_size,
+                "kernel_sizes": self.kernel_sizes,
+                "pooler_type": self.pooler_type,
+                "pooler_args": self.pooler_args,
+                "use_dwells": self.use_dwells,
+                "bases_alphabet_size": self.bases_alphabet_size,
+                "bases_embedding_size": self.bases_embedding_size,
+                "bidirectional": self.bidirectional,
+            }}
+
+    # --- params ---
+
+    def init_params(self, rng) -> Dict:
+        """Random initialisation following torch defaults."""
+        n_extra = 1 + int(self.use_dwells)
+        in_feat = self.bases_embedding_size + n_extra
+        keys = jax.random.split(rng, 8 + 2 * len(self.kernel_sizes))
+        ki = iter(keys)
+        convs: List[Dict] = []
+        ch_in = in_feat
+        for ksize in self.kernel_sizes:
+            convs.append({
+                "conv": _conv1d_params(
+                    next(ki), ch_in, self.cnn_size, ksize),
+                "bn": _bn_params(self.cnn_size)})
+            ch_in = self.cnn_size
+        lstm_layers = []
+        n_dirs = 2 if self.bidirectional else 1
+        if not self.bidirectional:
+            raise NotImplementedError(
+                "Unidirectional (ReversibleLSTM) variant not yet built.")
+        for layer_i in range(2):
+            in_size = self.lstm_size if layer_i == 0 \
+                else self.lstm_size * n_dirs
+            layer = {
+                "fwd": lstm_layer_params(
+                    next(ki), in_size, self.lstm_size),
+                "bwd": lstm_layer_params(
+                    next(ki), in_size, self.lstm_size)}
+            lstm_layers.append(layer)
+        return {
+            "base_embed": jax.random.normal(
+                next(ki),
+                (self.bases_alphabet_size, self.bases_embedding_size)),
+            "strand_embed": jax.random.normal(
+                next(ki), (3, self.bases_embedding_size)),
+            "convs": convs,
+            "pre_pool": _linear_params(
+                next(ki), self.cnn_size, self.lstm_size),
+            "lstm": lstm_layers,
+            "linear": _linear_params(
+                next(ki), self.lstm_size * n_dirs, self.num_classes)}
+
+    def params_from_torch_state(self, state: Dict) -> Dict:
+        """Map a reference checkpoint state dict onto our pytree."""
+        def arr(key):
+            v = state[key]
+            return np.asarray(
+                v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                dtype=np.float32)
+
+        convs = []
+        # torch Sequential: Conv1d, ReLU, BatchNorm1d triples
+        idx = 0
+        for _ksize in self.kernel_sizes:
+            conv_key = "read_level_conv.convs.{}".format(idx)
+            bn_key = "read_level_conv.convs.{}".format(idx + 2)
+            convs.append({
+                "conv": {"w": arr(conv_key + ".weight"),
+                         "b": arr(conv_key + ".bias")},
+                "bn": {"scale": arr(bn_key + ".weight"),
+                       "bias": arr(bn_key + ".bias"),
+                       "mean": arr(bn_key + ".running_mean"),
+                       "var": arr(bn_key + ".running_var")}})
+            idx += 3
+        lstm_layers = []
+        for k in range(2):
+            lstm_layers.append({
+                "fwd": {
+                    "w_ih": arr("lstm.weight_ih_l{}".format(k)),
+                    "w_hh": arr("lstm.weight_hh_l{}".format(k)),
+                    "b_ih": arr("lstm.bias_ih_l{}".format(k)),
+                    "b_hh": arr("lstm.bias_hh_l{}".format(k))},
+                "bwd": {
+                    "w_ih": arr("lstm.weight_ih_l{}_reverse".format(k)),
+                    "w_hh": arr("lstm.weight_hh_l{}_reverse".format(k)),
+                    "b_ih": arr("lstm.bias_ih_l{}_reverse".format(k)),
+                    "b_hh": arr("lstm.bias_hh_l{}_reverse".format(k))}})
+        return {
+            "base_embed": arr("base_embedder.weight"),
+            "strand_embed": arr("strand_embedder.weight"),
+            "convs": convs,
+            "pre_pool": {
+                "w": arr("pre_pool_expansion_layer.weight"),
+                "b": arr("pre_pool_expansion_layer.bias")},
+            "lstm": lstm_layers,
+            "linear": {
+                "w": arr("linear.weight"), "b": arr("linear.bias")}}
+
+    # --- forward ---
+
+    def apply(self, params: Dict, x: jnp.ndarray, normalise: bool = True,
+              compute_dtype=None, lengths=None,
+              training: bool = False) -> jnp.ndarray:
+        """Forward pass.
+
+        :param x: (batch, positions, reads, channels) int8 read-level
+            features; channels [base, qual, strand, mapq(, dwell)].
+        :param training: batch-norm uses batch statistics when True
+            (running statistics otherwise).
+        :returns: (batch, positions, num_classes).
+        """
+        cd = compute_dtype or jnp.float32
+        xf = x.astype(jnp.float32)
+        B, P, R, _C = x.shape
+
+        # read rows that contain any data (reference
+        # ``latent_space_lstm.py:164-166``)
+        non_empty = jnp.sum(jnp.abs(xf), axis=(1, 3)) != 0  # (B, R)
+
+        base_emb = jnp.take(
+            params["base_embed"], x[..., 0].astype(jnp.int32), axis=0)
+        strand_emb = jnp.take(
+            params["strand_embed"],
+            x[..., 2].astype(jnp.int32) + 1, axis=0)
+        scaled_q = (xf[..., 1] / 25.0 - 1.0)[..., None]
+        parts = [base_emb + strand_emb, scaled_q]
+        if self.use_dwells:
+            parts.append(xf[..., 4][..., None])
+        feats = jnp.concatenate(parts, axis=-1)  # (B, P, R, F)
+
+        # per-read convs along positions: to (B*R, P, F)
+        feats = jnp.transpose(feats, (0, 2, 1, 3)).reshape(
+            B * R, P, -1).astype(cd)
+        for layer in params["convs"]:
+            w = layer["conv"]["w"].astype(cd)  # (out, in, k)
+            feats = jax.lax.conv_general_dilated(
+                feats, w, window_strides=(1,),
+                padding="SAME",
+                dimension_numbers=("NWC", "OIW", "NWC"),
+                preferred_element_type=cd)
+            feats = feats + layer["conv"]["b"].astype(cd)
+            feats = jax.nn.relu(feats)
+            bn = layer["bn"]
+            if training:
+                mean = jnp.mean(feats, axis=(0, 1))
+                var = jnp.var(feats, axis=(0, 1))
+            else:
+                mean = bn["mean"].astype(cd)
+                var = bn["var"].astype(cd)
+            feats = (feats - mean) * jax.lax.rsqrt(
+                var.astype(jnp.float32) + 1e-5).astype(cd)
+            feats = feats * bn["scale"].astype(cd) + bn["bias"].astype(cd)
+
+        # linear expansion to lstm width
+        feats = (
+            jnp.einsum(
+                "nwc,lc->nwl", feats, params["pre_pool"]["w"].astype(cd),
+                preferred_element_type=cd)
+            + params["pre_pool"]["b"].astype(cd))
+        feats = feats.reshape(B, R, P, self.lstm_size)
+
+        # masked mean-pool over reads
+        mask = non_empty.astype(cd)[:, :, None, None]
+        denom = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+        pooled = jnp.sum(feats * mask, axis=1) / denom  # (B, P, L)
+
+        out = bilstm_stack(
+            params["lstm"], pooled, bidirectional=self.bidirectional,
+            compute_dtype=compute_dtype)
+        logits = (
+            jnp.einsum(
+                "bpl,cl->bpc", out.astype(jnp.float32),
+                params["linear"]["w"].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            + params["linear"]["b"].astype(jnp.float32))
+        if normalise:
+            return jax.nn.softmax(logits, axis=-1)
+        return logits
+
+    def check_feature_encoder_compatibility(self, fenc):
+        """Read-level encoders, single dtype, dwell agreement."""
+        from medaka_tpu.features import ReadAlignmentFeatureEncoder
+        name = type(self).__name__
+        if not isinstance(fenc, ReadAlignmentFeatureEncoder):
+            raise ValueError(
+                "{} expects a ReadAlignmentFeatureEncoder.".format(name))
+        if len(fenc.dtypes) > 1:
+            raise NotImplementedError(
+                "{} supports only one dtype.".format(name))
+        if self.use_dwells and not getattr(fenc, "include_dwells", False):
+            raise ValueError(
+                "Model expects dwells but the encoder does not include "
+                "them.")

@@ -1,0 +1,234 @@
+"""Read-level featurizer and LatentSpaceLSTM tests.
+
+Mirrors the reference's ``test_read_alignment_matrix.py`` behavioural
+checks (matrix values on the mock BAM, totals vs the counts encoder,
+dwell extraction) and adds torch-parity for checkpoint import. Note the
+reference repo's golden arrays there predate its current C kernel (they
+expect strand 0 / del-qual 0 where ``medaka_read_matrix.c:436,493`` write
+-1); we match the current C semantics, which the bundled models consume
+(``latent_space_lstm.py:98,170`` embeds strands as {-1, 0, +1}).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medaka_tpu.common import Region
+from medaka_tpu.features import (
+    CountsFeatureEncoder, ReadAlignmentFeatureEncoder, calculate_dwells,
+    read_alignment_matrix)
+from medaka_tpu.models.latent_space_lstm import LatentSpaceLSTM
+
+from mock_data import create_simple_bam
+
+
+@pytest.fixture(scope="module")
+def simple_bam(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rl") / "simple.bam")
+    return create_simple_bam(path)
+
+
+class TestReadMatrix:
+    def test_mock_bam_matrix(self, simple_bam):
+        encoder = ReadAlignmentFeatureEncoder(include_dwells=False)
+        sample = encoder.bam_to_sample(simple_bam, Region("ref", 0, 100))[0]
+        assert sample.features.shape == (9, 4, 4)
+        # positions: 8 majors + one insertion column after major 3
+        np.testing.assert_array_equal(
+            sample.positions["major"], [0, 1, 2, 3, 3, 4, 5, 6, 7])
+        np.testing.assert_array_equal(
+            sample.positions["minor"], [0, 0, 0, 0, 1, 0, 0, 0, 0])
+        f = sample.features
+        # read 0: exact match, quals as given, fwd strand, mapq 40;
+        # no insertion -> del fill at the minor column
+        np.testing.assert_array_equal(
+            f[:, 0, 0], [1, 2, 1, 4, 5, 3, 1, 4, 3])
+        np.testing.assert_array_equal(
+            f[:, 0, 1], [2, 1, 4, 5, -1, 1, 1, 2, 1])
+        assert set(f[:, 0, 2]) == {1}
+        assert set(f[:, 0, 3]) == {40}
+        # read 1: deletion at major 3 -> del_val at both 3.0 and 3.1
+        np.testing.assert_array_equal(
+            f[:, 1, 0], [1, 2, 1, 5, 5, 3, 1, 4, 3])
+        assert f[3, 1, 1] == -1
+        # read 2 (reverse): insertion base at 3.1, strand -1
+        np.testing.assert_array_equal(
+            f[:, 2, 0], [1, 2, 1, 4, 1, 3, 1, 4, 3])
+        assert set(f[:, 2, 2]) == {-1}
+        # read 3 (reverse): substitution C at major 3
+        np.testing.assert_array_equal(
+            f[:, 3, 0], [1, 2, 1, 2, 5, 3, 1, 4, 3])
+        assert set(f[:, 3, 3]) == {24}
+        np.testing.assert_array_equal(sample.depth, [4] * 9)
+
+    def test_totals_match_counts_encoder(self, simple_bam):
+        """Base counts derived from the read matrix equal the counts
+        encoder's (reference ``test_read_alignment_matrix.py:41-64``)."""
+        region = Region("ref", 0, 100)
+        rl = ReadAlignmentFeatureEncoder(
+            include_dwells=False).bam_to_sample(simple_bam, region)[0]
+        counts = CountsFeatureEncoder(
+            normalise=None, sym_indels=True).bam_to_sample(
+                simple_bam, region)[0]
+        np.testing.assert_array_equal(rl.positions, counts.positions)
+        total = (rl.features[:, :, 0] != 0).sum(-1)
+        np.testing.assert_array_equal(total, counts.features.sum(-1))
+        base_counts = np.array(
+            [(rl.features[:, :, 0] == i + 1).sum(-1) for i in range(5)])
+        cf = counts.features
+        want = np.hstack([
+            cf[:, :4] + cf[:, 4:8],
+            (cf[:, 8] + cf[:, 9])[:, None]]).T
+        np.testing.assert_array_equal(base_counts, want)
+
+    def test_dwells(self, simple_bam):
+        encoder = ReadAlignmentFeatureEncoder(include_dwells=True)
+        sample = encoder.bam_to_sample(simple_bam, Region("ref", 0, 100))[0]
+        assert sample.features.shape == (9, 4, 5)
+        # read 0 has a valid move table; a malformed one yields zeros
+        from medaka_tpu.io.bam import BamReader
+        with BamReader(simple_bam) as br:
+            recs = list(br.fetch("ref", 0, 100))
+        d0 = calculate_dwells(recs[0])
+        assert d0 is not None and len(d0) == 8
+        # basecall_4's mv table has 11 moves for an 8-base read: rejected
+        assert calculate_dwells(recs[3]) is None
+        # its aligned dwell entries stay 0, del fills are -1
+        assert set(sample.features[:, 3, 4]) <= {0, -1}
+
+    def test_row_per_read(self, simple_bam):
+        mats = read_alignment_matrix(
+            Region("ref", 0, 100), simple_bam, row_per_read=True,
+            include_dwells=False)
+        matrix, _pos = mats[0]
+        assert matrix.shape[1] == 4
+
+    def test_max_reads_cap(self, simple_bam):
+        mats = read_alignment_matrix(
+            Region("ref", 0, 100), simple_bam, max_reads=2,
+            include_dwells=False)
+        matrix, _pos = mats[0]
+        assert matrix.shape[1] == 2
+
+    def test_feature_vector_length(self):
+        assert ReadAlignmentFeatureEncoder(
+            dtypes=["r9", "r10"],
+            include_dwells=False).feature_vector_length == 5
+        assert ReadAlignmentFeatureEncoder(
+            include_dwells=True).feature_vector_length == 5
+        assert ReadAlignmentFeatureEncoder(
+            dtypes=["r9", "r10"], include_dwells=True,
+            include_haplotype=True).feature_vector_length == 7
+
+    def test_encoder_roundtrip(self):
+        from medaka_tpu.features import from_dict
+        enc = ReadAlignmentFeatureEncoder(
+            include_dwells=True, max_reads=50)
+        enc2 = from_dict(enc.to_dict())
+        assert enc2.max_reads == 50
+        assert enc2.include_dwells
+
+    def test_training_samples(self, simple_bam, tmp_path):
+        from mock_data import create_truth_bam
+        from medaka_tpu.labels import HaploidLabelScheme
+        truth = create_truth_bam(str(tmp_path / "truth.bam"))
+        encoder = ReadAlignmentFeatureEncoder(include_dwells=False)
+        sample = encoder.bams_to_training_samples(
+            truth, simple_bam, Region("ref", 0, 100),
+            HaploidLabelScheme(), min_length=0)[0]
+        np.testing.assert_array_equal(
+            sample.labels, [1, 2, 1, 4, 1, 3, 1, 4, 3])
+        assert sample.features.shape == (9, 4, 4)
+
+
+def _torch_latent_lstm(use_dwells=False, lstm_size=16, cnn_size=12,
+                       seed=0):
+    import torch
+
+    torch.manual_seed(seed)
+
+    class TorchModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            emb = 6
+            self.base_embedder = torch.nn.Embedding(6, emb)
+            self.strand_embedder = torch.nn.Embedding(3, emb)
+            in_feat = emb + 1 + int(use_dwells)
+            layers = []
+            for k in (1, 17):
+                layers += [
+                    torch.nn.Conv1d(in_feat, cnn_size, k, padding=k // 2),
+                    torch.nn.ReLU(), torch.nn.BatchNorm1d(cnn_size)]
+                in_feat = cnn_size
+            self.read_level_conv = torch.nn.Module()
+            self.read_level_conv.convs = torch.nn.Sequential(*layers)
+            self.pre_pool_expansion_layer = torch.nn.Linear(
+                cnn_size, lstm_size)
+            self.lstm = torch.nn.LSTM(
+                lstm_size, lstm_size, num_layers=2, bidirectional=True,
+                batch_first=True)
+            self.linear = torch.nn.Linear(2 * lstm_size, 5)
+
+        def forward(self, x):
+            non_empty = x.sum((1, -1)) != 0
+            be = self.base_embedder(x[:, :, :, 0].long())
+            se = self.strand_embedder(x[:, :, :, 2].long() + 1)
+            sq = (x[:, :, :, 1] / 25 - 1).unsqueeze(-1)
+            parts = [be + se, sq]
+            if use_dwells:
+                parts.append(x[:, :, :, 4].unsqueeze(-1))
+            h = torch.cat(parts, dim=-1)
+            h = h.permute(0, 2, 3, 1)
+            b, d, f, p = h.shape
+            h = h.flatten(0, 1)
+            h = self.read_level_conv.convs(h)
+            h = h.permute(0, 2, 1)
+            h = self.pre_pool_expansion_layer(h)
+            h = h.view(b, d, p, -1)
+            depths = non_empty.sum(-1)
+            h = (h * non_empty[..., None, None]).sum(1) \
+                / depths[..., None, None]
+            h = self.lstm(h)[0]
+            h = self.linear(h)
+            return torch.softmax(h, dim=-1)
+
+    return TorchModel().eval()
+
+
+class TestLatentSpaceLSTMParity:
+    @pytest.mark.parametrize("use_dwells", [False, True])
+    def test_torch_parity(self, use_dwells):
+        import torch
+
+        tm = _torch_latent_lstm(use_dwells=use_dwells)
+        model = LatentSpaceLSTM(
+            lstm_size=16, cnn_size=12, kernel_sizes=[1, 17],
+            use_dwells=use_dwells)
+        params = model.params_from_torch_state(tm.state_dict())
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 5, (2, 40, 7, 5)).astype(np.int8)
+        x[..., 2] = rng.choice([-1, 1], (2, 40, 7))
+        x[:, :, 5:, :] = 0  # two empty read rows
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x.astype(np.float32))).numpy()
+        got = np.asarray(model.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_end_to_end_with_encoder(self, simple_bam):
+        encoder = ReadAlignmentFeatureEncoder(include_dwells=True)
+        sample = encoder.bam_to_sample(simple_bam, Region("ref", 0, 100))[0]
+        model = LatentSpaceLSTM(
+            lstm_size=8, cnn_size=8, use_dwells=True)
+        model.check_feature_encoder_compatibility(encoder)
+        params = model.init_params(jax.random.PRNGKey(0))
+        probs = model.apply(
+            params, jnp.asarray(sample.features)[None])
+        assert probs.shape == (1, 9, 5)
+        np.testing.assert_allclose(
+            np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+    def test_encoder_compat_rejects_counts(self):
+        model = LatentSpaceLSTM()
+        with pytest.raises(ValueError):
+            model.check_feature_encoder_compatibility(
+                CountsFeatureEncoder())
