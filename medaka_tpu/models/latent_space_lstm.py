@@ -252,7 +252,7 @@ class LatentSpaceLSTM:
 
         out = bilstm_stack(
             params["lstm"], pooled, bidirectional=self.bidirectional,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, lengths=lengths)
         logits = (
             jnp.einsum(
                 "bpl,cl->bpc", out.astype(jnp.float32),

@@ -153,10 +153,12 @@ def lstm_layer_params(rng, input_size: int, hidden_size: int,
 
 
 def lstm_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
-              compute_dtype=None) -> jnp.ndarray:
+              compute_dtype=None, lengths=None) -> jnp.ndarray:
     """Single-direction LSTM; torch gate order (i, f, g, o).
 
     :param x: (batch, time, features).
+    :param lengths: optional (batch,) valid lengths; carry frozen at
+        padded steps (see :func:`gru_scan`).
     :returns: (batch, time, hidden).
     """
     w_ih, w_hh = params["w_ih"], params["w_hh"]
@@ -175,7 +177,7 @@ def lstm_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
     carry0 = (jnp.zeros((batch, hidden), x.dtype),
               jnp.zeros((batch, hidden), x.dtype))
 
-    def step(carry, xp):
+    def cell(carry, xp):
         h, c = carry
         gates = xp + jnp.dot(h, w_hh_t, preferred_element_type=h.dtype) + b_hh
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -185,22 +187,43 @@ def lstm_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
         o = jax.nn.sigmoid(o)
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
-        return (h_new, c_new), h_new
+        return h_new, c_new
 
-    _, ys = jax.lax.scan(step, carry0, x_proj, reverse=reverse)
+    if lengths is None:
+        def step(carry, xp):
+            h_new, c_new = cell(carry, xp)
+            return (h_new, c_new), h_new
+
+        _, ys = jax.lax.scan(step, carry0, x_proj, reverse=reverse)
+    else:
+        t_idx = jnp.arange(x.shape[1], dtype=jnp.int32)
+        valid = (t_idx[:, None] < lengths[None, :]).astype(x.dtype)
+        valid = valid[:, :, None]
+
+        def step(carry, inp):
+            xp, m = inp
+            h, c = carry
+            h_new, c_new = cell(carry, xp)
+            h_new = m * h_new + (1.0 - m) * h
+            c_new = m * c_new + (1.0 - m) * c
+            return (h_new, c_new), h_new
+
+        _, ys = jax.lax.scan(step, carry0, (x_proj, valid), reverse=reverse)
     return jnp.swapaxes(ys, 0, 1)
 
 
 def bilstm_stack(layers, x: jnp.ndarray, bidirectional: bool = True,
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None, lengths=None) -> jnp.ndarray:
     """Apply a stack of (bi)LSTM layers; see :func:`bigru_stack`."""
     out = x
     for layer in layers:
         fwd = lstm_scan(
-            layer["fwd"], out, reverse=False, compute_dtype=compute_dtype)
+            layer["fwd"], out, reverse=False, compute_dtype=compute_dtype,
+            lengths=lengths)
         if bidirectional:
             bwd = lstm_scan(
-                layer["bwd"], out, reverse=True, compute_dtype=compute_dtype)
+                layer["bwd"], out, reverse=True,
+                compute_dtype=compute_dtype, lengths=lengths)
             out = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             out = fwd

@@ -57,16 +57,35 @@ class Batch:
 
     @classmethod
     def collate(cls, samples: Sequence[Sample], batch_size: int,
-                chunk_len: int) -> "Batch":
-        """Pack samples into a padded (batch_size, chunk_len, F) array."""
-        feat_dim = samples[0].features.shape[-1]
-        feats = np.zeros(
-            (batch_size, chunk_len, feat_dim), dtype=np.float32)
+                chunk_len: int, max_reads: Optional[int] = None) -> "Batch":
+        """Pack samples into a padded fixed-shape array.
+
+        2-D counts samples produce (B, T, F) float32; 3-D read-level
+        samples produce (B, T, R, C) int8 with the reads dim padded to
+        the static ``max_reads`` (keeping one XLA program shape; the
+        reference instead pads to the per-batch max depth,
+        ``torch_ext.py:127-140``).
+        """
+        first = samples[0].features
         lengths = np.zeros((batch_size,), dtype=np.int32)
-        for i, s in enumerate(samples):
-            n = min(s.size, chunk_len)
-            feats[i, :n] = s.features[:n]
-            lengths[i] = n
+        if first.ndim == 3:
+            reads = max_reads or max(s.features.shape[1] for s in samples)
+            feats = np.zeros(
+                (batch_size, chunk_len, reads, first.shape[-1]),
+                dtype=np.int8)
+            for i, s in enumerate(samples):
+                n = min(s.size, chunk_len)
+                r = min(s.features.shape[1], reads)
+                feats[i, :n, :r] = s.features[:n, :r]
+                lengths[i] = n
+        else:
+            feats = np.zeros(
+                (batch_size, chunk_len, first.shape[-1]),
+                dtype=np.float32)
+            for i, s in enumerate(samples):
+                n = min(s.size, chunk_len)
+                feats[i, :n] = s.features[:n]
+                lengths[i] = n
         return cls(feats, lengths, list(samples))
 
 
@@ -174,7 +193,9 @@ class DataLoader:
     def _emit(self, samples: List[Sample]):
         self.n_samples += len(samples)
         self._batch_q.put(
-            Batch.collate(samples, self.batch_size, self.chunk_len))
+            Batch.collate(
+                samples, self.batch_size, self.chunk_len,
+                max_reads=getattr(self.fencoder, "max_reads", None)))
 
     def __iter__(self):
         while True:
@@ -229,7 +250,8 @@ class Predictor:
         feats, lengths = batch.features, batch.lengths
         pad = (-feats.shape[0]) % n_dev
         if pad:
-            feats = np.pad(feats, ((0, pad), (0, 0), (0, 0)))
+            widths = [(0, pad)] + [(0, 0)] * (feats.ndim - 1)
+            feats = np.pad(feats, widths)
             lengths = np.pad(lengths, (0, pad))
         probs = self._forward(
             self.params, jnp.asarray(feats), jnp.asarray(lengths))

@@ -232,3 +232,40 @@ class TestLatentSpaceLSTMParity:
         with pytest.raises(ValueError):
             model.check_feature_encoder_compatibility(
                 CountsFeatureEncoder())
+
+
+class TestReadLevelPrediction:
+    def test_predict_read_level_end_to_end(self, simple_bam, tmp_path):
+        """Full predict() with the read-level encoder + LSTM model."""
+        from medaka_tpu import prediction
+        from medaka_tpu.labels import HaploidLabelScheme
+
+        encoder = ReadAlignmentFeatureEncoder(include_dwells=True)
+        model = LatentSpaceLSTM(lstm_size=8, cnn_size=8, use_dwells=True)
+        params = model.init_params(jax.random.PRNGKey(0))
+        out = str(tmp_path / "probs.hdf5")
+        n_s, n_c = prediction.predict(
+            simple_bam, out, model=model, params=params,
+            feature_encoder=encoder,
+            label_scheme=HaploidLabelScheme(),
+            chunk_len=16, chunk_overlap=4, batch_size=2)
+        assert n_s == 1 and n_c == 9
+        from medaka_tpu.datastore import DataStore
+        with DataStore(out) as ds:
+            s = ds.load_sample(sorted(ds.sample_registry)[0])
+            assert s.label_probs.shape == (9, 5)
+
+    def test_lstm_masked_lengths_parity(self):
+        """Padded read-level batch == unpadded run (LSTM masking)."""
+        model = LatentSpaceLSTM(lstm_size=8, cnn_size=8)
+        params = model.init_params(jax.random.PRNGKey(2))
+        rng = np.random.default_rng(4)
+        x = rng.integers(0, 5, (1, 30, 6, 4)).astype(np.int8)
+        full = np.asarray(model.apply(params, jnp.asarray(x[:, :21])))
+        xp = np.array(x)
+        xp[:, 21:] = 0
+        padded = np.asarray(model.apply(
+            params, jnp.asarray(xp),
+            lengths=jnp.asarray(np.array([21], np.int32))))
+        np.testing.assert_allclose(
+            padded[:, :21], full, rtol=1e-5, atol=1e-6)
