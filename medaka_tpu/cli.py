@@ -1,0 +1,375 @@
+"""Command line interface.
+
+Mirrors the reference's subcommand surface (``medaka/medaka.py:483-931``)
+so existing medaka invocations translate directly:
+
+    medaka_tpu inference <bam> <output.hdf> --model <model>
+    medaka_tpu sequence <probs.hdf...> <draft.fasta> <out.fasta>
+    medaka_tpu vcf <probs.hdf...> <ref.fasta> <out.vcf>
+    medaka_tpu snp / train / features / tools {...}
+
+Subcommands whose subsystems are not yet implemented raise a clear
+NotImplementedError naming the reference feature.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from medaka_tpu import __version__, common
+
+
+class StoreDict(argparse.Action):
+    """Parse KEY=VAL pairs into a dict (reference ``medaka.py:445-480``)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        out = {}
+        for item in values:
+            if "=" not in item:
+                raise argparse.ArgumentTypeError(
+                    "Expected KEY=VALUE, got {!r}".format(item))
+            key, value = item.split("=", 1)
+            out[key] = self._autocast(value)
+        setattr(namespace, self.dest, out)
+
+    @staticmethod
+    def _autocast(value):
+        for cast in (int, float):
+            try:
+                return cast(value)
+            except ValueError:
+                pass
+        if value.lower() in ("true", "false"):
+            return value.lower() == "true"
+        if value.lower() in ("none", "null"):
+            return None
+        return value
+
+
+def _regions_arg(values):
+    out = []
+    for v in values:
+        if os.path.isfile(v):  # bed file
+            with open(v) as fh:
+                for line in fh:
+                    if not line.strip() or line.startswith(("#", "track")):
+                        continue
+                    parts = line.split("\t")
+                    out.append(common.Region(
+                        parts[0], int(parts[1]), int(parts[2])))
+        else:
+            out.append(common.Region.from_string(v))
+    return out
+
+
+def _log_parser():
+    parser = argparse.ArgumentParser(add_help=False)
+    group = parser.add_mutually_exclusive_group()
+    group.add_argument(
+        "--debug", action="store_true", help="Verbose logging.")
+    group.add_argument(
+        "--quiet", action="store_true", help="Minimal logging.")
+    return parser
+
+
+def _chunking_parser():
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument(
+        "--regions", nargs="+", default=None,
+        help="Genomic regions or .bed files.")
+    parser.add_argument(
+        "--chunk_len", type=int, default=10000,
+        help="Chunk length of samples (pileup columns).")
+    parser.add_argument(
+        "--chunk_ovlp", type=int, default=1000,
+        help="Overlap of chunks.")
+    return parser
+
+
+def main(argv=None):
+    """CLI entry."""
+    parser = argparse.ArgumentParser(
+        prog="medaka_tpu",
+        description="TPU-native consensus and variant calling.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument(
+        "--version", action="version",
+        version="medaka_tpu {}".format(__version__))
+    subparsers = parser.add_subparsers(
+        title="subcommands", dest="command")
+    subparsers.required = True
+    log_parent = _log_parser()
+    chunk_parent = _chunking_parser()
+
+    # --- inference -------------------------------------------------------
+    p = subparsers.add_parser(
+        "inference", parents=[log_parent, chunk_parent],
+        help="Run inference over a BAM, writing probabilities to HDF5.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("bam", help="Input alignments (sorted, indexed BAM).")
+    p.add_argument("output", help="Output probabilities file (HDF5).")
+    p.add_argument(
+        "--model", required=True,
+        help="Model file (native tar.gz or reference medaka tarball).")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--bam_workers", type=int, default=2)
+    p.add_argument("--bam_chunk", type=int, default=1_000_000)
+    p.add_argument(
+        "--full_precision", action="store_true",
+        help="Run float32 instead of bfloat16.")
+    p.set_defaults(func=_cmd_inference)
+
+    # --- sequence (stitch) ----------------------------------------------
+    p = subparsers.add_parser(
+        "sequence", parents=[log_parent],
+        help="Stitch probabilities into consensus fasta/fastq.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("inputs", nargs="+", help="Probability HDF5 file(s).")
+    p.add_argument("draft", help="Draft FASTA that was polished.")
+    p.add_argument("output", help="Output consensus file.")
+    p.add_argument("--regions", nargs="+", default=None)
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--min_depth", type=int, default=0)
+    p.add_argument(
+        "--no-fillgaps", dest="fillgaps", action="store_false",
+        help="Don't fill coverage gaps from the draft.")
+    p.add_argument("--fill_char", default=None)
+    p.add_argument(
+        "--qualities", action="store_true", help="Write fastq.")
+    p.set_defaults(func=_cmd_sequence)
+
+    # --- vcf / snp -------------------------------------------------------
+    p = subparsers.add_parser(
+        "vcf", parents=[log_parent],
+        help="Decode variants from probabilities against a reference.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("inputs", nargs="+", help="Probability HDF5 file(s).")
+    p.add_argument("ref_fasta", help="Reference FASTA.")
+    p.add_argument("output", help="Output VCF.")
+    p.add_argument("--regions", nargs="+", default=None)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--ambig_ref", action="store_true")
+    p.add_argument("--gvcf", action="store_true")
+    p.set_defaults(func=_cmd_vcf)
+
+    p = subparsers.add_parser(
+        "snp", parents=[log_parent],
+        help="Decode SNPs (single-locus) from probabilities.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("ref_fasta")
+    p.add_argument("output")
+    p.add_argument("--regions", nargs="+", default=None)
+    p.add_argument("--threshold", type=float, default=0.04)
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(func=_cmd_snp)
+
+    # --- features --------------------------------------------------------
+    p = subparsers.add_parser(
+        "features", parents=[log_parent],
+        help="Create training/inference features from BAM(s).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("bam")
+    p.add_argument("output")
+    p.add_argument("--truth", default=None, help="Truth-to-draft BAM.")
+    p.add_argument("--truth_haplotag", default=None)
+    p.add_argument("--regions", nargs="+", default=None)
+    p.add_argument(
+        "--feature_encoder", default="CountsFeatureEncoder")
+    p.add_argument(
+        "--feature_encoder_args", nargs="+", action=StoreDict, default={},
+        metavar="KEY=VAL")
+    p.add_argument("--label_scheme", default="HaploidLabelScheme")
+    p.add_argument(
+        "--label_scheme_args", nargs="+", action=StoreDict, default={},
+        metavar="KEY=VAL")
+    p.add_argument("--chunk_len", type=int, default=1000)
+    p.add_argument("--chunk_ovlp", type=int, default=0)
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--min_region_size", type=int, default=0)
+    p.set_defaults(func=_cmd_features)
+
+    # --- train -----------------------------------------------------------
+    p = subparsers.add_parser(
+        "train", parents=[log_parent],
+        help="Train a model from feature files.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("features", nargs="+", help="Feature HDF5 file(s).")
+    p.add_argument("--train_name", default="training")
+    p.add_argument("--model", default=None,
+                   help="Initial model or architecture tarball.")
+    p.add_argument("--epochs", type=int, default=5000)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--validation_split", type=float, default=0.2)
+    p.add_argument("--validation_features", nargs="+", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--optimizer", default="nadam",
+                   choices=["nadam", "adam", "rmsprop", "sgd"])
+    p.add_argument(
+        "--optim_args", nargs="+", action=StoreDict, default={},
+        metavar="KEY=VAL")
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--max_valid_samples", type=int, default=None)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.set_defaults(func=_cmd_train)
+
+    # --- tools -----------------------------------------------------------
+    toolparser = subparsers.add_parser(
+        "tools", parents=[log_parent], help="tools sub-commands",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    toolsub = toolparser.add_subparsers(title="tools", dest="tool_command")
+    toolsub.required = True
+
+    tp = toolsub.add_parser(
+        "list_models", help="List models bundled or cached locally.")
+    tp.set_defaults(func=_cmd_list_models)
+
+    tp = toolsub.add_parser(
+        "resolve_model", help="Resolve a model name to a file path.")
+    tp.add_argument("--model", required=True)
+    tp.set_defaults(func=_cmd_resolve_model)
+
+    tp = toolsub.add_parser(
+        "hdf_to_bed", help="Write covered intervals of sample files.")
+    tp.add_argument("inputs", nargs="+")
+    tp.add_argument("output")
+    tp.set_defaults(func=_cmd_hdf_to_bed)
+
+    tp = toolsub.add_parser(
+        "is_compatible",
+        help="Check a model/feature-encoder pair against a BAM.")
+    tp.add_argument("--model", required=True)
+    tp.add_argument("bam")
+    tp.set_defaults(func=_cmd_is_compatible)
+
+    args = parser.parse_args(argv)
+    level = logging.INFO
+    if getattr(args, "debug", False):
+        level = logging.DEBUG
+    elif getattr(args, "quiet", False):
+        level = logging.WARNING
+    logging.basicConfig(
+        level=level,
+        format="[%(asctime)s - %(name)s] %(message)s",
+        datefmt="%H:%M:%S")
+    return args.func(args)
+
+
+# --- command implementations ---------------------------------------------
+
+
+def _cmd_inference(args):
+    from medaka_tpu import prediction
+    regions = _regions_arg(args.regions) if args.regions else None
+    prediction.predict(
+        args.bam, args.output, model_path=args.model, regions=regions,
+        batch_size=args.batch_size, chunk_len=args.chunk_len,
+        chunk_overlap=args.chunk_ovlp, bam_workers=args.bam_workers,
+        bam_chunk=args.bam_chunk, full_precision=args.full_precision)
+    return 0
+
+
+def _cmd_sequence(args):
+    from medaka_tpu import stitch
+    regions = _regions_arg(args.regions) if args.regions else None
+    stitch.stitch_to_fasta(
+        args.inputs, args.draft, args.output, regions=regions,
+        threads=args.threads, min_depth=args.min_depth,
+        fillgaps=args.fillgaps, fill_char=args.fill_char,
+        qualities=args.qualities)
+    return 0
+
+
+def _cmd_vcf(args):
+    from medaka_tpu import variant
+    regions = _regions_arg(args.regions) if args.regions else None
+    variant.variants_from_hdf(
+        args.inputs, args.ref_fasta, args.output, regions=regions,
+        verbose=args.verbose, ambig_ref=args.ambig_ref, gvcf=args.gvcf)
+    return 0
+
+
+def _cmd_snp(args):
+    from medaka_tpu import variant
+    regions = _regions_arg(args.regions) if args.regions else None
+    variant.snps_from_hdf(
+        args.inputs, args.ref_fasta, args.output, regions=regions,
+        threshold=args.threshold, verbose=args.verbose)
+    return 0
+
+
+def _cmd_features(args):
+    from medaka_tpu import features
+    regions = _regions_arg(args.regions) if args.regions else None
+    features.create_samples(
+        args.bam, args.output, truth_bam=args.truth, regions=regions,
+        feature_encoder_name=args.feature_encoder,
+        feature_encoder_args=args.feature_encoder_args,
+        label_scheme_name=args.label_scheme,
+        label_scheme_args=args.label_scheme_args,
+        truth_haplotag=args.truth_haplotag, chunk_len=args.chunk_len,
+        chunk_ovlp=args.chunk_ovlp, threads=args.threads,
+        min_region_size=args.min_region_size)
+    return 0
+
+
+def _cmd_train(args):
+    from medaka_tpu import training
+    training.train(args)
+    return 0
+
+
+def _cmd_list_models(args):
+    from medaka_tpu import models
+    data_dirs = [
+        os.path.join(os.path.dirname(models.__file__), "..", "data"),
+        os.path.join(os.path.expanduser("~"), ".medaka_tpu", "data")]
+    found = []
+    for d in data_dirs:
+        if os.path.isdir(d):
+            found.extend(sorted(os.listdir(d)))
+    print("Locally cached models:")
+    for name in found:
+        print("  " + name)
+    if not found:
+        print("  (none)")
+    return 0
+
+
+def _cmd_resolve_model(args):
+    from medaka_tpu import models
+    print(models.resolve_model(args.model))
+    return 0
+
+
+def _cmd_hdf_to_bed(args):
+    from medaka_tpu import variant
+    variant.samples_to_bed(args.inputs, args.output)
+    return 0
+
+
+def _cmd_is_compatible(args):
+    from medaka_tpu import models
+    bundle = models.open_model(models.resolve_model(args.model))
+    bundle.model.check_feature_encoder_compatibility(
+        bundle.feature_encoder)
+    # dwell requirement check against the BAM (reference medaka.py:318-402)
+    fenc = bundle.feature_encoder
+    if getattr(fenc, "include_dwells", False):
+        from medaka_tpu.io.bam import BamReader
+        with BamReader(args.bam) as br:
+            for rec in br.fetch(br.references[0], 0, 1 << 40):
+                if "mv" not in rec.tags:
+                    print(
+                        "Model requires dwells but BAM reads lack mv "
+                        "tags.", file=sys.stderr)
+                    return 1
+                break
+    print("Compatible.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,7 +11,7 @@ import enum
 import itertools
 import logging
 import re
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -649,3 +649,29 @@ class Sample:
 
         yield from Sample.trim_samples(
             filtered(samples), logger_name="DepthFilt")
+
+
+def get_bam_regions(bam, regions=None) -> List["Region"]:
+    """Regions from a BAM header, bounds-clipped (reference
+    ``common.py:762-789``).
+
+    :param bam: BAM path.
+    :param regions: optional iterable of `Region` to validate/clip.
+    """
+    from medaka_tpu.io.bam import BamReader
+    with BamReader(bam) as reader:
+        ref_lengths = dict(zip(reader.references, reader.lengths))
+    if regions is None:
+        return [
+            Region(name, 0, end) for name, end in ref_lengths.items()]
+    out = []
+    for r in regions:
+        if r.ref_name not in ref_lengths:
+            raise KeyError(
+                "Contig {} is not one of the bam references.".format(
+                    r.ref_name))
+        start = max(0, r.start) if r.start is not None else 0
+        length = ref_lengths[r.ref_name]
+        end = min(r.end, length) if r.end is not None else length
+        out.append(Region(r.ref_name, start, end))
+    return out

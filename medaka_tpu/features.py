@@ -17,6 +17,7 @@ from __future__ import annotations
 import concurrent.futures
 import importlib
 import inspect
+import itertools
 from collections import defaultdict
 from typing import Iterable, List, Optional, Sequence, Tuple
 
@@ -917,3 +918,97 @@ class SampleGenerator:
             out.extend(source.chunks(
                 chunk_len=self.chunk_len, overlap=self.chunk_overlap))
         return out
+
+
+# ---------------------------------------------------------------------------
+# Feature-file creation (`medaka_tpu features`)
+# ---------------------------------------------------------------------------
+
+
+def _samples_worker(bam, region, feature_encoder, label_scheme, truth_bam,
+                    truth_haplotag, chunk_len, chunk_ovlp):
+    gen = SampleGenerator(
+        bam, region, feature_encoder, truth_bam=truth_bam,
+        label_scheme=label_scheme, truth_haplotag=truth_haplotag,
+        chunk_len=chunk_len, chunk_overlap=chunk_ovlp)
+    return list(gen.samples), region
+
+
+def create_samples(
+        bam, output, truth_bam=None, regions=None,
+        feature_encoder_name="CountsFeatureEncoder",
+        feature_encoder_args=None, label_scheme_name="HaploidLabelScheme",
+        label_scheme_args=None, truth_haplotag=None, chunk_len=1000,
+        chunk_ovlp=0, threads=1, min_region_size=0):
+    """Create a feature HDF5 (labelled when ``truth_bam`` is given).
+
+    Reference: ``medaka/features.py:1327-1414`` — including the
+    num_qstrat/max_run agreement rule for RLE encoders/schemes.
+
+    :returns: number of samples written.
+    """
+    import medaka_tpu.labels as labels_mod
+    from medaka_tpu import datastore as datastore_mod
+
+    logger = common.get_named_logger("Prepare")
+    if chunk_ovlp >= chunk_len:
+        raise ValueError(
+            "chunk_ovlp {} is not smaller than chunk_len {}".format(
+                chunk_ovlp, chunk_len))
+    regions = common.get_bam_regions(bam, regions)
+    regions = [r for r in regions if r.size >= min_region_size]
+    if truth_bam is None:
+        logger.warning(
+            "Running feature creation without a truth bam; unlabelled "
+            "data will be produced.")
+
+    feature_encoder_args = dict(feature_encoder_args or {})
+    label_scheme_args = dict(label_scheme_args or {})
+    # keep RLE stratification consistent between encoder and scheme
+    num_qstrat = feature_encoder_args.get("num_qstrat")
+    max_run = label_scheme_args.get("max_run")
+    if max_run is None and num_qstrat is not None:
+        label_scheme_args["max_run"] = num_qstrat
+    elif max_run is not None and num_qstrat is None:
+        feature_encoder_args["num_qstrat"] = max_run
+    elif max_run is not None and max_run != num_qstrat:
+        raise ValueError(
+            "num_qstrat in feature_encoder_args must agree with max_run "
+            "in label_scheme_args")
+
+    feature_encoder = feature_encoders[feature_encoder_name](
+        **feature_encoder_args)
+    label_scheme = labels_mod.label_schemes[label_scheme_name](
+        **label_scheme_args)
+
+    n_written = 0
+    with datastore_mod.DataStore(output, "w") as ds:
+        ds.set_meta(feature_encoder, "feature_encoder")
+        ds.set_meta(label_scheme, "label_scheme")
+        work = list(itertools.chain.from_iterable(
+            r.split(int(1e6)) for r in regions))
+        with concurrent.futures.ThreadPoolExecutor(threads) as executor:
+            futures = [
+                executor.submit(
+                    _samples_worker, bam, reg, feature_encoder,
+                    label_scheme if truth_bam else None, truth_bam,
+                    truth_haplotag, chunk_len, chunk_ovlp)
+                for reg in work]
+            for fut in concurrent.futures.as_completed(futures):
+                if fut.exception() is not None:
+                    logger.warning("Worker failed: %s", fut.exception())
+                    continue
+                samples, region = fut.result()
+                logger.info(
+                    "Writing %d samples for region %s.",
+                    len(samples), region)
+                for sample in samples:
+                    ds.write_sample(sample)
+                    n_written += 1
+        ds.write_registry()
+        empty = ds.n_samples == 0
+    if empty:
+        logger.critical("No data written; deleting output.")
+        import os
+        os.remove(output)
+    return n_written

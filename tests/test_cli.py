@@ -1,0 +1,113 @@
+"""CLI surface tests: parser tree and end-to-end subcommand runs."""
+import numpy as np
+import pytest
+
+from medaka_tpu import cli
+
+
+def run_cli(argv):
+    return cli.main(argv)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """A BAM + draft + saved model for CLI runs."""
+    import jax
+
+    from medaka_tpu.features import CountsFeatureEncoder
+    from medaka_tpu.io.bam import BamRecord, write_bam
+    from medaka_tpu.labels import HaploidLabelScheme
+    from medaka_tpu.models import save_model
+    from medaka_tpu.models.gru import GRUModel
+
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(1)
+    seq = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, 1200)].tobytes().decode()
+    recs = [
+        BamRecord.build(
+            query_name="r{}".format(i), ref_id=0, pos=0, seq=seq,
+            qual=[20] * 1200, cigar="1200=", flag=0, mapq=60,
+            tags=dict(MD="1200"))
+        for i in range(4)]
+    bam = str(d / "reads.bam")
+    write_bam(bam, recs, [("ref", 1200)])
+    draft = str(d / "draft.fasta")
+    with open(draft, "w") as fh:
+        fh.write(">ref\n{}\n".format(seq))
+    truth = str(d / "truth.bam")
+    write_bam(
+        truth,
+        [BamRecord.build(
+            query_name="truth", ref_id=0, pos=0, seq=seq,
+            qual=[20] * 1200, cigar="1200=", flag=0, mapq=60,
+            tags=dict(MD="1200"))],
+        [("ref", 1200)])
+    model = GRUModel(gru_size=8)
+    model_path = str(d / "model.tar.gz")
+    save_model(
+        model_path, model, model.init_params(jax.random.PRNGKey(0)),
+        feature_encoder=CountsFeatureEncoder(),
+        label_scheme=HaploidLabelScheme())
+    return {"dir": d, "bam": bam, "draft": draft, "model": model_path,
+            "truth": truth, "seq": seq}
+
+
+def test_version(capsys):
+    with pytest.raises(SystemExit) as e:
+        run_cli(["--version"])
+    assert e.value.code == 0
+
+
+def test_store_dict_parsing():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--kv", nargs="+", action=cli.StoreDict, default={})
+    ns = p.parse_args(
+        ["--kv", "a=1", "b=2.5", "c=hello", "d=true", "e=none"])
+    assert ns.kv == {"a": 1, "b": 2.5, "c": "hello", "d": True, "e": None}
+
+
+def test_inference_sequence_vcf_roundtrip(workspace, tmp_path):
+    probs = str(tmp_path / "probs.hdf")
+    assert run_cli([
+        "inference", workspace["bam"], probs,
+        "--model", workspace["model"],
+        "--chunk_len", "400", "--chunk_ovlp", "100",
+        "--batch_size", "4", "--quiet"]) == 0
+    cons = str(tmp_path / "cons.fasta")
+    assert run_cli([
+        "sequence", probs, workspace["draft"], cons, "--quiet"]) == 0
+    from medaka_tpu.io.fastx import FastaReader
+    assert len(FastaReader(cons).fetch("ref")) > 0
+    vcf = str(tmp_path / "out.vcf")
+    assert run_cli([
+        "vcf", probs, workspace["draft"], vcf, "--quiet"]) == 0
+    assert open(vcf).read().startswith("##fileformat")
+    bed = str(tmp_path / "out.bed")
+    assert run_cli(["tools", "hdf_to_bed", probs, bed]) == 0
+    assert open(bed).read().startswith("ref\t0\t1200")
+
+
+def test_features_and_train(workspace, tmp_path):
+    feats = str(tmp_path / "train_feats.hdf")
+    # self-truth: align the draft-identical reads as "truth"
+    assert run_cli([
+        "features", workspace["bam"], feats,
+        "--truth", workspace["truth"],
+        "--chunk_len", "200", "--chunk_ovlp", "50", "--quiet"]) == 0
+    from medaka_tpu.datastore import DataIndex
+    di = DataIndex([feats])
+    assert len(di.samples) > 0
+    out = str(tmp_path / "trained")
+    assert run_cli([
+        "train", feats, "--train_name", out, "--epochs", "1",
+        "--batch_size", "4", "--optimizer", "adam", "--quiet"]) == 0
+    import glob
+    import os
+    assert glob.glob(os.path.join(out, "model-0.tar.gz"))
+
+
+def test_resolve_model_missing():
+    with pytest.raises(FileNotFoundError):
+        run_cli(["tools", "resolve_model", "--model", "no_such_model"])
