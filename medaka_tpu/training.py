@@ -316,7 +316,13 @@ def run_training(
     label_scheme = batcher.meta.get("label_scheme")
 
     if mesh is None:
-        mesh = parallel.make_mesh(model=model_parallel)
+        import math
+
+        n_avail = len(jax.devices()) // model_parallel
+        data = math.gcd(batcher.batch_size, n_avail)
+        mesh = parallel.make_mesh(
+            jax.devices()[:data * model_parallel], data=data,
+            model=model_parallel)
     params = model.init_params(jax.random.PRNGKey(seed))
     params = parallel.shard_params(params, mesh)
 
