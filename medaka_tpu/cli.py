@@ -238,6 +238,18 @@ def main(argv=None):
     tp.set_defaults(func=_cmd_hdf_to_bed)
 
     tp = toolsub.add_parser(
+        "consensus2vcf",
+        help="Call variants by aligning a consensus FASTA to a reference.")
+    tp.add_argument("consensus")
+    tp.add_argument("ref_fasta")
+    tp.add_argument("--out_prefix", default="consensus2vcf")
+    tp.add_argument("--regions", nargs="+", default=None)
+    tp.add_argument("--chunk_size", type=int, default=100000)
+    tp.add_argument("--pad", type=int, default=10000)
+    tp.add_argument("--mode", default="NW", choices=["NW", "HW", "HWT"])
+    tp.set_defaults(func=_cmd_consensus2vcf)
+
+    tp = toolsub.add_parser(
         "is_compatible",
         help="Check a model/feature-encoder pair against a BAM.")
     tp.add_argument("--model", required=True)
@@ -347,6 +359,15 @@ def _cmd_resolve_model(args):
 def _cmd_hdf_to_bed(args):
     from medaka_tpu import variant
     variant.samples_to_bed(args.inputs, args.output)
+    return 0
+
+
+def _cmd_consensus2vcf(args):
+    from medaka_tpu import variant
+    regions = _regions_arg(args.regions) if args.regions else None
+    variant.vcf_from_fasta(
+        args.consensus, args.ref_fasta, args.out_prefix, regions=regions,
+        chunk_size=args.chunk_size, pad=args.pad, mode=args.mode)
     return 0
 
 

@@ -320,3 +320,35 @@ class TestVariantsFromHdf:
         variant.samples_to_bed(path, out)
         lines = open(out).read().splitlines()
         assert lines == ["contig1\t0\t199", "contig1\t300\t400"]
+
+
+class TestVcfFromFasta:
+    def test_round_trip(self, tmp_path):
+        """ref + mutated consensus -> VCF -> apply -> consensus again."""
+        rng = np.random.default_rng(21)
+        ref_seq = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, 30000)].tobytes().decode()
+        cons = list(ref_seq)
+        cons[5000] = "A" if ref_seq[5000] != "A" else "C"
+        del cons[12000:12002]
+        cons.insert(20000, "T")
+        cons = "".join(cons)
+        ref_path = str(tmp_path / "ref.fasta")
+        cons_path = str(tmp_path / "cons.fasta")
+        with open(ref_path, "w") as fh:
+            fh.write(">chr1\n{}\n".format(ref_seq))
+        with open(cons_path, "w") as fh:
+            fh.write(">chr1\n{}\n".format(cons))
+        prefix = str(tmp_path / "out")
+        vcf_path = variant.vcf_from_fasta(
+            cons_path, ref_path, prefix, chunk_size=8000, pad=1000)
+        from medaka_tpu.vcf import VCFReader
+        records = list(VCFReader(vcf_path).fetch())
+        assert len(records) == 3
+        rebuilt = variant.apply_variants(records, ref_seq)
+        assert rebuilt == cons
+        cov = open(prefix + "_coverage.bed").read().strip()
+        assert cov == "chr1\t0\t30000"
+        assert open(prefix + "_coverage_gaps.bed").read() == ""
+        import os
+        assert os.path.exists(prefix + ".bam")
