@@ -238,6 +238,47 @@ def main(argv=None):
     tp.set_defaults(func=_cmd_hdf_to_bed)
 
     tp = toolsub.add_parser(
+        "haploid2diploid",
+        help="Merge two haploid VCFs into a diploid VCF.")
+    tp.add_argument("vcf1")
+    tp.add_argument("vcf2")
+    tp.add_argument("ref_fasta")
+    tp.add_argument("vcfout")
+    tp.add_argument("--adjacent", action="store_true",
+                    help="Merge adjacent (not just overlapping) variants.")
+    tp.add_argument("--discard_phase", action="store_true")
+    tp.add_argument("--split_mnp", action="store_true")
+    tp.set_defaults(func=_cmd_haploid2diploid)
+
+    tp = toolsub.add_parser(
+        "diploid2haploid",
+        help="Split a diploid VCF into two haploid VCFs.")
+    tp.add_argument("vcf")
+    tp.add_argument("--notrim", action="store_true")
+    tp.set_defaults(func=_cmd_diploid2haploid)
+
+    tp = toolsub.add_parser(
+        "classify_variants",
+        help="Classify variants by type, writing one VCF per class.")
+    tp.add_argument("vcf")
+    tp.add_argument("--replace_info", action="store_true")
+    tp.set_defaults(func=_cmd_classify_variants)
+
+    tp = toolsub.add_parser(
+        "vcf2tsv", help="Flatten a VCF into a tab-separated table.")
+    tp.add_argument("vcf")
+    tp.set_defaults(func=_cmd_vcf2tsv)
+
+    tp = toolsub.add_parser(
+        "homozygous_regions",
+        help="Find homozygous regions of a diploid VCF.")
+    tp.add_argument("vcf")
+    tp.add_argument("region")
+    tp.add_argument("--min_len", type=int, default=1000)
+    tp.add_argument("--suffix", default="regions.txt")
+    tp.set_defaults(func=_cmd_homozygous_regions)
+
+    tp = toolsub.add_parser(
         "consensus2vcf",
         help="Call variants by aligning a consensus FASTA to a reference.")
     tp.add_argument("consensus")
@@ -359,6 +400,41 @@ def _cmd_resolve_model(args):
 def _cmd_hdf_to_bed(args):
     from medaka_tpu import variant
     variant.samples_to_bed(args.inputs, args.output)
+    return 0
+
+
+def _cmd_haploid2diploid(args):
+    from medaka_tpu import vcf as vcf_mod
+    vcf_mod.haploid2diploid(
+        args.vcf1, args.vcf2, args.ref_fasta, args.vcfout,
+        adjacent=args.adjacent, discard_phase=args.discard_phase,
+        split_mnp_records=args.split_mnp)
+    return 0
+
+
+def _cmd_diploid2haploid(args):
+    from medaka_tpu import vcf as vcf_mod
+    outputs = vcf_mod.split_variants(args.vcf, trim=not args.notrim)
+    print("\n".join(outputs))
+    return 0
+
+
+def _cmd_classify_variants(args):
+    from medaka_tpu import vcf as vcf_mod
+    vcf_mod.classify_variants(args)
+    return 0
+
+
+def _cmd_vcf2tsv(args):
+    from medaka_tpu import vcf as vcf_mod
+    print(vcf_mod.vcf2tsv(args))
+    return 0
+
+
+def _cmd_homozygous_regions(args):
+    from medaka_tpu import vcf as vcf_mod
+    vcf_mod.get_homozygous_regions(
+        args.vcf, args.region, min_len=args.min_len, suffix=args.suffix)
     return 0
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import collections
 import itertools
+import os
 from copy import deepcopy
 from typing import Dict, Iterable, List, Optional, Tuple
 
@@ -536,3 +537,286 @@ def vcf2tsv(args):
             fh.write(
                 '\t'.join(str(row.get(c, '.')) for c in cols) + '\n')
     return out
+
+
+# ---------------------------------------------------------------------------
+# Haploid <-> diploid conversion (reference ``vcf.py:680-982``)
+# ---------------------------------------------------------------------------
+
+
+def _merge_variants(interval, hap_of, ref_seq, detailed_info=False,
+                    discard_phase=False):
+    """Merge the variants covering one merged interval into one record.
+
+    :param interval: (begin, end, [variants]) tuple.
+    :param hap_of: mapping id(variant) -> haplotype number (1 or 2).
+    :param ref_seq: reference sequence of the chromosome.
+    """
+    begin, end, group = interval
+    if end > len(ref_seq):
+        raise ValueError(
+            'A variant occurs after the end of the reference sequence.')
+    ref = ref_seq[begin:end]
+    mixed_vars = collections.defaultdict(list)
+    for v in group:
+        mixed_vars[str(hap_of[id(v)])].append(v)
+    alts_dict = collections.OrderedDict()
+    haps_to_skip = set()
+    for hap, hap_vars in sorted(mixed_vars.items()):
+        alt = list(ref)
+        for v in hap_vars:
+            if len(v.alt) > 1:
+                raise ValueError(
+                    'Only single-allele variants from two vcfs can be '
+                    'merged')
+            start_i = v.pos - begin
+            end_i = start_i + len(v.ref)
+            if v.ref != ref[start_i:end_i]:
+                raise ValueError(
+                    'Variant ref {} does not match ref {} at {}:{}'.format(
+                        v.ref, ref[start_i:end_i], v.chrom, v.pos))
+            alt[start_i:end_i] = [''] * len(v.ref)
+            alt[start_i] = v.alt[0]
+        if ''.join(alt) == ref:
+            # nearby variants cancelled each other out
+            haps_to_skip.add(hap)
+            continue
+        alts_dict[hap] = ''.join(alt)
+    for hap in haps_to_skip:
+        del mixed_vars[hap]
+
+    info = {}
+    qual = 0.0
+    for hap, hap_vars in sorted(mixed_vars.items()):
+        info['q{}'.format(hap)] = sum(
+            float(v.qual) if v.qual != '.' else 0.0
+            for v in hap_vars) / len(hap_vars)
+        info['pos{}'.format(hap)] = ','.join(
+            str(v.pos + 1) for v in hap_vars)
+        if detailed_info:
+            info['ref{}'.format(hap)] = ','.join(v.ref for v in hap_vars)
+            info['alt{}'.format(hap)] = ','.join(
+                v.alt[0] for v in hap_vars)
+        qual += info['q{}'.format(hap)] / len(mixed_vars)
+
+    haps = list(alts_dict.keys())
+    alts = list(alts_dict.values())
+    gt_sep = '/' if discard_phase else '|'
+    if len(alts) == 2:
+        if alts[0] == alts[1]:  # homozygous
+            gt = gt_sep.join(len(haps) * '1')
+            alts = alts[:1]
+        else:
+            gt = gt_sep.join(map(str, haps))
+    else:
+        gts = [0, 1]
+        if not discard_phase and int(haps[0]) == 1:
+            gts = [1, 0]
+        gt = gt_sep.join(map(str, gts))
+    genotype_data = {'GT': gt, 'GQ': round(qual)}
+    chrom = group[0].chrom
+    return Variant(
+        chrom, begin, ref, alt=alts, filt='PASS', info=info, qual=qual,
+        genotype_data=genotype_data).trim()
+
+
+def split_mnp(v):
+    """Split an MNP variant into per-base SNPs (others unchanged)."""
+    if classify_variant(v) != 'mnp':
+        return [v]
+    variants = []
+    for i, ref in enumerate(v.ref):
+        pos = v.pos + i
+        alt = [a[i] for a in v.alt]
+        genotype_data = v.genotype_data.copy()
+        gt_sep = v.genotype_data['GT'][1]
+        gt = v.gt
+        if ref in alt or len(set(alt)) != len(alt):
+            ref_and_alts = [ref] + alt
+            haps = [ref_and_alts[n] for n in gt]
+            new_alt = []
+            for a in alt:
+                if a != ref and a not in new_alt:
+                    new_alt.append(a)
+            ref_and_new_alts = [ref] + new_alt
+            gt = tuple(ref_and_new_alts.index(a) for a in haps)
+            alt = ref_and_new_alts[1:]
+            genotype_data['GT'] = gt_sep.join(map(str, gt))
+        variants.append(Variant(
+            v.chrom, pos, ref, alt, ident=v.ident, qual=v.qual,
+            filt=v.filt, info=v.info, genotype_data=genotype_data))
+    return variants
+
+
+class Haploid2DiploidConverter:
+    """Merge two haploid VCFs into one diploid VCF.
+
+    Reference: ``medaka/vcf.py:826-947``. Overlapping variants between
+    the files have their alts padded against the reference; genotype is
+    1|2 (or 1|1 when alts agree), with per-haplotype mean GQ.
+    """
+
+    def __init__(self, vcf1, vcf2, ref_fasta, only_overlapping=True,
+                 discard_phase=False, detailed_info=False):
+        """:param only_overlapping: merge only overlapping (not
+        adjacent) variants."""
+        from medaka_tpu.io.fastx import FastaReader
+        self.only_overlapping = only_overlapping
+        self.discard_phase = discard_phase
+        self.detailed_info = detailed_info
+        self.logger = common.get_named_logger('VCFMERGE')
+        self.vcfs = [VCFReader(v) for v in (vcf1, vcf2)]
+        for vcf in self.vcfs:
+            vcf.index()  # build trees (and populate .chroms)
+        self.fasta = FastaReader(ref_fasta)
+        self.chroms = sorted(
+            set(itertools.chain(*[v.chroms for v in self.vcfs])))
+
+    def variants(self):
+        """Yield merged diploid variants, sorted by position."""
+        for chrom in common.loose_version_sort(self.chroms):
+            self.logger.info('Merging variants in chrom %s', chrom)
+            hap_of = {}
+            intervals = []
+            for hap, vcf in enumerate(self.vcfs, 1):
+                for v in vcf.fetch(ref_name=chrom):
+                    hap_of[id(v)] = hap
+                    intervals.append((v.pos, v.pos + len(v.ref), v))
+            intervals.sort(key=lambda iv: (iv[0], iv[1]))
+            # merge overlapping (or adjacent) intervals
+            merged = []
+            for s, e, v in intervals:
+                joins = bool(merged) and (
+                    s < merged[-1][1] if self.only_overlapping
+                    else s <= merged[-1][1])
+                if joins:
+                    merged[-1][1] = max(merged[-1][1], e)
+                    merged[-1][2].append(v)
+                else:
+                    merged.append([s, e, [v]])
+            ref_seq = self.fasta.fetch(chrom).upper()
+            out = [
+                _merge_variants(
+                    tuple(iv), hap_of, ref_seq,
+                    detailed_info=self.detailed_info,
+                    discard_phase=self.discard_phase)
+                for iv in merged]
+            yield from sorted(out, key=lambda x: x.pos)
+
+    @property
+    def meta_info(self):
+        """Meta info lines for the merged VCF."""
+        m = []
+        for h in (1, 2):
+            m.append(MetaInfo(
+                'INFO', 'pos{}'.format(h), '.', 'Integer',
+                'POS of incorporated variants from haplotype '
+                '{}'.format(h)))
+            m.append(MetaInfo(
+                'INFO', 'q{}'.format(h), 1, 'Float',
+                'Combined qual score for haplotype {}'.format(h)))
+        if self.detailed_info:
+            for h in (1, 2):
+                m.append(MetaInfo(
+                    'INFO', 'ref{}'.format(h), '2', 'String',
+                    'ref alleles of incorporated variants from '
+                    'haplotype {}'.format(h)))
+                m.append(MetaInfo(
+                    'INFO', 'alt{}'.format(h), '2', 'String',
+                    'alt alleles of incorporated variants from '
+                    'haplotype {}'.format(h)))
+        m.append(MetaInfo('FORMAT', 'GT', 'G', 'String', 'Genotype'))
+        m.append(MetaInfo(
+            'FORMAT', 'GQ', 'G', 'Integer', 'Genotype quality score'))
+        return m
+
+
+def haploid2diploid(vcf1, vcf2, ref_fasta, vcfout, adjacent=False,
+                    discard_phase=False, split_mnp_records=False):
+    """Merge two haploid VCFs into a diploid VCF file."""
+    from medaka_tpu.io.fastx import FastaReader
+    converter = Haploid2DiploidConverter(
+        vcf1, vcf2, ref_fasta, only_overlapping=not adjacent,
+        discard_phase=discard_phase)
+    with FastaReader(ref_fasta) as fa:
+        lengths = {r: fa.get_reference_length(r) for r in fa.references}
+    contigs = [
+        '{},length={}'.format(c, lengths[c]) for c in converter.chroms]
+    with VCFWriter(
+            vcfout, 'w', version='4.1', contigs=contigs,
+            meta_info=converter.meta_info) as writer:
+        variants = converter.variants()
+        if split_mnp_records:
+            variants = (s for v in variants for s in split_mnp(v))
+        for v in variants:
+            writer.write_variant(v)
+    return vcfout
+
+
+def split_variants(vcf_fp, trim=True):
+    """Split a diploid VCF into two haploid VCFs; returns paths."""
+    vcf = VCFReader(vcf_fp, cache=False)
+    q = collections.defaultdict(list)
+    for v in vcf.fetch():
+        for k, hv in v.split_haplotypes():
+            if hv is not None:
+                q[k].append(hv.trim() if trim else hv)
+    basename, ext = os.path.splitext(vcf_fp)
+    outputs = []
+    for k, variants in q.items():
+        path = '{}_hap{}{}'.format(basename, k, ext)
+        outputs.append(path)
+        with VCFWriter(path, meta_info=vcf.meta) as writer:
+            writer.write_variants(variants, sort=False)
+    return tuple(outputs)
+
+
+def get_homozygous_regions(vcf_path, region, min_len=1000,
+                           suffix='regions.txt'):
+    """Find long runs without heterozygous calls in a diploid VCF.
+
+    Reference: ``medaka/vcf.py:1088-1155``. Writes
+    ``homozygous_<suffix>`` and ``heterozygous_<suffix>`` region lists.
+
+    :returns: (homozygous regions, heterozygous regions).
+    """
+    vcf = VCFReader(vcf_path, cache=False)
+    reg = region if isinstance(region, common.Region) \
+        else common.Region.from_string(region)
+    if reg.start is None or reg.end is None:
+        raise ValueError('Region start and end must be specified')
+
+    pos = [reg.start]
+    for v in vcf.fetch(ref_name=reg.ref_name, start=reg.start,
+                       end=reg.end):
+        gt = v.genotype_data.get('GT', '')
+        if gt and gt[0] != gt[-1]:  # heterozygous
+            pos.extend(range(v.pos, v.pos + len(v.ref)))
+    pos.append(reg.end)
+
+    gaps = np.ediff1d(pos)
+    homo_regions = []
+    homo_len = 0
+    for i in np.argsort(gaps)[::-1]:
+        if gaps[i] < min_len:
+            break
+        homo_len += gaps[i]
+        homo_regions.append(
+            common.Region(reg.ref_name, pos[i], pos[i] + int(gaps[i])))
+    homo_regions.sort(key=lambda r: r.start)
+
+    hetero_regions = []
+    start = reg.start
+    sentinel = [common.Region(reg.ref_name, reg.end, None)]
+    for homo_reg in homo_regions + sentinel:
+        end = homo_reg.start
+        if end - start > min_len:
+            hetero_regions.append(
+                common.Region(reg.ref_name, start, end))
+        start = homo_reg.end
+
+    with open('homozygous_' + suffix, 'w') as fh:
+        fh.write('\n'.join(r.name for r in homo_regions))
+    with open('heterozygous_' + suffix, 'w') as fh:
+        fh.write('\n'.join(r.name for r in hetero_regions))
+    return homo_regions, hetero_regions

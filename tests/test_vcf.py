@@ -126,3 +126,70 @@ class TestReaderWriter:
             assert v.ref
         hap = VCFReader(os.path.join(REF_DATA, "test_hap1.vcf"))
         assert len(list(hap.fetch())) > 0
+
+
+class TestHaploid2Diploid:
+    REF_DATA = "/root/reference/medaka/test/data"
+
+    def test_golden_merge(self):
+        """Exact parity with the reference's test_merged.vcf fixture."""
+        import os
+        from medaka_tpu.vcf import Haploid2DiploidConverter, VCFReader
+        c = Haploid2DiploidConverter(
+            os.path.join(self.REF_DATA, "test_hap1.vcf"),
+            os.path.join(self.REF_DATA, "test_hap2.vcf"),
+            os.path.join(self.REF_DATA, "test_ref.fasta"),
+            only_overlapping=True, discard_phase=False,
+            detailed_info=True)
+        got = list(c.variants())
+        want = list(VCFReader(
+            os.path.join(self.REF_DATA, "test_merged.vcf"),
+            cache=False).fetch())
+        assert len(got) == len(want) == 283
+        for e, f in zip(want, got):
+            for key in ("chrom", "pos", "ref", "alt", "info_string",
+                        "gt", "phased"):
+                assert getattr(e, key) == getattr(f, key), (e.pos, key)
+        assert len(c.meta_info) == 10
+
+    def test_split_then_remerge(self, tmp_path):
+        """diploid -> 2x haploid -> diploid keeps genotypes."""
+        import os
+        import shutil
+        from medaka_tpu.vcf import split_variants, VCFReader
+        src = os.path.join(self.REF_DATA, "test_merged.vcf")
+        work = str(tmp_path / "merged.vcf")
+        shutil.copy(src, work)
+        h1, h2 = sorted(split_variants(work))
+        n1 = len(list(VCFReader(h1, cache=False).fetch()))
+        n2 = len(list(VCFReader(h2, cache=False).fetch()))
+        assert n1 > 100 and n2 > 100
+
+    def test_split_mnp(self):
+        from medaka_tpu.vcf import split_mnp
+        v = Variant(
+            "c", 10, "ACG", ["TCA"], genotype_data={"GT": "0/1"})
+        parts = split_mnp(v)
+        assert [p.pos for p in parts] == [10, 11, 12]
+        assert [p.ref for p in parts] == ["A", "C", "G"]
+        # middle base matches ref: alt == ref handled by GT rewrite
+        assert parts[1].genotype_data["GT"] in ("0/0", "0/1")
+
+    def test_homozygous_regions(self, tmp_path, monkeypatch):
+        import os
+        from medaka_tpu.vcf import VCFWriter, get_homozygous_regions
+        path = str(tmp_path / "dip.vcf")
+        variants = [
+            Variant("c", 100, "A", ["T"], qual=9,
+                    genotype_data={"GT": "0/1"}),
+            Variant("c", 5200, "G", ["C"], qual=9,
+                    genotype_data={"GT": "1/1"}),
+            Variant("c", 9000, "G", ["C"], qual=9,
+                    genotype_data={"GT": "0/1"})]
+        with VCFWriter(path, contigs=["c,length=20000"]) as w:
+            w.write_variants(variants, sort=True)
+        monkeypatch.chdir(tmp_path)
+        homo, hetero = get_homozygous_regions(
+            path, "c:0-20000", min_len=2000)
+        assert any(r.start == 100 and r.end == 9000 for r in homo)
+        assert os.path.exists(str(tmp_path / "homozygous_regions.txt"))
