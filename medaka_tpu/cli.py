@@ -215,6 +215,27 @@ def main(argv=None):
     p.add_argument("--model_parallel", type=int, default=1)
     p.set_defaults(func=_cmd_train)
 
+    # --- smolecule -------------------------------------------------------
+    p = subparsers.add_parser(
+        "smolecule", parents=[log_parent],
+        help="Consensus from single-molecule repetitive subreads.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("output", help="Output directory.")
+    p.add_argument(
+        "fasta", nargs="+",
+        help="Grouped-subread fasta (or one file per molecule).")
+    p.add_argument("--model", required=True)
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--depth", type=int, default=3,
+                   help="Minimum subread count.")
+    p.add_argument("--length", type=int, default=400,
+                   help="Minimum median subread length.")
+    p.add_argument("--chunk_len", type=int, default=1000)
+    p.add_argument("--chunk_ovlp", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--qualities", action="store_true")
+    p.set_defaults(func=_cmd_smolecule)
+
     # --- tools -----------------------------------------------------------
     toolparser = subparsers.add_parser(
         "tools", parents=[log_parent], help="tools sub-commands",
@@ -400,6 +421,16 @@ def _cmd_resolve_model(args):
 def _cmd_hdf_to_bed(args):
     from medaka_tpu import variant
     variant.samples_to_bed(args.inputs, args.output)
+    return 0
+
+
+def _cmd_smolecule(args):
+    from medaka_tpu import smolecule
+    smolecule.smolecule(
+        args.fasta, args.output, model_path=args.model,
+        threads=args.threads, depth=args.depth, length=args.length,
+        chunk_len=args.chunk_len, chunk_ovlp=args.chunk_ovlp,
+        batch_size=args.batch_size, qualities=args.qualities)
     return 0
 
 
