@@ -259,6 +259,20 @@ def main(argv=None):
     tp.set_defaults(func=_cmd_hdf_to_bed)
 
     tp = toolsub.add_parser(
+        "annotate", help="Annotate a VCF with read depth/allele support.")
+    tp.add_argument("vcf")
+    tp.add_argument("ref_fasta")
+    tp.add_argument("bam")
+    tp.add_argument("vcfout")
+    tp.add_argument("--RG", default=None, help="Read group filter.")
+    tp.add_argument("--chunk_size", type=int, default=100000)
+    tp.add_argument("--pad", type=int, default=25)
+    tp.add_argument(
+        "--no-dpsp", dest="dpsp", action="store_false",
+        help="Skip spanning-read annotations.")
+    tp.set_defaults(func=_cmd_annotate)
+
+    tp = toolsub.add_parser(
         "haploid2diploid",
         help="Merge two haploid VCFs into a diploid VCF.")
     tp.add_argument("vcf1")
@@ -431,6 +445,15 @@ def _cmd_smolecule(args):
         threads=args.threads, depth=args.depth, length=args.length,
         chunk_len=args.chunk_len, chunk_ovlp=args.chunk_ovlp,
         batch_size=args.batch_size, qualities=args.qualities)
+    return 0
+
+
+def _cmd_annotate(args):
+    from medaka_tpu import vcf as vcf_mod
+    vcf_mod.annotate_vcf_n_reads(
+        args.vcf, args.ref_fasta, args.bam, args.vcfout,
+        read_group=args.RG, chunk_size=args.chunk_size, pad=args.pad,
+        dpsp=args.dpsp)
     return 0
 
 

@@ -193,3 +193,34 @@ class TestHaploid2Diploid:
             path, "c:0-20000", min_len=2000)
         assert any(r.start == 100 and r.end == 9000 for r in homo)
         assert os.path.exists(str(tmp_path / "homozygous_regions.txt"))
+
+
+class TestAnnotate:
+    def test_golden_annotation(self, tmp_path):
+        """Exact DP/DPS/DPSP/SR/SC/AR parity on the reference's real
+        test_annotate data (golden values from its test_vcf.py:795-808,
+        which exercise read-group filtering, pileup depths and
+        parasail-equivalent SW scoring)."""
+        import os
+        from medaka_tpu.vcf import annotate_vcf_n_reads, VCFReader
+        D = "/root/reference/medaka/test/data/"
+        out = str(tmp_path / "annotated.vcf")
+        annotate_vcf_n_reads(
+            D + "test_annotate.vcf", D + "test_annotate_ref.fasta",
+            D + "test_annotate.bam", out,
+            read_group="nCoV-2019_2", pad=25, dpsp=True)
+        want = [
+            ("MN908947.3", 29748,
+             "AR=0,0;DP=200;DPS=100,100;DPSP=199;"
+             "SC=19484,20327,22036,23215;SR=1,2,98,98"),
+            ("MN908947.3", 29764,
+             "AR=0,0;DP=200;DPS=100,100;DPSP=199;"
+             "SC=19970,21140,15773,16751;SR=99,100,0,0"),
+            ("MN908947.3", 29788,
+             "AR=0,0;DP=199;DPS=99,100;DPSP=197;"
+             "SC=26174,28129,19085,20315;SR=96,100,1,0")]
+        got = list(VCFReader(out, cache=False).fetch())
+        assert len(got) == 6  # MN908947.3 + Duplicate contig
+        for i, (chrom, pos, info) in enumerate(want + want):
+            assert got[i].pos == pos
+            assert got[i].info_string == info, (i, got[i].info_string)
