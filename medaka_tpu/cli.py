@@ -215,6 +215,28 @@ def main(argv=None):
     p.add_argument("--model_parallel", type=int, default=1)
     p.set_defaults(func=_cmd_train)
 
+    # --- rle -------------------------------------------------------------
+    p = subparsers.add_parser(
+        "fastrle", parents=[log_parent],
+        help="Create run-length-encoded fastq (lengths in quals).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("input", help="Input fasta/q (may be gzipped).")
+    p.add_argument("--output", default=None,
+                   help="Output fastq (default stdout).")
+    p.add_argument("--block_size", type=int, default=94)
+    p.set_defaults(func=_cmd_fastrle)
+
+    p = subparsers.add_parser(
+        "compress_bam", parents=[log_parent],
+        help="Re-express a BAM in run-length-encoded coordinates.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("bam_input")
+    p.add_argument("bam_output")
+    p.add_argument("ref_fname")
+    p.add_argument("--regions", nargs="+", default=None)
+    p.add_argument("--threads", type=int, default=1)
+    p.set_defaults(func=_cmd_compress_bam)
+
     # --- smolecule -------------------------------------------------------
     p = subparsers.add_parser(
         "smolecule", parents=[log_parent],
@@ -435,6 +457,23 @@ def _cmd_resolve_model(args):
 def _cmd_hdf_to_bed(args):
     from medaka_tpu import variant
     variant.samples_to_bed(args.inputs, args.output)
+    return 0
+
+
+def _cmd_fastrle(args):
+    from medaka_tpu import rle
+    rle.fastrle(
+        args.input, args.output or sys.stdout,
+        block_size=args.block_size)
+    return 0
+
+
+def _cmd_compress_bam(args):
+    from medaka_tpu import rle
+    regions = _regions_arg(args.regions) if args.regions else None
+    rle.compress_bam(
+        args.bam_input, args.bam_output, args.ref_fname,
+        regions=regions, threads=args.threads)
     return 0
 
 

@@ -1,0 +1,202 @@
+"""Run-length encoding tooling.
+
+Functional equivalent of the reference's ``medaka/rle.py`` and the
+``fastrle`` C tool (``src/fastrle.c``): homopolymer-compressed
+sequences with run lengths carried in phred qualities, plus
+re-alignment of reads in RLE space (``compress_bam``).
+
+The fast5 Weibull-parameter path (``WL``/``WK`` tags from
+``ont_fast5_api``) is gated: the execution environment has no fast5
+stack, so requesting it raises with a clear message.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from medaka_tpu import align as align_mod
+from medaka_tpu import common, native
+from medaka_tpu.io.bam import BamReader, write_bam
+from medaka_tpu.io.fastx import FastxRecord, read_fastx
+
+# printable phred alphabet; max encodable run length 93
+_SCORES = "".join(chr(x) for x in range(33, 127))
+
+
+class RLEConverter:
+    """Basecall <-> RLE coordinate conversion (reference
+    ``rle.py:18-75``)."""
+
+    def __init__(self, basecall: str):
+        """Compress ``basecall`` and build coordinate maps."""
+        self.basecall = basecall
+        self.rle_conversion = common.rle(basecall)
+        self.compact_basecall = "".join(self.rle_conversion["value"])
+        self.homop_length = self.rle_conversion["length"]
+        self.inverse = np.repeat(
+            np.arange(len(self.rle_conversion)),
+            self.rle_conversion["length"])
+
+    def transform_coords(self, start: int, end: int):
+        """Map an (uncompressed) slice to compact coordinates."""
+        return int(self.inverse[start]), int(self.inverse[end - 1]) + 1
+
+    def trimmed_compact(self, start: int, end: int) -> str:
+        """Compact sequence of an uncompressed slice."""
+        s, e = self.transform_coords(start, end)
+        return self.compact_basecall[s:e]
+
+    def coord_compact_to_full(self, coord):
+        """Compact index -> uncompressed start coordinate."""
+        return self.rle_conversion[coord]["start"]
+
+
+def compress_seq(record: FastxRecord) -> FastxRecord:
+    """RLE-compress one fastx record, lengths as phred qualities.
+
+    Reference: ``rle.py:251-283`` / ``src/fastrle.c`` (run lengths are
+    capped at 93, the largest printable phred).
+    """
+    logger = common.get_named_logger("Compress_basecalls")
+    conv = RLEConverter(record.sequence)
+    lengths = conv.homop_length.copy()
+    over = lengths >= len(_SCORES)
+    if over.any():
+        logger.warning(
+            "Some homopolymers in %s are longer than the longest "
+            "supported length", record.name)
+        lengths[over] = len(_SCORES) - 1
+    quality = "".join(_SCORES[x] for x in lengths)
+    return FastxRecord(
+        name=record.name, comment=record.comment or "",
+        sequence=conv.compact_basecall, quality=quality)
+
+
+def fastrle(input_fastx: str, output, block_size: int = 94):
+    """Stream a fastx file as RLE fastq (the `medaka fastrle` tool).
+
+    :param output: open file handle (or path) for fastq output.
+    :param block_size: maximum encodable run length + 1 (<= 94).
+    """
+    if block_size > 94:
+        raise ValueError("block_size must be <= 94.")
+    close = False
+    if isinstance(output, str):
+        output = open(output, "w")
+        close = True
+    try:
+        for record in read_fastx(input_fastx):
+            conv = RLEConverter(record.sequence)
+            lengths = np.minimum(conv.homop_length, block_size - 1)
+            qual = "".join(_SCORES[x] for x in lengths)
+            output.write("@{}\n{}\n+\n{}\n".format(
+                record.name, conv.compact_basecall, qual))
+    finally:
+        if close:
+            output.close()
+
+
+def add_extra_clipping(cigar: str, start_clip: int, end_clip: int) -> str:
+    """Extend soft clips at either end of a cigar string."""
+
+    def merge(cigar, clip, at_start):
+        if clip == 0:
+            return cigar
+        ops = list(align_mod.cigar_ops_from_start(cigar))
+        if at_start:
+            n, op = ops[0]
+            if op == "S":
+                return "{}S".format(int(n) + clip) + \
+                    cigar[len(n) + 1:]
+            return "{}S".format(clip) + cigar
+        n, op = ops[-1]
+        if op == "S":
+            return cigar[:-(len(n) + 1)] + \
+                "{}S".format(int(n) + clip)
+        return cigar + "{}S".format(clip)
+
+    return merge(merge(cigar, start_clip, True), end_clip, False)
+
+
+def _compress_alignment(rec, ref_rle: RLEConverter):
+    """Re-align one read in RLE space (reference ``rle.py:94-188``)."""
+    logger = common.get_named_logger("Compress_bam")
+    if rec.flag & (4 | 256):
+        logger.info(
+            "Alignment of read %s is unmapped or secondary. Skip.",
+            rec.query_name)
+        return None
+    query_rle = RLEConverter(rec.query_sequence)
+
+    # aligned part of the query (exclude soft clips)
+    lead = 0
+    ops = list(align_mod.cigar_ops_from_start(rec.cigarstring))
+    if ops and ops[0][1] == "S":
+        lead = int(ops[0][0])
+    tail = 0
+    if len(ops) > 1 and ops[-1][1] == "S":
+        tail = int(ops[-1][0])
+    qstart, qend = lead, rec.query_length - tail
+    qc_start, qc_end = query_rle.transform_coords(qstart, qend)
+    compact_query = query_rle.compact_basecall[qc_start:qc_end]
+
+    rc_start, rc_end = ref_rle.transform_coords(
+        rec.pos, rec.reference_end)
+    compact_ref = ref_rle.compact_basecall[rc_start:rc_end]
+
+    rstart, cigar = align_mod.sw_align(
+        compact_query, compact_ref, match=5, mismatch=4, gap_open=5,
+        gap_extend=3)
+    cigar = add_extra_clipping(
+        cigar, qc_start,
+        len(query_rle.compact_basecall) - qc_end)
+    rstart += rc_start
+
+    quals = np.minimum(query_rle.homop_length, 255).astype(int).tolist()
+    return align_mod.initialise_alignment(
+        rec.query_name, rec.ref_id, rstart, query_rle.compact_basecall,
+        cigar, rec.flag, query_qualities=quals)
+
+
+def compress_bam(
+        bam_input: str, bam_output: str, ref_fname: str,
+        regions: Optional[List[common.Region]] = None, threads: int = 1,
+        use_fast5_info=None):
+    """Re-express a BAM in an RLE coordinate system.
+
+    Reference: ``rle.py:190-248``. Reads and the reference are
+    homopolymer compressed; each read is re-aligned (SW) to the
+    compressed reference; run lengths are stored as qualities.
+    """
+    from medaka_tpu.io.fastx import FastaReader
+
+    if use_fast5_info:
+        raise NotImplementedError(
+            "fast5 Weibull parameters (WL/WK tags) require ont_fast5_api "
+            "which is not available in this environment.")
+    regions = common.get_bam_regions(bam_input, regions)
+    ref_fasta = FastaReader(ref_fname)
+    records = []
+    with BamReader(bam_input) as reader:
+        references = list(zip(reader.references, reader.lengths))
+        # compressed reference lengths for the output header
+        ref_rles = {}
+        for region in regions:
+            if region.ref_name not in ref_rles:
+                ref_rles[region.ref_name] = RLEConverter(
+                    ref_fasta.fetch(region.ref_name))
+            ref_rle = ref_rles[region.ref_name]
+            for rec in reader.fetch(
+                    region.ref_name, region.start, region.end):
+                out = _compress_alignment(rec, ref_rle)
+                if out is not None:
+                    records.append(out)
+    compressed_refs = [
+        (name,
+         len(ref_rles[name].compact_basecall) if name in ref_rles
+         else length)
+        for name, length in references]
+    write_bam(bam_output, records, compressed_refs)
+    return bam_output
