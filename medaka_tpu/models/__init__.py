@@ -188,3 +188,177 @@ from medaka_tpu.models.gru import GRUModel  # noqa: E402,F401
 from medaka_tpu.models.latent_space_lstm import (  # noqa: E402,F401
     LatentSpaceLSTM)
 from medaka_tpu.models.majority import MajorityVoteModel  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Model auto-selection from basecaller metadata
+# (reference ``medaka/models.py:142-256``)
+# ---------------------------------------------------------------------------
+
+
+def _models_from_bam(fname):
+    from medaka_tpu.io.bam import BamReader
+    models = set()
+    with BamReader(fname) as reader:
+        for line in reader.header_text.splitlines():
+            if not line.startswith("@RG"):
+                continue
+            for field in line.split("\t"):
+                if field.startswith("DS:"):
+                    ds = field[3:]
+                    if "basecall_model=" in ds:
+                        models.add(
+                            ds.split("basecall_model=")[1].split()[0])
+    return models
+
+
+def _models_from_fastq(fname):
+    import itertools as _it
+
+    from medaka_tpu import options
+    from medaka_tpu.io.fastx import read_fastx
+    # longest names first: versioned entries must beat their
+    # unversioned prefixes (e.g. ..._hac@v4.2.0 over ..._hac)
+    known = sorted(options.basecaller_models, key=len, reverse=True)
+    models = set()
+    for rec in _it.islice(read_fastx(fname), 100):
+        comment = rec.comment or ""
+        # format 1: basecall_model_version_id=<model>
+        if "basecall_model_version_id=" in comment:
+            models.add(
+                comment.split("basecall_model_version_id=")[1].split()[0])
+            continue
+        # format 2: RG:Z:<runid>_<model>_<barcode...>; search known names
+        for name in known:
+            if name in comment:
+                models.add(name)
+                break
+    return models
+
+
+def model_from_basecaller(fname, variant=False, bacteria=False):
+    """Pick the right model from a basecaller output file.
+
+    BAM/CRAM: the ``DS`` subfield of @RG headers is scanned for
+    ``basecall_model=``; FASTQ: the first 100 record comments. The
+    basecaller name is looked up in the catalogue
+    (:mod:`medaka_tpu.options`).
+    """
+    from medaka_tpu import common, options
+    logger = common.get_named_logger("MdlInspect")
+    try:
+        models = _models_from_bam(fname)
+    except Exception:
+        models = set()
+    if not models:
+        try:
+            models = _models_from_fastq(fname)
+        except Exception:
+            raise IOError(
+                "Failed to parse basecaller models from input file.")
+    if len(models) != 1:
+        raise ValueError(
+            "Input file did not contain precisely 1 basecaller model "
+            "reference.")
+    basecaller = models.pop()
+    if basecaller not in options.basecaller_models:
+        raise KeyError(
+            "Unknown basecaller model. Please provide a model "
+            "explicitly using --model.")
+    consensus, var = options.basecaller_models[basecaller]
+    model = var if variant else consensus
+    if model is None:
+        raise ValueError(
+            "No {} model available for basecaller {}.".format(
+                "variant" if variant else "consensus", basecaller))
+    if bacteria and not variant:
+        if model in options.bact_methyl_compatible_models:
+            model = options.bact_methyl_model
+        else:
+            logger.warning(
+                "--bacteria specified but input data was not compatible; "
+                "using default model %s.", model)
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Export for dorado (reference ``medaka/torch_ext.py:474-533``)
+# ---------------------------------------------------------------------------
+
+EXPORT_CONFIG_VERSION = 3
+
+
+def _toml_value(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    return '"{}"'.format(str(v).replace('"', '\\"'))
+
+
+def _toml_dump(doc: Dict, fh, prefix=""):
+    scalars = {
+        k: v for k, v in doc.items()
+        if not isinstance(v, dict) and v is not None}
+    tables = {k: v for k, v in doc.items() if isinstance(v, dict)}
+    for key, value in scalars.items():
+        fh.write("{} = {}\n".format(key, _toml_value(value)))
+    for key, value in tables.items():
+        name = "{}.{}".format(prefix, key) if prefix else key
+        fh.write("\n[{}]\n".format(name))
+        _toml_dump(value, fh, name)
+
+
+def export_model(model_path: str, output: Optional[str] = None,
+                 supported_basecallers: Optional[list] = None,
+                 force: bool = False) -> str:
+    """Export a model as config.toml + weights.pt (dorado polish format).
+
+    Weights are converted back to a torch state dict via the model's
+    ``torch_state_from_params`` so the exported archive is loadable by
+    the reference/dorado stack.
+    """
+    import shutil
+    import tempfile
+
+    import torch
+
+    if not os.path.exists(model_path):
+        raise FileNotFoundError(
+            "Model file not found: {}".format(model_path))
+    if output is None:
+        output = os.path.basename(model_path).replace(
+            ".tar.gz", "_export")
+    bundle = load_model(model_path)
+    if not hasattr(bundle.model, "torch_state_from_params"):
+        raise NotImplementedError(
+            "{} cannot be exported to torch format.".format(
+                type(bundle.model).__name__))
+    config = {
+        "config_version": EXPORT_CONFIG_VERSION,
+        "model": bundle.model.to_dict(),
+        "feature_encoder": bundle.feature_encoder.to_dict()
+        if bundle.feature_encoder else {},
+        "supported_basecallers": supported_basecallers or [],
+        "label_scheme": bundle.label_scheme.to_dict()
+        if bundle.label_scheme else {},
+    }
+    state = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in bundle.model.torch_state_from_params(
+            bundle.params).items()}
+    tmpdir = tempfile.mkdtemp()
+    try:
+        mdir = os.path.join(tmpdir, "model")
+        os.makedirs(mdir)
+        with open(os.path.join(mdir, "config.toml"), "w") as fh:
+            _toml_dump(config, fh)
+        torch.save(state, os.path.join(mdir, "weights.pt"))
+        out_tar = output + ".tar.gz"
+        with tarfile.open(out_tar, "w:gz") as tar:
+            tar.add(mdir, arcname="model")
+    finally:
+        shutil.rmtree(tmpdir)
+    return out_tar

@@ -102,6 +102,26 @@ class GRUModel:
         linear = {"w": arr("linear.weight"), "b": arr("linear.bias")}
         return {"gru": layers, "linear": linear}
 
+    def torch_state_from_params(self, params: Dict) -> Dict:
+        """Inverse of :meth:`params_from_torch_state` (numpy arrays)."""
+        state = {}
+        for k, layer in enumerate(params["gru"]):
+            for key, suffix in (("fwd", ""), ("bwd", "_reverse")):
+                if key not in layer:
+                    continue
+                p = layer[key]
+                state["gru.weight_ih_l{}{}".format(k, suffix)] = \
+                    np.asarray(p["w_ih"])
+                state["gru.weight_hh_l{}{}".format(k, suffix)] = \
+                    np.asarray(p["w_hh"])
+                state["gru.bias_ih_l{}{}".format(k, suffix)] = \
+                    np.asarray(p["b_ih"])
+                state["gru.bias_hh_l{}{}".format(k, suffix)] = \
+                    np.asarray(p["b_hh"])
+        state["linear.weight"] = np.asarray(params["linear"]["w"])
+        state["linear.bias"] = np.asarray(params["linear"]["b"])
+        return state
+
     # --- forward ---
 
     def apply(self, params: Dict, x: jnp.ndarray, normalise: bool = True,

@@ -182,6 +182,42 @@ class LatentSpaceLSTM:
             "linear": {
                 "w": arr("linear.weight"), "b": arr("linear.bias")}}
 
+    def torch_state_from_params(self, params: Dict) -> Dict:
+        """Inverse of :meth:`params_from_torch_state` (numpy arrays)."""
+        state = {
+            "base_embedder.weight": np.asarray(params["base_embed"]),
+            "strand_embedder.weight": np.asarray(params["strand_embed"]),
+            "pre_pool_expansion_layer.weight":
+                np.asarray(params["pre_pool"]["w"]),
+            "pre_pool_expansion_layer.bias":
+                np.asarray(params["pre_pool"]["b"]),
+            "linear.weight": np.asarray(params["linear"]["w"]),
+            "linear.bias": np.asarray(params["linear"]["b"])}
+        idx = 0
+        for layer in params["convs"]:
+            conv_key = "read_level_conv.convs.{}".format(idx)
+            bn_key = "read_level_conv.convs.{}".format(idx + 2)
+            state[conv_key + ".weight"] = np.asarray(layer["conv"]["w"])
+            state[conv_key + ".bias"] = np.asarray(layer["conv"]["b"])
+            state[bn_key + ".weight"] = np.asarray(layer["bn"]["scale"])
+            state[bn_key + ".bias"] = np.asarray(layer["bn"]["bias"])
+            state[bn_key + ".running_mean"] = np.asarray(
+                layer["bn"]["mean"])
+            state[bn_key + ".running_var"] = np.asarray(layer["bn"]["var"])
+            idx += 3
+        for k, layer in enumerate(params["lstm"]):
+            for key, suffix in (("fwd", ""), ("bwd", "_reverse")):
+                p = layer[key]
+                state["lstm.weight_ih_l{}{}".format(k, suffix)] = \
+                    np.asarray(p["w_ih"])
+                state["lstm.weight_hh_l{}{}".format(k, suffix)] = \
+                    np.asarray(p["w_hh"])
+                state["lstm.bias_ih_l{}{}".format(k, suffix)] = \
+                    np.asarray(p["b_ih"])
+                state["lstm.bias_hh_l{}{}".format(k, suffix)] = \
+                    np.asarray(p["b_hh"])
+        return state
+
     # --- forward ---
 
     def apply(self, params: Dict, x: jnp.ndarray, normalise: bool = True,

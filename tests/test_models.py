@@ -212,3 +212,60 @@ class TestMedakaImport:
             want = tm(torch.from_numpy(x)).numpy()
         got = np.asarray(bundle.model.apply(bundle.params, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+class TestExportAndScrape:
+    def test_export_round_trip(self, tmp_path):
+        """Export to torch weights.pt + config.toml, re-import, logits
+        match."""
+        import tomllib
+
+        import jax
+        import torch
+
+        from medaka_tpu.features import CountsFeatureEncoder
+        from medaka_tpu.labels import HaploidLabelScheme
+        from medaka_tpu.models import export_model, save_model
+        model = GRUModel(gru_size=12)
+        params = model.init_params(jax.random.PRNGKey(3))
+        src = str(tmp_path / "model.tar.gz")
+        save_model(src, model, params,
+                   feature_encoder=CountsFeatureEncoder(),
+                   label_scheme=HaploidLabelScheme())
+        out = export_model(src, str(tmp_path / "exported"))
+        import tarfile
+        with tarfile.open(out) as tar:
+            names = tar.getnames()
+            assert "model/config.toml" in names
+            assert "model/weights.pt" in names
+            config = tomllib.loads(
+                tar.extractfile("model/config.toml").read().decode())
+            assert config["config_version"] == 3
+            assert config["model"]["type"] == "GRUModel"
+            tar.extract("model/weights.pt", tmp_path)
+        state = torch.load(
+            str(tmp_path / "model" / "weights.pt"), weights_only=True)
+        model2 = GRUModel(gru_size=12)
+        params2 = model2.params_from_torch_state(state)
+        x = np.random.default_rng(0).random((1, 20, 10)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(model.apply(params, jnp.asarray(x))),
+            np.asarray(model2.apply(params2, jnp.asarray(x))),
+            rtol=1e-6)
+
+    def test_model_from_basecaller_bam(self):
+        from medaka_tpu.models import model_from_basecaller
+        bam = "/root/reference/medaka/test/data/bc_model_scrape.bam"
+        model = model_from_basecaller(bam)
+        assert model == "r1041_e82_400bps_hac_v4.2.0"
+        assert model_from_basecaller(bam, variant=True) == \
+            "r1041_e82_400bps_hac_variant_v4.2.0"
+
+    def test_model_from_basecaller_fastq(self):
+        from medaka_tpu.models import model_from_basecaller
+        fq = "/root/reference/medaka/test/data/bc_model_scrape.fastq.gz"
+        assert model_from_basecaller(fq) == "r1041_e82_400bps_hac_v4.2.0"
+        fq2 = ("/root/reference/medaka/test/data/"
+               "bc_model_scrape_minknow.fastq.gz")
+        # the minknow-format file carries a sup model
+        assert model_from_basecaller(fq2) == "r1041_e82_400bps_sup_v4.2.0"
