@@ -215,6 +215,35 @@ def main(argv=None):
     p.add_argument("--model_parallel", type=int, default=1)
     p.set_defaults(func=_cmd_train)
 
+    # --- consensus (full pipeline) --------------------------------------
+    p = subparsers.add_parser(
+        "consensus", parents=[log_parent],
+        help="Full polishing pipeline: reads + draft -> polished fasta "
+             "(map, inference, stitch).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("reads", help="Reads fasta/q (may be gzipped).")
+    p.add_argument("draft", help="Draft assembly fasta.")
+    p.add_argument("--output", "-o", default="medaka_tpu_consensus")
+    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--threads", "-t", type=int, default=1)
+    p.add_argument("--batch_size", "-b", type=int, default=128)
+    p.add_argument("--chunk_len", type=int, default=10000)
+    p.add_argument("--chunk_ovlp", type=int, default=1000)
+    p.add_argument("--qualities", "-q", action="store_true")
+    p.set_defaults(func=_cmd_consensus)
+
+    p = subparsers.add_parser(
+        "align", parents=[log_parent],
+        help="Map reads to a draft, writing a sorted indexed BAM "
+             "(mini_align replacement).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("reads")
+    p.add_argument("draft")
+    p.add_argument("output", help="Output BAM path.")
+    p.add_argument("--threads", "-t", type=int, default=1)
+    p.add_argument("--band", type=int, default=500)
+    p.set_defaults(func=_cmd_align)
+
     # --- rle -------------------------------------------------------------
     p = subparsers.add_parser(
         "fastrle", parents=[log_parent],
@@ -272,7 +301,21 @@ def main(argv=None):
     tp = toolsub.add_parser(
         "resolve_model", help="Resolve a model name to a file path.")
     tp.add_argument("--model", required=True)
+    tp.add_argument(
+        "--auto_model", choices=["consensus", "variant"], default=None,
+        help="Treat --model as a basecaller output file and choose the "
+             "model from its metadata.")
+    tp.add_argument("--bacteria", action="store_true")
     tp.set_defaults(func=_cmd_resolve_model)
+
+    tp = toolsub.add_parser(
+        "export",
+        help="Export a model as config.toml + torch weights.pt.")
+    tp.add_argument("model")
+    tp.add_argument("--output", default=None)
+    tp.add_argument(
+        "--supported_basecallers", nargs="+", default=[])
+    tp.set_defaults(func=_cmd_export)
 
     tp = toolsub.add_parser(
         "hdf_to_bed", help="Write covered intervals of sample files.")
@@ -450,13 +493,46 @@ def _cmd_list_models(args):
 
 def _cmd_resolve_model(args):
     from medaka_tpu import models
+    if args.auto_model:
+        name = models.model_from_basecaller(
+            args.model, variant=args.auto_model == "variant",
+            bacteria=args.bacteria)
+        print(name)
+        return 0
     print(models.resolve_model(args.model))
+    return 0
+
+
+def _cmd_export(args):
+    from medaka_tpu import models
+    print(models.export_model(
+        models.resolve_model(args.model), args.output,
+        supported_basecallers=args.supported_basecallers))
     return 0
 
 
 def _cmd_hdf_to_bed(args):
     from medaka_tpu import variant
     variant.samples_to_bed(args.inputs, args.output)
+    return 0
+
+
+def _cmd_consensus(args):
+    from medaka_tpu import mapping, models
+    mapping.consensus_workflow(
+        args.reads, args.draft, args.output,
+        model_path=models.resolve_model(args.model),
+        threads=args.threads, batch_size=args.batch_size,
+        chunk_len=args.chunk_len, chunk_ovlp=args.chunk_ovlp,
+        qualities=args.qualities)
+    return 0
+
+
+def _cmd_align(args):
+    from medaka_tpu import mapping
+    mapping.align_reads(
+        args.reads, args.draft, args.output, threads=args.threads,
+        band=args.band)
     return 0
 
 

@@ -1,0 +1,123 @@
+"""Read-to-draft alignment driver (the ``mini_align`` replacement).
+
+The reference's polishing workflow shells out to minimap2 via the
+``mini_align`` wrapper (``scripts/medaka_consensus:165-176``); here the
+native minimizer mapper (:class:`medaka_tpu.native.Mapper`) produces the
+sorted, indexed BAM directly, making the full consensus pipeline
+self-contained.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+from typing import List, Optional
+
+from medaka_tpu import common, native
+from medaka_tpu.io.bam import BamRecord, write_bam
+from medaka_tpu.io.fastx import FastaReader, read_fastx
+
+
+def align_reads(
+        reads_fastx: str, draft_fasta: str, out_bam: str,
+        threads: int = 1, band: int = 500,
+        min_score: Optional[int] = None) -> dict:
+    """Map reads to a draft and write a sorted, indexed BAM.
+
+    :param reads_fastx: fasta/q(.gz) of reads.
+    :param draft_fasta: the assembly to polish.
+    :param band: alignment band (net indel drift bound).
+    :param min_score: drop mappings below this alignment score.
+
+    :returns: stats dict {mapped, unmapped}.
+    """
+    logger = common.get_named_logger("Mapper")
+    draft = FastaReader(draft_fasta)
+    references = [
+        (name, draft.fetch(name)) for name in draft.references]
+    mapper = native.Mapper(references)
+    ref_lengths = [(name, len(seq)) for name, seq in references]
+
+    records: List[BamRecord] = []
+    n_mapped = n_unmapped = 0
+
+    def _map(item):
+        name, seq, qual = item
+        hit = mapper.map(seq, band=band)
+        return name, seq, qual, hit
+
+    def read_iter():
+        for rec in read_fastx(reads_fastx):
+            yield rec.name, rec.sequence, rec.quality
+
+    with concurrent.futures.ThreadPoolExecutor(max(1, threads)) as ex:
+        for name, seq, qual, hit in ex.map(_map, read_iter()):
+            if hit is None or (
+                    min_score is not None and hit.score < min_score):
+                n_unmapped += 1
+                continue
+            oriented = seq if hit.flag == 0 else \
+                common.reverse_complement(seq)
+            quals = None
+            if qual is not None:
+                q = [ord(c) - 33 for c in qual]
+                quals = q if hit.flag == 0 else q[::-1]
+            cigar = hit.cigar
+            if hit.query_start:
+                cigar = "{}S".format(hit.query_start) + cigar
+            end_clip = len(seq) - hit.query_end
+            if end_clip:
+                cigar += "{}S".format(end_clip)
+            records.append(BamRecord.build(
+                query_name=name, ref_id=hit.ref_id, pos=hit.ref_start,
+                seq=oriented, qual=quals, cigar=cigar, flag=hit.flag,
+                mapq=60))
+            n_mapped += 1
+    mapper.close()
+    write_bam(out_bam, records, ref_lengths)
+    logger.info(
+        "Mapped %d reads (%d unmapped) -> %s.",
+        n_mapped, n_unmapped, out_bam)
+    return {"mapped": n_mapped, "unmapped": n_unmapped}
+
+
+def consensus_workflow(
+        reads_fastx: str, draft_fasta: str, output_dir: str,
+        model_path: Optional[str] = None, model=None, params=None,
+        feature_encoder=None, label_scheme=None, threads: int = 1,
+        batch_size: int = 128, chunk_len: int = 10000,
+        chunk_ovlp: int = 1000, qualities: bool = False) -> str:
+    """The full polishing pipeline (``medaka_consensus`` equivalent).
+
+    reads + draft -> BAM (native mapper) -> probabilities (predict) ->
+    polished consensus (stitch). Stages are skipped when their outputs
+    already exist, mirroring the resumable reference script
+    (``scripts/medaka_consensus:185-199``).
+
+    :returns: path of the polished fasta/fastq.
+    """
+    import os
+
+    from medaka_tpu import prediction, stitch
+
+    logger = common.get_named_logger("Consensus")
+    os.makedirs(output_dir, exist_ok=True)
+    bam = os.path.join(output_dir, "calls_to_draft.bam")
+    if not os.path.exists(bam):
+        align_reads(reads_fastx, draft_fasta, bam, threads=threads)
+    else:
+        logger.info("Reusing existing %s.", bam)
+    probs = os.path.join(output_dir, "consensus_probs.hdf")
+    if not os.path.exists(probs):
+        prediction.predict(
+            bam, probs, model_path=model_path, model=model,
+            params=params, feature_encoder=feature_encoder,
+            label_scheme=label_scheme, batch_size=batch_size,
+            chunk_len=chunk_len, chunk_overlap=chunk_ovlp,
+            bam_workers=max(1, threads // 2))
+    else:
+        logger.info("Reusing existing %s.", probs)
+    out_ext = "fastq" if qualities else "fasta"
+    out = os.path.join(output_dir, "consensus." + out_ext)
+    stitch.stitch_to_fasta(
+        probs, draft_fasta, out, threads=threads, qualities=qualities)
+    logger.info("Polished consensus written to %s.", out)
+    return out

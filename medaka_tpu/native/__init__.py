@@ -22,7 +22,7 @@ import threading
 from typing import List, Optional, Sequence
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
-_SOURCES = ("align.cpp", "poa.cpp")
+_SOURCES = ("align.cpp", "poa.cpp", "mapper.cpp")
 _LOCK = threading.Lock()
 _LIB = None
 
@@ -172,3 +172,102 @@ def available() -> bool:
         return True
     except NativeBuildError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Read mapper (minimap2-lite; replaces mini_align/minimap2)
+# ---------------------------------------------------------------------------
+
+
+class _MtMapping(ctypes.Structure):
+    _fields_ = [
+        ("ref_id", ctypes.c_int32),
+        ("ref_start", ctypes.c_int32),
+        ("flag", ctypes.c_int32),
+        ("score", ctypes.c_int32),
+        ("query_start", ctypes.c_int32),
+        ("query_end", ctypes.c_int32),
+        ("cigar", ctypes.c_void_p),
+    ]
+
+
+@dataclasses.dataclass
+class Mapping:
+    """A primary read-to-reference mapping."""
+
+    ref_id: int
+    ref_start: int
+    flag: int            # 0 fwd, 16 rev
+    score: int
+    query_start: int     # clip on the oriented query
+    query_end: int
+    cigar: str           # aligned portion, no clips
+
+
+def _load_mapper_symbols(lib):
+    if getattr(lib, "_mapper_ready", False):
+        return
+    lib.mt_index_create.restype = ctypes.c_void_p
+    lib.mt_index_create.argtypes = []
+    lib.mt_index_add.restype = None
+    lib.mt_index_add.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.mt_index_destroy.restype = None
+    lib.mt_index_destroy.argtypes = [ctypes.c_void_p]
+    lib.mt_map.restype = ctypes.c_int
+    lib.mt_map.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(_MtMapping)]
+    lib._mapper_ready = True
+
+
+class Mapper:
+    """Minimizer index + banded-extension mapper over a reference set."""
+
+    def __init__(self, references):
+        """:param references: iterable of (name, sequence)."""
+        self._lib = _load()
+        _load_mapper_symbols(self._lib)
+        self._handle = self._lib.mt_index_create()
+        self.names = []
+        self.lengths = []
+        for name, seq in references:
+            self.names.append(name)
+            self.lengths.append(len(seq))
+            s = seq.encode()
+            self._lib.mt_index_add(self._handle, name.encode(), s, len(s))
+
+    def map(self, seq: str, band: int = 500) -> Optional[Mapping]:
+        """Primary mapping of a read (None when unmapped)."""
+        res = _MtMapping()
+        q = seq.encode()
+        rv = self._lib.mt_map(
+            self._handle, q, len(q), band, ctypes.byref(res))
+        if rv != 0:
+            raise NativeBuildError("mt_map failed")
+        if res.flag < 0:
+            return None
+        cigar = ctypes.cast(res.cigar, ctypes.c_char_p).value or b""
+        self._lib.mt_free(res.cigar)
+        return Mapping(
+            ref_id=res.ref_id, ref_start=res.ref_start, flag=res.flag,
+            score=res.score, query_start=res.query_start,
+            query_end=res.query_end, cigar=cigar.decode())
+
+    def close(self):
+        """Free the native index."""
+        if self._handle:
+            self._lib.mt_index_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:
+            pass
