@@ -287,6 +287,40 @@ def main(argv=None):
     p.add_argument("--qualities", action="store_true")
     p.set_defaults(func=_cmd_smolecule)
 
+    # --- tandem ----------------------------------------------------------
+    p = subparsers.add_parser(
+        "tandem", parents=[log_parent],
+        help="Targeted tandem-repeat genotyping.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("bam")
+    p.add_argument("ref_fasta")
+    p.add_argument("output", help="Output directory.")
+    p.add_argument(
+        "--regions", nargs="+", required=True,
+        help="Repeat regions or .bed files.")
+    p.add_argument("--model", required=True)
+    p.add_argument(
+        "--phasing", default="hybrid",
+        choices=["prephased", "hybrid", "abpoa", "unphased"])
+    p.add_argument("--sex", default="female",
+                   choices=["male", "female"])
+    p.add_argument("--sex_chrs", nargs=2, default=["chrX", "chrY"])
+    p.add_argument(
+        "--par_regions", nargs="+",
+        default=["chrX:10000-2781479", "chrX:155701382-156030895"])
+    p.add_argument("--padding", type=int, default=10)
+    p.add_argument("--min_depth", type=int, default=3)
+    p.add_argument("--min_mapq", type=int, default=5)
+    p.add_argument("--workers", type=int, default=1)
+    p.add_argument("--process_large_regions", action="store_true")
+    p.add_argument("--decompose", action="store_true",
+                   help="Emit decomposed variants instead of "
+                        "replacement-style records.")
+    p.add_argument("--add_read_names", action="store_true")
+    p.add_argument("--sample_name", default="SAMPLE")
+    p.add_argument("--disable_outlier_filter", action="store_true")
+    p.set_defaults(func=_cmd_tandem)
+
     # --- tools -----------------------------------------------------------
     toolparser = subparsers.add_parser(
         "tools", parents=[log_parent], help="tools sub-commands",
@@ -560,6 +594,22 @@ def _cmd_smolecule(args):
         threads=args.threads, depth=args.depth, length=args.length,
         chunk_len=args.chunk_len, chunk_ovlp=args.chunk_ovlp,
         batch_size=args.batch_size, qualities=args.qualities)
+    return 0
+
+
+def _cmd_tandem(args):
+    from medaka_tpu import models, tandem
+    tandem.main(
+        args.bam, args.ref_fasta, _regions_arg(args.regions),
+        args.output, model=models.resolve_model(args.model),
+        phasing=args.phasing, sex=args.sex,
+        sex_chrs=tuple(args.sex_chrs), par_regions=args.par_regions,
+        padding=args.padding, min_depth=args.min_depth,
+        min_mapq=args.min_mapq, workers=args.workers,
+        process_large_regions=args.process_large_regions,
+        decompose=args.decompose, add_read_names=args.add_read_names,
+        sample_name=args.sample_name,
+        disable_outlier_filter=args.disable_outlier_filter)
     return 0
 
 
