@@ -124,6 +124,102 @@ class ReadEvents:
         self.cover_end = min(rec.reference_end, end)
 
 
+class BatchedReadEvents:
+    """CIGAR expansion of MANY reads in one vectorised pass.
+
+    Equivalent to ``[ReadEvents(r, start, end) for r in reads]`` but with
+    all per-read loops replaced by concatenated-array operations — the
+    per-read numpy overhead dominated host featurization otherwise.
+    Produces flat event arrays carrying the originating read index so
+    per-read attributes (strand, dtype, quals) can be gathered.
+    """
+
+    __slots__ = (
+        "reads", "aln_rpos", "aln_read", "aln_nt16", "aln_qual",
+        "ins_anchor", "ins_minor", "ins_read", "ins_nt16", "ins_qual",
+        "del_rpos", "del_read", "cover_start", "cover_end")
+
+    def __init__(self, reads, start: int, end: int):
+        self.reads = reads
+        n_ops = np.array([len(r.cigar_array) for r in reads])
+        if n_ops.sum() == 0:
+            empty = np.empty(0, np.int64)
+            for name in self.__slots__[1:]:
+                setattr(self, name, empty)
+            return
+        ca = np.concatenate([r.cigar_array for r in reads])
+        ops, lens = ca[:, 0].astype(np.int64), ca[:, 1].astype(np.int64)
+        op_read = np.repeat(np.arange(len(reads)), n_ops)
+        first_op = np.concatenate(([0], np.cumsum(n_ops)))[:-1]
+
+        # per-read exclusive cumsums of query/ref consumption
+        tq = _CONSUMES_Q[ops] * lens
+        tr = _CONSUMES_R[ops] * lens
+        cq = np.cumsum(tq)
+        cr = np.cumsum(tr)
+        q_excl = cq - tq
+        r_excl = cr - tr
+        q_excl = q_excl - q_excl[first_op][op_read]
+        r_excl = r_excl - r_excl[first_op][op_read]
+        pos = np.array([r.pos for r in reads], dtype=np.int64)
+        r_excl = r_excl + pos[op_read]
+
+        # concatenated per-read base/qual arrays with offsets
+        seq_lens = np.array([len(r.seq_nt16) for r in reads])
+        seq_off = np.concatenate(([0], np.cumsum(seq_lens)))[:-1]
+        self_nt16 = np.concatenate([r.seq_nt16 for r in reads]) \
+            if len(reads) else np.empty(0, np.uint8)
+        quals = [
+            r.query_qualities if r.query_qualities is not None
+            else np.zeros(len(r.seq_nt16), dtype=np.int64)
+            for r in reads]
+        self_qual = np.concatenate(quals) if quals else np.empty(
+            0, np.int64)
+
+        def expand(mask):
+            sel = np.flatnonzero(mask)
+            ls = lens[sel]
+            idx = np.repeat(sel, ls)
+            off = np.arange(ls.sum()) - np.repeat(np.cumsum(ls) - ls, ls)
+            return idx, off
+
+        # aligned bases
+        idx, off = expand((ops == C_M) | (ops == C_EQ) | (ops == C_X))
+        rp = r_excl[idx] + off
+        keep = (rp >= start) & (rp < end)
+        idx, off, rp = idx[keep], off[keep], rp[keep]
+        self.aln_rpos = rp
+        self.aln_read = op_read[idx]
+        qpos_g = seq_off[self.aln_read] + q_excl[idx] + off
+        self.aln_nt16 = self_nt16[qpos_g]
+        self.aln_qual = self_qual[qpos_g]
+
+        # deletions
+        idx, off = expand(ops == C_D)
+        rp = r_excl[idx] + off
+        keep = (rp >= start) & (rp < end)
+        self.del_rpos = rp[keep]
+        self.del_read = op_read[idx[keep]]
+
+        # insertions (anchored at preceding consumed reference base)
+        idx, off = expand(ops == C_I)
+        anchor = r_excl[idx] - 1
+        keep = (anchor >= pos[op_read[idx]]) & (anchor >= start) \
+            & (anchor < end)
+        idx, off, anchor = idx[keep], off[keep], anchor[keep]
+        self.ins_anchor = anchor
+        self.ins_minor = off + 1
+        self.ins_read = op_read[idx]
+        qpos_g = seq_off[self.ins_read] + q_excl[idx] + off
+        self.ins_nt16 = self_nt16[qpos_g]
+        self.ins_qual = self_qual[qpos_g]
+
+        self.cover_start = np.maximum(pos, start)
+        self.cover_end = np.minimum(
+            np.array([r.reference_end for r in reads], dtype=np.int64),
+            end)
+
+
 def _weibull_fractions(rec: BamRecord, qpos: np.ndarray, num_qstrat: int,
                        logger) -> np.ndarray:
     """Per-base homopolymer partial counts from WL/WK Weibull tags.
@@ -148,6 +244,76 @@ def _weibull_fractions(rec: BamRecord, qpos: np.ndarray, num_qstrat: int,
         b = np.power(x[None, :] / scale[:, None], shape[:, None])
         # fmax (not maximum): C fmax(0, NaN) == 0 for overflowed shapes
         out[ok] = np.fmax(0.0, -np.exp(-a) * np.expm1(a - b))
+    return out
+
+
+def _pileup_counts_native(reads, start, end, dtypes, dtype_index,
+                          num_qstrat):
+    """Accumulate counts with the native kernel; None on unavailability.
+
+    The kernel (``native/src/pileup.cpp``) is the hot path: the numpy
+    fallback below it spends most of its time materialising huge
+    per-event index arrays.
+    """
+    try:
+        from medaka_tpu import native
+    except Exception:  # pragma: no cover
+        return None
+    num_dtypes = len(dtypes)
+    n = len(reads)
+    read_pos = np.fromiter(
+        (r.pos for r in reads), dtype=np.int64, count=n)
+    read_rev = np.fromiter(
+        (r.is_reverse for r in reads), dtype=np.uint8, count=n)
+    if num_dtypes > 1:
+        read_dtype = np.empty(n, dtype=np.int32)
+        for i, rec in enumerate(reads):
+            dt_tag = rec.tags.get("DT")
+            if dt_tag is None or dt_tag not in dtype_index:
+                raise ValueError(
+                    "Datatype not found for {}.".format(rec.query_name))
+            read_dtype[i] = dtype_index[dt_tag]
+    else:
+        read_dtype = np.zeros(n, dtype=np.int32)
+    cigar_arrays = [r.cigar_array for r in reads]
+    cigar_off = np.zeros(n + 1, dtype=np.int64)
+    cigar_off[1:] = np.cumsum([len(c) for c in cigar_arrays])
+    ca = np.concatenate(cigar_arrays) if n else np.empty(
+        (0, 2), np.uint32)
+    cigars = (
+        (ca[:, 1].astype(np.uint32) << 4)
+        | ca[:, 0].astype(np.uint32))
+    seq_arrays = [r.seq_nt16 for r in reads]
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    seq_off[1:] = np.cumsum([len(s) for s in seq_arrays])
+    seqs = np.concatenate(seq_arrays).astype(np.uint8)
+    if num_qstrat > 1:
+        quals = np.concatenate([
+            np.asarray(
+                r.query_qualities if r.query_qualities is not None
+                else np.zeros(len(r.seq_nt16)), dtype=np.uint8)
+            for r in reads])
+    else:
+        quals = np.zeros(1, dtype=np.uint8)
+        seq_off_q = seq_off  # unused by kernel when num_qstrat == 1
+        del seq_off_q
+        quals = np.zeros(len(seqs), dtype=np.uint8)
+    try:
+        counts, majors, minors = native.pileup_counts_native(
+            read_pos, read_rev, read_dtype, cigar_off, cigars, seq_off,
+            seqs, quals, start, end, num_dtypes, num_qstrat)
+    except native.NativeBuildError:  # pragma: no cover
+        return None
+    positions = make_positions(majors, minors)
+    if len(majors) == 0:
+        return [(counts, positions)]
+    # contiguity split on gaps in major coordinates
+    block_bounds = np.flatnonzero(np.diff(majors) > 1) + 1
+    if len(block_bounds) == 0:
+        return [(counts, positions)]
+    out = []
+    for piece in np.split(np.arange(len(majors)), block_bounds):
+        out.append((counts[piece], positions[piece]))
     return out
 
 
@@ -198,19 +364,36 @@ def pileup_counts(
             np.empty((0, col_feat), dtype=np.int64),
             make_positions([], []))]
 
-    events = [ReadEvents(rec, start, end) for rec in reads]
+    if not weibull_summation:
+        native_result = _pileup_counts_native(
+            reads, start, end, dtypes, dtype_index, num_qstrat)
+        if native_result is not None:
+            return native_result
+
+    ev = BatchedReadEvents(reads, start, end)
+
+    # per-read attributes gathered per event
+    is_rev = np.array([r.is_reverse for r in reads], dtype=bool)
+    if num_dtypes > 1:
+        dtypes_of_read = np.empty(len(reads), dtype=np.int64)
+        for i, rec in enumerate(reads):
+            dt_tag = rec.tags.get("DT")
+            if dt_tag is None or dt_tag not in dtype_index:
+                raise ValueError(
+                    "Datatype not found for {}.".format(rec.query_name))
+            dtypes_of_read[i] = dtype_index[dt_tag]
+    else:
+        dtypes_of_read = np.zeros(len(reads), dtype=np.int64)
+    dtype_off_of_read = FEATLEN * dtypes_of_read * num_qstrat
 
     # coverage per position and max insertion length per anchor position
     cover = np.zeros(span + 1, dtype=np.int32)
     max_ins = np.zeros(span, dtype=np.int64)
-    for ev in events:
-        if ev.cover_end > ev.cover_start:
-            cover[ev.cover_start - start] += 1
-            cover[ev.cover_end - start] -= 1
-        if len(ev.ins_anchor):
-            np.maximum.at(
-                max_ins, ev.ins_anchor - start,
-                ev.ins_minor.astype(np.int64))
+    has_cover = ev.cover_end > ev.cover_start
+    np.add.at(cover, ev.cover_start[has_cover] - start, 1)
+    np.add.at(cover, ev.cover_end[has_cover] - start, -1)
+    if len(ev.ins_anchor):
+        np.maximum.at(max_ins, ev.ins_anchor - start, ev.ins_minor)
     covered = np.cumsum(cover[:-1]) > 0
     cov_pos = np.flatnonzero(covered)  # positions relative to start
     if len(cov_pos) == 0:
@@ -230,56 +413,64 @@ def pileup_counts(
     minors = np.arange(n_cols) - np.repeat(col_start[:-1], cols_per_pos)
     positions = make_positions(majors, minors)
 
-    # accumulate events
+    # accumulate all events in single bincount passes
     flat = np.zeros(n_cols * col_feat, dtype=np.int64)
-    for ev in events:
-        rec = ev.rec
-        strand_off = 16 if ev.is_rev else 0
-        if num_dtypes > 1:
-            dt_tag = rec.tags.get("DT")
-            if dt_tag is None or dt_tag not in dtype_index:
-                raise ValueError(
-                    "Datatype not found for {}.".format(rec.query_name))
-            dtype = dtype_index[dt_tag]
-        else:
-            dtype = 0
-        dtype_off = FEATLEN * dtype * num_qstrat
 
-        # deletion events (always land in qstrat layer 0)
-        if len(ev.del_rpos):
-            del_chan = REV_DEL if ev.is_rev else FWD_DEL
-            cols = col_of_pos[ev.del_rpos - start]
-            np.add.at(flat, cols * col_feat + dtype_off + del_chan, 1)
+    # deletion events (always land in qstrat layer 0)
+    if len(ev.del_rpos):
+        del_chan = np.where(is_rev[ev.del_read], REV_DEL, FWD_DEL)
+        cols = col_of_pos[ev.del_rpos - start]
+        idx = cols * col_feat + dtype_off_of_read[ev.del_read] + del_chan
+        flat += np.bincount(idx, minlength=flat.size)
 
-        # base events: aligned (minor 0) and inserted (minor >= 1)
-        qpos = np.concatenate([ev.aln_qpos, ev.ins_qpos])
-        if not len(qpos):
-            continue
-        cols = np.concatenate([
-            col_of_pos[ev.aln_rpos - start],
-            col_of_pos[ev.ins_anchor - start] + ev.ins_minor])
-        chan = NT16_TO_CHANNEL[rec.seq_nt16[qpos] + strand_off]
+    # base events: aligned (minor 0) and inserted (minor >= 1)
+    cols = np.concatenate([
+        col_of_pos[ev.aln_rpos - start],
+        col_of_pos[ev.ins_anchor - start] + ev.ins_minor])
+    read_of = np.concatenate([ev.aln_read, ev.ins_read])
+    nt16 = np.concatenate([ev.aln_nt16, ev.ins_nt16])
+    quals = np.concatenate([ev.aln_qual, ev.ins_qual])
+    if len(cols):
+        chan = NT16_TO_CHANNEL[
+            nt16.astype(np.int64) + 16 * is_rev[read_of]]
         valid = chan >= 0
-        cols, chan, qpos = cols[valid], chan[valid], qpos[valid]
-
+        cols, chan, read_of = cols[valid], chan[valid], read_of[valid]
+        quals = quals[valid]
+        dtype_off = dtype_off_of_read[read_of]
         if weibull_summation:
-            frac = _weibull_fractions(rec, qpos, num_qstrat, logger)
-            contrib = (WEIBULL_SCALE * frac).astype(np.int64)
-            idx = (cols[:, None] * col_feat + dtype_off +
-                   FEATLEN * np.arange(num_qstrat)[None, :] +
-                   chan[:, None])
-            np.add.at(flat, idx.ravel(), contrib.ravel())
+            # Weibull partial counts need per-read WL/WK tag lookups;
+            # fall back to the per-read path (RLE models only)
+            flat_f = np.zeros_like(flat)
+            for rec in reads:
+                rev = ReadEvents(rec, start, end)
+                strand_off = 16 if rev.is_rev else 0
+                qpos = np.concatenate([rev.aln_qpos, rev.ins_qpos])
+                if not len(qpos):
+                    continue
+                rcols = np.concatenate([
+                    col_of_pos[rev.aln_rpos - start],
+                    col_of_pos[rev.ins_anchor - start] + rev.ins_minor])
+                rchan = NT16_TO_CHANNEL[rec.seq_nt16[qpos] + strand_off]
+                ok = rchan >= 0
+                rcols, rchan, qpos = rcols[ok], rchan[ok], qpos[ok]
+                r_dt = dtype_off_of_read[
+                    reads.index(rec)] if num_dtypes > 1 else 0
+                frac = _weibull_fractions(rec, qpos, num_qstrat, logger)
+                contrib = (WEIBULL_SCALE * frac).astype(np.int64)
+                idx = (rcols[:, None] * col_feat + r_dt +
+                       FEATLEN * np.arange(num_qstrat)[None, :] +
+                       rchan[:, None])
+                np.add.at(flat_f, idx.ravel(), contrib.ravel())
+            flat += flat_f
         else:
             if num_qstrat > 1:
-                quals = rec.query_qualities
-                q = quals[qpos] if quals is not None else np.zeros(
-                    len(qpos), dtype=np.int64)
                 qstrat = np.maximum(
-                    0, np.minimum(q.astype(np.int64), num_qstrat) - 1)
+                    0, np.minimum(
+                        quals.astype(np.int64), num_qstrat) - 1)
             else:
                 qstrat = 0
-            np.add.at(
-                flat, cols * col_feat + dtype_off + FEATLEN * qstrat + chan, 1)
+            idx = cols * col_feat + dtype_off + FEATLEN * qstrat + chan
+            flat += np.bincount(idx, minlength=flat.size)
 
     counts = flat.reshape(n_cols, col_feat)
 
@@ -482,17 +673,19 @@ class CountsFeatureEncoder(BaseFeatureEncoder):
                     dt_depth[major_ind] - dt_depth[minor_inds]
 
         if self.normalise == "total":
-            feature_array = counts / np.maximum(1, depth)[:, None]
+            feature_array = np.divide(
+                counts, np.maximum(1, depth)[:, None],
+                dtype=self.feature_dtype)
         elif self.normalise == "fwd_rev":
             feature_array = np.empty_like(counts, dtype=self.feature_dtype)
             for (dt, is_rev), inds in self.feature_indices.items():
                 dt_depth = np.sum(counts[:, inds], axis=1)
                 dt_depth[minor_inds] = dt_depth[major_ind]
-                feature_array[:, inds] = (
-                    counts[:, inds] / np.maximum(1, dt_depth)[:, None])
+                feature_array[:, inds] = np.divide(
+                    counts[:, inds], np.maximum(1, dt_depth)[:, None],
+                    dtype=self.feature_dtype)
         else:
-            feature_array = counts
-        feature_array = feature_array.astype(self.feature_dtype)
+            feature_array = counts.astype(self.feature_dtype)
 
         return Sample(
             ref_name=region.ref_name, features=feature_array, labels=None,
