@@ -358,6 +358,58 @@ def main(argv=None):
     tp.set_defaults(func=_cmd_hdf_to_bed)
 
     tp = toolsub.add_parser(
+        "vcf2fasta",
+        help="Apply VCF variants to a reference FASTA (one haplotype).")
+    tp.add_argument("vcf")
+    tp.add_argument("ref_fasta")
+    tp.add_argument("output")
+    tp.set_defaults(func=_cmd_vcf2fasta)
+
+    tp = toolsub.add_parser(
+        "prepare_tagged_bam",
+        help="Tag reads of several BAMs and merge them.")
+    tp.add_argument("input_bams", nargs="+")
+    tp.add_argument("--values", nargs="+", type=int, required=True)
+    tp.add_argument("--tag", default="HP")
+    tp.add_argument("--output", required=True)
+    tp.add_argument("--threads", type=int, default=1)
+    tp.set_defaults(func=_cmd_prepare_tagged_bam)
+
+    tp = toolsub.add_parser(
+        "is_rle_model", help="Report whether a model is an RLE model.")
+    tp.add_argument("model")
+    tp.set_defaults(func=_cmd_is_rle_model)
+
+    tp = toolsub.add_parser(
+        "get_alignment_params",
+        help="Print alignment parameters appropriate for a model.")
+    tp.add_argument("model")
+    tp.set_defaults(func=_cmd_get_alignment_params)
+
+    tp = toolsub.add_parser(
+        "get_model_dtypes",
+        help="Print the datatypes a model's encoder splits counts by.")
+    tp.add_argument("model")
+    tp.set_defaults(func=_cmd_get_model_dtypes)
+
+    tp = toolsub.add_parser(
+        "download_models",
+        help="Download reference model files (requires network egress).")
+    tp.add_argument("--models", nargs="+", default=None)
+    tp.set_defaults(func=_cmd_download_models)
+
+    tp = toolsub.add_parser(
+        "pileup_counts",
+        help="Print/benchmark pileup counts for a region "
+             "(medaka_counts equivalent).")
+    tp.add_argument("bam")
+    tp.add_argument("region")
+    tp.add_argument("--dtypes", nargs="+", default=None)
+    tp.add_argument("--num_qstrat", type=int, default=1)
+    tp.add_argument("--print", dest="print_rows", action="store_true")
+    tp.set_defaults(func=_cmd_pileup_counts)
+
+    tp = toolsub.add_parser(
         "annotate", help="Annotate a VCF with read depth/allele support.")
     tp.add_argument("vcf")
     tp.add_argument("ref_fasta")
@@ -610,6 +662,87 @@ def _cmd_tandem(args):
         decompose=args.decompose, add_read_names=args.add_read_names,
         sample_name=args.sample_name,
         disable_outlier_filter=args.disable_outlier_filter)
+    return 0
+
+
+def _cmd_vcf2fasta(args):
+    from medaka_tpu import variant
+    from medaka_tpu.io.fastx import FastaReader, FastaWriter
+    from medaka_tpu.vcf import VCFReader
+    reader = VCFReader(args.vcf)
+    reader.index()
+    with FastaReader(args.ref_fasta) as fa, \
+            FastaWriter(args.output) as out:
+        for name in fa.references:
+            seq = fa.fetch(name)
+            variants = sorted(
+                reader.fetch(ref_name=name), key=lambda v: v.pos)
+            out.write(name, variant.apply_variants(variants, seq))
+    return 0
+
+
+def _cmd_prepare_tagged_bam(args):
+    common.tag_merge_bams(
+        args.input_bams, args.values, args.tag, args.output,
+        threads=args.threads)
+    return 0
+
+
+def _cmd_is_rle_model(args):
+    from medaka_tpu import models
+    from medaka_tpu.features import HardRLEFeatureEncoder
+    bundle = models.open_model(models.resolve_model(args.model))
+    print(isinstance(bundle.feature_encoder, HardRLEFeatureEncoder))
+    return 0
+
+
+def _cmd_get_alignment_params(args):
+    from medaka_tpu import models, options
+    from medaka_tpu.features import HardRLEFeatureEncoder
+    bundle = models.open_model(models.resolve_model(args.model))
+    is_rle = isinstance(bundle.feature_encoder, HardRLEFeatureEncoder)
+    print(options.alignment_params["rle" if is_rle else "non-rle"])
+    return 0
+
+
+def _cmd_get_model_dtypes(args):
+    from medaka_tpu import models
+    bundle = models.open_model(models.resolve_model(args.model))
+    print(list(getattr(bundle.feature_encoder, "dtypes", ("",))))
+    return 0
+
+
+def _cmd_download_models(args):
+    from medaka_tpu import options
+    print(
+        "This environment has no network egress; download models with:\n"
+        + "\n".join(
+            "  curl -LO " + options.model_url_template.format(
+                fname=m + "_model_pt.tar.gz")
+            for m in (args.models or options.current_models))
+        + "\nand place them under {}.".format(options.model_stores[1]))
+    return 0
+
+
+def _cmd_pileup_counts(args):
+    from timeit import default_timer as now
+
+    from medaka_tpu.features import pileup_counts
+    region = common.Region.from_string(args.region)
+    t0 = now()
+    results = pileup_counts(
+        region, args.bam, dtype_prefixes=args.dtypes,
+        num_qstrat=args.num_qstrat)
+    t1 = now()
+    n_cols = sum(len(p) for _c, p in results)
+    print("pileup time: {:.3f}s ({} columns, {} blocks)".format(
+        t1 - t0, n_cols, len(results)))
+    if args.print_rows:
+        for counts, positions in results:
+            for pos, row in zip(positions, counts):
+                print(
+                    "(%d, %d)\t" % (pos["major"], pos["minor"])
+                    + "\t".join(str(x) for x in row))
     return 0
 
 

@@ -675,3 +675,42 @@ def get_bam_regions(bam, regions=None) -> List["Region"]:
         end = min(r.end, length) if r.end is not None else length
         out.append(Region(r.ref_name, start, end))
     return out
+
+
+def tag_merge_bams(input_bams, values, tag, output, threads: int = 1):
+    """Tag reads of several BAMs and merge them (reference
+    ``common.py:1162-1210``).
+
+    :param input_bams: BAM paths.
+    :param values: one tag value per input BAM.
+    :param tag: two-letter tag name (e.g. 'HP').
+    :param output: merged, sorted, indexed BAM path.
+    """
+    import os
+
+    from medaka_tpu.io.bam import BamReader, write_bam
+
+    if len(input_bams) != len(values):
+        raise ValueError(
+            "Number of input files ({}) and values ({}) must "
+            "match.".format(len(input_bams), len(values)))
+    if os.path.exists(output):
+        raise ValueError("Output file exists.")
+    logger = get_named_logger("Tag")
+    records = []
+    references = None
+    for path, value in zip(input_bams, values):
+        logger.info("Adding tag '%s' to %s", value, path)
+        with BamReader(path) as reader:
+            refs = list(zip(reader.references, reader.lengths))
+            if references is None:
+                references = refs
+            elif references != refs:
+                raise ValueError(
+                    "Input BAMs have differing reference sets.")
+            from medaka_tpu.io.bam import record_with_tag
+            for name, length in refs:
+                for rec in reader.fetch(name, 0, length):
+                    records.append(record_with_tag(rec, tag, value))
+    write_bam(output, records, references)
+    return output

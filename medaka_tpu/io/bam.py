@@ -359,6 +359,23 @@ class BamRecord:
         return cls(head + name_b + cig_b + seq_b + qual_b + aux_b)
 
 
+def record_with_tag(rec: "BamRecord", name: str, value) -> "BamRecord":
+    """Copy of a record with one aux tag set (replacing any existing).
+
+    The existing aux block is kept verbatim except for the replaced tag,
+    which is re-encoded and appended.
+    """
+    tags = dict(rec.tags)
+    tags.pop(name, None)
+    tags[name] = value
+    try:
+        aux = encode_tags(tags)
+    except BamError:
+        # fall back: keep originals raw, append only the new tag
+        aux = rec.raw[rec._aux_off:] + encode_tags({name: value})
+    return BamRecord(rec.raw[:rec._aux_off] + aux)
+
+
 def parse_cigar(cigar: str) -> List[Tuple[int, int]]:
     """Parse a text CIGAR into (op_code, length) tuples."""
     out = []

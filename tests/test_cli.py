@@ -111,3 +111,50 @@ def test_features_and_train(workspace, tmp_path):
 def test_resolve_model_missing():
     with pytest.raises(FileNotFoundError):
         run_cli(["tools", "resolve_model", "--model", "no_such_model"])
+
+
+def test_small_tools(workspace, tmp_path, monkeypatch):
+    """vcf2fasta, prepare_tagged_bam, model-introspection tools."""
+    import numpy as np
+
+    from medaka_tpu.io.bam import BamReader
+    from medaka_tpu.io.fastx import FastaReader
+    from medaka_tpu.vcf import Variant, VCFWriter
+
+    # vcf2fasta
+    vcf = str(tmp_path / "in.vcf")
+    seq = workspace["seq"]
+    alt_base = "A" if seq[10] != "A" else "C"
+    with VCFWriter(vcf, contigs=["ref,length={}".format(len(seq))]) as w:
+        w.write_variant(Variant(
+            "ref", 10, seq[10], [alt_base],
+            genotype_data={"GT": "1"}))
+    out_fa = str(tmp_path / "out.fasta")
+    assert run_cli([
+        "tools", "vcf2fasta", vcf, workspace["draft"], out_fa]) == 0
+    new_seq = FastaReader(out_fa).fetch("ref")
+    assert new_seq[10] == alt_base
+    assert new_seq[:10] == seq[:10]
+
+    # prepare_tagged_bam
+    tagged = str(tmp_path / "tagged.bam")
+    assert run_cli([
+        "tools", "prepare_tagged_bam", workspace["bam"],
+        workspace["truth"], "--values", "1", "2", "--tag", "HP",
+        "--output", tagged]) == 0
+    with BamReader(tagged) as br:
+        haps = {rec.tags.get("HP")
+                for rec in br.fetch("ref", 0, br.lengths[0])}
+        assert haps == {1, 2}
+
+    # model introspection
+    assert run_cli(["tools", "is_rle_model", workspace["model"]]) == 0
+    assert run_cli([
+        "tools", "get_alignment_params", workspace["model"]]) == 0
+    assert run_cli([
+        "tools", "get_model_dtypes", workspace["model"]]) == 0
+    assert run_cli(["tools", "download_models"]) == 0
+
+    # pileup_counts bench tool
+    assert run_cli([
+        "tools", "pileup_counts", workspace["bam"], "ref:0-1200"]) == 0
