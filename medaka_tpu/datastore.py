@@ -41,14 +41,19 @@ class DataStore:
     _meta_json_path_ = "meta_json"
     _registry_path_ = "samples/registry"
 
-    def __init__(self, filename: str, mode: str = "r", verify_on_close=True):
+    def __init__(self, filename: str, mode: str = "r", verify_on_close=True,
+                 compression: str = "lzf"):
         """Open an HDF5 sample store.
 
         :param filename: file path.
         :param mode: h5py mode ('r' or 'w' or 'a').
+        :param compression: dataset compression for writes: 'lzf'
+            (default; ~4x faster than the reference's gzip-1 at slightly
+            larger size), 'gzip' (reference-identical), or None.
         """
         self.filename = filename
         self.mode = mode
+        self.compression = compression
         self.verify_on_close = verify_on_close
         self.logger = common.get_named_logger("DataStore")
         self.fh = h5py.File(filename, mode)
@@ -181,9 +186,12 @@ class DataStore:
                 continue
             path = "{}/{}".format(grp, field)
             if isinstance(value, np.ndarray):
-                self.fh.create_dataset(
-                    path, data=value, compression="gzip",
-                    compression_opts=1)
+                kwargs = {}
+                if self.compression == "gzip":
+                    kwargs = dict(compression="gzip", compression_opts=1)
+                elif self.compression:
+                    kwargs = dict(compression=self.compression)
+                self.fh.create_dataset(path, data=value, **kwargs)
             else:
                 self.fh[path] = value
         self.fh["{}/ref_name".format(grp)] = sample.ref_name

@@ -111,18 +111,24 @@ class LatentSpaceLSTM:
             ch_in = self.cnn_size
         lstm_layers = []
         n_dirs = 2 if self.bidirectional else 1
-        if not self.bidirectional:
-            raise NotImplementedError(
-                "Unidirectional (ReversibleLSTM) variant not yet built.")
-        for layer_i in range(2):
-            in_size = self.lstm_size if layer_i == 0 \
-                else self.lstm_size * n_dirs
-            layer = {
-                "fwd": lstm_layer_params(
-                    next(ki), in_size, self.lstm_size),
-                "bwd": lstm_layer_params(
-                    next(ki), in_size, self.lstm_size)}
-            lstm_layers.append(layer)
+        if self.bidirectional:
+            for layer_i in range(2):
+                in_size = self.lstm_size if layer_i == 0 \
+                    else self.lstm_size * n_dirs
+                layer = {
+                    "fwd": lstm_layer_params(
+                        next(ki), in_size, self.lstm_size),
+                    "bwd": lstm_layer_params(
+                        next(ki), in_size, self.lstm_size)}
+                lstm_layers.append(layer)
+        else:
+            # 4 interleaved single-direction layers, alternately
+            # reversed (reference ReversibleLSTM stack,
+            # ``latent_space_lstm.py:139-147``)
+            for layer_i in range(4):
+                lstm_layers.append({
+                    "fwd": lstm_layer_params(
+                        next(ki), self.lstm_size, self.lstm_size)})
         return {
             "base_embed": jax.random.normal(
                 next(ki),
@@ -159,18 +165,33 @@ class LatentSpaceLSTM:
                        "var": arr(bn_key + ".running_var")}})
             idx += 3
         lstm_layers = []
-        for k in range(2):
-            lstm_layers.append({
-                "fwd": {
-                    "w_ih": arr("lstm.weight_ih_l{}".format(k)),
-                    "w_hh": arr("lstm.weight_hh_l{}".format(k)),
-                    "b_ih": arr("lstm.bias_ih_l{}".format(k)),
-                    "b_hh": arr("lstm.bias_hh_l{}".format(k))},
-                "bwd": {
-                    "w_ih": arr("lstm.weight_ih_l{}_reverse".format(k)),
-                    "w_hh": arr("lstm.weight_hh_l{}_reverse".format(k)),
-                    "b_ih": arr("lstm.bias_ih_l{}_reverse".format(k)),
-                    "b_hh": arr("lstm.bias_hh_l{}_reverse".format(k))}})
+        if self.bidirectional:
+            for k in range(2):
+                lstm_layers.append({
+                    "fwd": {
+                        "w_ih": arr("lstm.weight_ih_l{}".format(k)),
+                        "w_hh": arr("lstm.weight_hh_l{}".format(k)),
+                        "b_ih": arr("lstm.bias_ih_l{}".format(k)),
+                        "b_hh": arr("lstm.bias_hh_l{}".format(k))},
+                    "bwd": {
+                        "w_ih": arr(
+                            "lstm.weight_ih_l{}_reverse".format(k)),
+                        "w_hh": arr(
+                            "lstm.weight_hh_l{}_reverse".format(k)),
+                        "b_ih": arr(
+                            "lstm.bias_ih_l{}_reverse".format(k)),
+                        "b_hh": arr(
+                            "lstm.bias_hh_l{}_reverse".format(k))}})
+        else:
+            # torch Sequential of ReversibleLSTM wrappers
+            for k in range(4):
+                pre = "lstm.{}.lstm.".format(k)
+                lstm_layers.append({
+                    "fwd": {
+                        "w_ih": arr(pre + "weight_ih_l0"),
+                        "w_hh": arr(pre + "weight_hh_l0"),
+                        "b_ih": arr(pre + "bias_ih_l0"),
+                        "b_hh": arr(pre + "bias_hh_l0")}})
         return {
             "base_embed": arr("base_embedder.weight"),
             "strand_embed": arr("strand_embedder.weight"),
@@ -206,16 +227,24 @@ class LatentSpaceLSTM:
             state[bn_key + ".running_var"] = np.asarray(layer["bn"]["var"])
             idx += 3
         for k, layer in enumerate(params["lstm"]):
-            for key, suffix in (("fwd", ""), ("bwd", "_reverse")):
-                p = layer[key]
-                state["lstm.weight_ih_l{}{}".format(k, suffix)] = \
-                    np.asarray(p["w_ih"])
-                state["lstm.weight_hh_l{}{}".format(k, suffix)] = \
-                    np.asarray(p["w_hh"])
-                state["lstm.bias_ih_l{}{}".format(k, suffix)] = \
-                    np.asarray(p["b_ih"])
-                state["lstm.bias_hh_l{}{}".format(k, suffix)] = \
-                    np.asarray(p["b_hh"])
+            if self.bidirectional:
+                for key, suffix in (("fwd", ""), ("bwd", "_reverse")):
+                    p = layer[key]
+                    state["lstm.weight_ih_l{}{}".format(k, suffix)] = \
+                        np.asarray(p["w_ih"])
+                    state["lstm.weight_hh_l{}{}".format(k, suffix)] = \
+                        np.asarray(p["w_hh"])
+                    state["lstm.bias_ih_l{}{}".format(k, suffix)] = \
+                        np.asarray(p["b_ih"])
+                    state["lstm.bias_hh_l{}{}".format(k, suffix)] = \
+                        np.asarray(p["b_hh"])
+            else:
+                p = layer["fwd"]
+                pre = "lstm.{}.lstm.".format(k)
+                state[pre + "weight_ih_l0"] = np.asarray(p["w_ih"])
+                state[pre + "weight_hh_l0"] = np.asarray(p["w_hh"])
+                state[pre + "bias_ih_l0"] = np.asarray(p["b_ih"])
+                state[pre + "bias_hh_l0"] = np.asarray(p["b_hh"])
         return state
 
     # --- forward ---
@@ -286,9 +315,18 @@ class LatentSpaceLSTM:
         denom = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
         pooled = jnp.sum(feats * mask, axis=1) / denom  # (B, P, L)
 
-        out = bilstm_stack(
-            params["lstm"], pooled, bidirectional=self.bidirectional,
-            compute_dtype=compute_dtype, lengths=lengths)
+        if self.bidirectional:
+            out = bilstm_stack(
+                params["lstm"], pooled,
+                compute_dtype=compute_dtype, lengths=lengths)
+        else:
+            from medaka_tpu.ops.rnn import lstm_scan
+            out = pooled
+            for i, layer in enumerate(params["lstm"]):
+                # reverse-forward-reverse-forward interleave
+                out = lstm_scan(
+                    layer["fwd"], out, reverse=(i % 2 == 0),
+                    compute_dtype=compute_dtype, lengths=lengths)
         logits = (
             jnp.einsum(
                 "bpl,cl->bpc", out.astype(jnp.float32),

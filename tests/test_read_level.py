@@ -269,3 +269,90 @@ class TestReadLevelPrediction:
             lengths=jnp.asarray(np.array([21], np.int32))))
         np.testing.assert_allclose(
             padded[:, :21], full, rtol=1e-5, atol=1e-6)
+
+
+class TestReversibleLSTMVariant:
+    def test_torch_parity_unidirectional(self):
+        """4 interleaved reversed LSTMs match torch exactly."""
+        import torch
+
+        torch.manual_seed(7)
+        lstm_size, cnn_size = 12, 10
+
+        class TorchRevLSTM(torch.nn.Module):
+            def __init__(self, reverse):
+                super().__init__()
+                self.lstm = torch.nn.LSTM(
+                    lstm_size, lstm_size, batch_first=True)
+                self.reverse = reverse
+
+            def forward(self, x):
+                if self.reverse:
+                    x = x.flip(1)
+                x = self.lstm(x)[0]
+                if self.reverse:
+                    x = x.flip(1)
+                return x
+
+        class TorchModel(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                emb = 6
+                self.base_embedder = torch.nn.Embedding(6, emb)
+                self.strand_embedder = torch.nn.Embedding(3, emb)
+                in_feat = emb + 1
+                layers = []
+                for k in (1, 17):
+                    layers += [
+                        torch.nn.Conv1d(
+                            in_feat, cnn_size, k, padding=k // 2),
+                        torch.nn.ReLU(),
+                        torch.nn.BatchNorm1d(cnn_size)]
+                    in_feat = cnn_size
+                self.read_level_conv = torch.nn.Module()
+                self.read_level_conv.convs = torch.nn.Sequential(*layers)
+                self.pre_pool_expansion_layer = torch.nn.Linear(
+                    cnn_size, lstm_size)
+                self.lstm = torch.nn.Sequential(*[
+                    TorchRevLSTM(reverse=not bool(i % 2))
+                    for i in range(4)])
+                self.linear = torch.nn.Linear(lstm_size, 5)
+
+            def forward(self, x):
+                non_empty = x.sum((1, -1)) != 0
+                be = self.base_embedder(x[:, :, :, 0].long())
+                se = self.strand_embedder(x[:, :, :, 2].long() + 1)
+                sq = (x[:, :, :, 1] / 25 - 1).unsqueeze(-1)
+                h = torch.cat([be + se, sq], dim=-1)
+                h = h.permute(0, 2, 3, 1)
+                b, d, f, p = h.shape
+                h = h.flatten(0, 1)
+                h = self.read_level_conv.convs(h)
+                h = h.permute(0, 2, 1)
+                h = self.pre_pool_expansion_layer(h)
+                h = h.view(b, d, p, -1)
+                depths = non_empty.sum(-1)
+                h = (h * non_empty[..., None, None]).sum(1) \
+                    / depths[..., None, None]
+                h = self.lstm(h)
+                h = self.linear(h)
+                return torch.softmax(h, dim=-1)
+
+        tm = TorchModel().eval()
+        model = LatentSpaceLSTM(
+            lstm_size=lstm_size, cnn_size=cnn_size,
+            kernel_sizes=[1, 17], bidirectional=False)
+        params = model.params_from_torch_state(tm.state_dict())
+        rng = np.random.default_rng(9)
+        x = rng.integers(0, 5, (2, 25, 5, 4)).astype(np.int8)
+        x[..., 2] = rng.choice([-1, 1], (2, 25, 5))
+        import torch as _t
+        with _t.no_grad():
+            want = tm(_t.from_numpy(x.astype(np.float32))).numpy()
+        got = np.asarray(model.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+        # state round trips
+        state2 = model.torch_state_from_params(params)
+        assert set(state2) == set(
+            k for k in tm.state_dict()
+            if "num_batches" not in k)
