@@ -119,6 +119,15 @@ def main(argv=None):
     p.add_argument(
         "--full_precision", action="store_true",
         help="Run float32 instead of bfloat16.")
+    p.add_argument(
+        "--profile_dir", default=None,
+        help="Capture a jax.profiler trace of the run to this directory "
+             "(view with tensorboard/xprof).")
+    mh = p.add_argument_group("multi-host")
+    mh.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (jax.distributed).")
+    mh.add_argument("--num_processes", type=int, default=None)
+    mh.add_argument("--process_id", type=int, default=None)
     p.set_defaults(func=_cmd_inference)
 
     # --- sequence (stitch) ----------------------------------------------
@@ -500,13 +509,31 @@ def main(argv=None):
 
 
 def _cmd_inference(args):
-    from medaka_tpu import prediction
+    import contextlib
+
+    from medaka_tpu import parallel, prediction
     regions = _regions_arg(args.regions) if args.regions else None
-    prediction.predict(
-        args.bam, args.output, model_path=args.model, regions=regions,
-        batch_size=args.batch_size, chunk_len=args.chunk_len,
-        chunk_overlap=args.chunk_ovlp, bam_workers=args.bam_workers,
-        bam_chunk=args.bam_chunk, full_precision=args.full_precision)
+    if args.num_processes and args.num_processes > 1:
+        # multi-host: init the runtime and take this host's region share
+        parallel.initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id)
+        if regions is None:
+            regions = common.get_bam_regions(args.bam)
+        regions = parallel.shard_regions(
+            regions, args.num_processes, args.process_id)
+        base, ext = os.path.splitext(args.output)
+        args.output = "{}_host{}{}".format(base, args.process_id, ext)
+    ctx = contextlib.nullcontext()
+    if args.profile_dir:
+        import jax
+        ctx = jax.profiler.trace(args.profile_dir)
+    with ctx:
+        prediction.predict(
+            args.bam, args.output, model_path=args.model,
+            regions=regions, batch_size=args.batch_size,
+            chunk_len=args.chunk_len, chunk_overlap=args.chunk_ovlp,
+            bam_workers=args.bam_workers, bam_chunk=args.bam_chunk,
+            full_precision=args.full_precision)
     return 0
 
 

@@ -316,9 +316,17 @@ class LatentSpaceLSTM:
         pooled = jnp.sum(feats * mask, axis=1) / denom  # (B, P, L)
 
         if self.bidirectional:
-            out = bilstm_stack(
-                params["lstm"], pooled,
-                compute_dtype=compute_dtype, lengths=lengths)
+            fused = (compute_dtype == jnp.bfloat16
+                     and jax.default_backend() not in ("cpu",))
+            if fused:
+                from medaka_tpu.ops.pallas_gru import bilstm_stack_fused
+                out = bilstm_stack_fused(
+                    params["lstm"], pooled, lengths=lengths,
+                    compute_dtype=compute_dtype)
+            else:
+                out = bilstm_stack(
+                    params["lstm"], pooled,
+                    compute_dtype=compute_dtype, lengths=lengths)
         else:
             from medaka_tpu.ops.rnn import lstm_scan
             out = pooled

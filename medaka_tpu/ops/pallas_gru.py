@@ -32,13 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_time_block(T: int, B: int, H: int, budget_bytes: int = 4 << 20,
-                     dtype_bytes: int = 2) -> int:
-    """Largest divisor of T whose (BT, B, 3H) block fits the budget."""
+                     dtype_bytes: int = 2, gates: int = 3) -> int:
+    """Largest divisor of T whose (BT, B, gates*H) block fits."""
     best = 1
     for bt in range(1, T + 1):
         if T % bt:
             continue
-        if bt * B * 3 * H * dtype_bytes > budget_bytes:
+        if bt * B * gates * H * dtype_bytes > budget_bytes:
             break
         best = bt
     return best
@@ -320,3 +320,154 @@ def bigru_stack_fused(layers, x: jnp.ndarray, bidirectional: bool = True,
                 x_proj, p["w_hh"], p["b_hh"], lengths=lengths,
                 reverse=False, interpret=interpret)
     return jnp.swapaxes(out, 0, 1)  # (B, T, H * n_dirs)
+
+
+# ---------------------------------------------------------------------------
+# Fused bi-LSTM (read-level models)
+# ---------------------------------------------------------------------------
+
+
+def _bilstm_kernel(xp_f_ref, xp_b_ref, w_hh_t_ref, b_hh_ref, lengths_ref,
+                   out_f_ref, out_b_ref, hc_scratch, *, time_block: int):
+    """Both LSTM directions in one kernel (torch gate order i,f,g,o)."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        hc_scratch[...] = jnp.zeros_like(hc_scratch)
+
+    hidden = hc_scratch.shape[-1]
+    w_f = w_hh_t_ref[0]   # (H, 4H) bf16
+    w_b = w_hh_t_ref[1]
+    b_f = b_hh_ref[0]     # (1, 4H) f32
+    b_b = b_hh_ref[1]
+    lengths = lengths_ref[...]
+
+    fwd_start = i * time_block
+    bwd_start = (n_blocks - 1 - i) * time_block
+
+    def cell(h, c, xp, w, b):
+        gates = jnp.dot(
+            h.astype(w.dtype), w,
+            preferred_element_type=jnp.float32) + b + xp
+        gi = jax.nn.sigmoid(gates[:, :hidden])
+        gf = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        gg = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        go = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c_new = gf * c + gi * gg
+        h_new = go * jnp.tanh(c_new)
+        return h_new, c_new
+
+    def step(t, carry):
+        h_f, c_f, h_b, c_b = carry
+        t_b = time_block - 1 - t
+        nh_f, nc_f = cell(
+            h_f, c_f, xp_f_ref[t].astype(jnp.float32), w_f, b_f)
+        nh_b, nc_b = cell(
+            h_b, c_b, xp_b_ref[t_b].astype(jnp.float32), w_b, b_b)
+        vf = lengths > fwd_start + t
+        vb = lengths > bwd_start + t_b
+        h_f = jnp.where(vf, nh_f, h_f)
+        c_f = jnp.where(vf, nc_f, c_f)
+        h_b = jnp.where(vb, nh_b, h_b)
+        c_b = jnp.where(vb, nc_b, c_b)
+        out_f_ref[t] = h_f.astype(out_f_ref.dtype)
+        out_b_ref[t_b] = h_b.astype(out_b_ref.dtype)
+        return (h_f, c_f, h_b, c_b)
+
+    h_f, c_f, h_b, c_b = jax.lax.fori_loop(
+        0, time_block, step,
+        (hc_scratch[0], hc_scratch[1], hc_scratch[2], hc_scratch[3]))
+    hc_scratch[0] = h_f
+    hc_scratch[1] = c_f
+    hc_scratch[2] = h_b
+    hc_scratch[3] = c_b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("time_block", "interpret"))
+def bilstm_pallas(x_proj_f: jnp.ndarray, x_proj_b: jnp.ndarray,
+                  w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+                  lengths: Optional[jnp.ndarray] = None,
+                  time_block: Optional[int] = None,
+                  interpret: bool = False):
+    """Fused forward+backward LSTM directions over one layer.
+
+    :param x_proj_f/x_proj_b: (T, B, 4H) per-direction projections.
+    :param w_hh: (2, 4H, H) stacked recurrent weights (fwd, bwd).
+    :param b_hh: (2, 4H) stacked recurrent biases.
+    :returns: ((T, B, H) fwd outputs, (T, B, H) bwd outputs).
+    """
+    T, B, fourH = x_proj_f.shape
+    H = fourH // 4
+    if time_block is None:
+        time_block = _pick_time_block(
+            T, B, H, budget_bytes=2 << 20, gates=4)
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    w_hh_t = jnp.swapaxes(w_hh, 1, 2).astype(jnp.bfloat16)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, fourH)
+
+    fwd_idx = lambda i: (i, 0, 0)                  # noqa: E731
+    bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)   # noqa: E731
+
+    kernel = functools.partial(_bilstm_kernel, time_block=time_block)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, fourH), fwd_idx,
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, fourH), bwd_idx,
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (time_block, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), bwd_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), x_proj_f.dtype),
+            jax.ShapeDtypeStruct((T, B, H), x_proj_f.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((4, B, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * T * B * (H * fourH) + 24 * T * B * fourH,
+            bytes_accessed=x_proj_f.size * 4 + T * B * H * 4,
+            transcendentals=8 * T * B * H),
+        interpret=interpret,
+    )(x_proj_f, x_proj_b, w_hh_t, b_hh_row, lengths2d)
+
+
+def bilstm_stack_fused(layers, x: jnp.ndarray,
+                       lengths: Optional[jnp.ndarray] = None,
+                       compute_dtype=jnp.bfloat16,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused-kernel counterpart of ``ops.rnn.bilstm_stack`` (bi only)."""
+    cd = compute_dtype or jnp.bfloat16
+    out = jnp.swapaxes(x, 0, 1).astype(cd)  # (T, B, F)
+    for layer in layers:
+        projs = []
+        for key in ("fwd", "bwd"):
+            p = layer[key]
+            projs.append(
+                jnp.einsum(
+                    "tbi,hi->tbh", out, p["w_ih"].astype(cd),
+                    preferred_element_type=cd)
+                + p["b_ih"].astype(cd))
+        w_hh = jnp.stack([layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])
+        b_hh = jnp.stack([layer["fwd"]["b_hh"], layer["bwd"]["b_hh"]])
+        fwd_out, bwd_out = bilstm_pallas(
+            projs[0], projs[1], w_hh, b_hh, lengths=lengths,
+            interpret=interpret)
+        out = jnp.concatenate([fwd_out, bwd_out], -1)
+    return jnp.swapaxes(out, 0, 1)

@@ -202,3 +202,15 @@ def initialize_distributed(coordinator: Optional[str] = None,
     logger.info(
         "Initialized process %d/%d (global devices: %d).",
         process_id, num_processes, len(jax.devices()))
+
+
+def shard_regions(regions, num_hosts: int, host_id: int):
+    """Deterministic region -> host assignment for multi-host runs.
+
+    Replaces the reference's "run independent jobs per contig and merge
+    HDF5s" advice (``README.md:294-330``): every host computes the same
+    global ordering and takes a strided slice, so the union over hosts
+    is exactly the input and any host count yields the same outputs.
+    """
+    ordered = sorted(regions, key=lambda r: (r.ref_name, r.start or 0))
+    return ordered[host_id::num_hosts]

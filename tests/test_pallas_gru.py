@@ -78,3 +78,27 @@ def test_pick_time_block():
     assert _pick_time_block(7, 128, 256) in (1, 7)
     # huge block would blow the budget
     assert _pick_time_block(10000, 128, 256) * 128 * 768 * 2 <= (4 << 20)
+
+
+class TestFusedLSTM:
+    def test_matches_scan_stack(self):
+        from medaka_tpu.ops.pallas_gru import bilstm_stack_fused
+        from medaka_tpu.ops.rnn import bilstm_stack, lstm_layer_params
+        layers = []
+        key = jax.random.PRNGKey(4)
+        for i in range(2):
+            in_size = 16 if i == 0 else 32
+            key, kf, kb = jax.random.split(key, 3)
+            layers.append({
+                "fwd": lstm_layer_params(kf, in_size, 16),
+                "bwd": lstm_layer_params(kb, in_size, 16)})
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.random((4, 48, 16)).astype(np.float32))
+        lengths = jnp.asarray(np.array([48, 30, 7, 48], np.int32))
+        ref = bilstm_stack(
+            layers, x, compute_dtype=jnp.bfloat16, lengths=lengths)
+        got = bilstm_stack_fused(
+            layers, x, lengths=lengths, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=3e-2)
