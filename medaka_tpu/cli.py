@@ -130,6 +130,38 @@ def main(argv=None):
     mh.add_argument("--process_id", type=int, default=None)
     p.set_defaults(func=_cmd_inference)
 
+    p = subparsers.add_parser(
+        "consensus_from_features", parents=[log_parent],
+        help="Run inference over precomputed feature HDF5s.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("inputs", nargs="+", help="Feature HDF5 file(s).")
+    p.add_argument("output", help="Output probabilities file.")
+    p.add_argument("--model", required=True)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--full_precision", action="store_true")
+    p.set_defaults(func=_cmd_consensus_from_features)
+
+    # --- variant pipeline ------------------------------------------------
+    p = subparsers.add_parser(
+        "variant", parents=[log_parent],
+        help="Full variant-calling pipeline: reads + reference -> VCF "
+             "(map, inference, vcf decode, annotate). The "
+             "medaka_variant script equivalent.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("reads", help="Reads fasta/q (may be gzipped).")
+    p.add_argument("ref_fasta", help="Reference FASTA.")
+    p.add_argument("--output", "-o", default="medaka_tpu_variant")
+    p.add_argument("--model", "-m", required=True,
+                   help="Variant-calling model.")
+    p.add_argument("--threads", "-t", type=int, default=1)
+    p.add_argument("--batch_size", "-b", type=int, default=128)
+    p.add_argument("--chunk_len", type=int, default=10000)
+    p.add_argument("--chunk_ovlp", type=int, default=1000)
+    p.add_argument("--no-annotate", dest="annotate",
+                   action="store_false",
+                   help="Skip depth/support annotation.")
+    p.set_defaults(func=_cmd_variant_pipeline)
+
     # --- sequence (stitch) ----------------------------------------------
     p = subparsers.add_parser(
         "sequence", parents=[log_parent],
@@ -534,6 +566,41 @@ def _cmd_inference(args):
             chunk_len=args.chunk_len, chunk_overlap=args.chunk_ovlp,
             bam_workers=args.bam_workers, bam_chunk=args.bam_chunk,
             full_precision=args.full_precision)
+    return 0
+
+
+def _cmd_consensus_from_features(args):
+    from medaka_tpu import prediction
+    prediction.predict_from_features(
+        args.inputs, args.output, model_path=args.model,
+        batch_size=args.batch_size, full_precision=args.full_precision)
+    return 0
+
+
+def _cmd_variant_pipeline(args):
+    from medaka_tpu import mapping, models, prediction, variant
+    from medaka_tpu import vcf as vcf_mod
+    os.makedirs(args.output, exist_ok=True)
+    bam = os.path.join(args.output, "calls_to_ref.bam")
+    if not os.path.exists(bam):
+        mapping.align_reads(
+            args.reads, args.ref_fasta, bam, threads=args.threads)
+    probs = os.path.join(args.output, "consensus_probs.hdf")
+    if not os.path.exists(probs):
+        prediction.predict(
+            bam, probs, model_path=models.resolve_model(args.model),
+            batch_size=args.batch_size, chunk_len=args.chunk_len,
+            chunk_overlap=args.chunk_ovlp,
+            bam_workers=max(1, args.threads // 2))
+    vcf_raw = os.path.join(args.output, "medaka.vcf")
+    variant.variants_from_hdf(probs, args.ref_fasta, vcf_raw)
+    if args.annotate:
+        vcf_out = os.path.join(args.output, "medaka.annotated.vcf")
+        vcf_mod.annotate_vcf_n_reads(
+            vcf_raw, args.ref_fasta, bam, vcf_out)
+        print(vcf_out)
+    else:
+        print(vcf_raw)
     return 0
 
 

@@ -369,3 +369,69 @@ def predict(
         label_scheme=label_scheme, batch_size=batch_size,
         chunk_len=chunk_len, chunk_overlap=chunk_overlap,
         bam_workers=bam_workers, full_precision=full_precision, mesh=mesh)
+
+
+def predict_from_features(
+        inputs, output: str, model_path: Optional[str] = None,
+        model=None, params=None, batch_size: int = 128,
+        full_precision: bool = False, mesh=None):
+    """Run inference over precomputed feature files (no BAM).
+
+    Reference: the ``consensus_from_features`` subcommand
+    (``medaka/medaka.py:616-630`` -> ``prediction.py``): samples are
+    read back from feature HDF5s, batched to the model's static shape
+    and written out with ``label_probs``.
+    """
+    from medaka_tpu import datastore as ds_mod
+    from medaka_tpu import models as models_mod
+
+    logger = common.get_named_logger("PWorker")
+    index = ds_mod.DataIndex(
+        inputs if isinstance(inputs, (list, tuple)) else [inputs])
+    feature_encoder = index.metadata.get("feature_encoder")
+    label_scheme = index.metadata.get("label_scheme")
+    if model_path is not None:
+        bundle = models_mod.open_model(model_path)
+        model, params = bundle.model, bundle.params
+        feature_encoder = bundle.feature_encoder or feature_encoder
+        label_scheme = bundle.label_scheme or label_scheme
+    if model is None:
+        raise ValueError("Provide model_path or model/params.")
+    compute_dtype = None if full_precision else jnp.bfloat16
+    predictor = Predictor(
+        model, params, mesh=mesh, compute_dtype=compute_dtype)
+
+    samples = index.yield_from_feature_files()
+    first = next(samples, None)
+    if first is None:
+        raise ValueError("No samples found in inputs.")
+    chunk_len = first.size
+
+    import itertools
+    n_samples = n_columns = 0
+    t0 = now()
+    with datastore_mod.DataStore(output, "a") as out_ds:
+        if feature_encoder is not None:
+            out_ds.set_meta(feature_encoder, "feature_encoder")
+        if label_scheme is not None:
+            out_ds.set_meta(label_scheme, "label_scheme")
+        out_ds.set_meta(model.to_dict(), "model_function")
+        for group in common.grouper(
+                itertools.chain([first], samples), batch_size):
+            group = list(group)
+            batch = Batch.collate(
+                group, batch_size, max(chunk_len,
+                                       max(s.size for s in group)),
+                max_reads=getattr(feature_encoder, "max_reads", None))
+            probs = predictor.predict_on_batch(batch)
+            for i, sample in enumerate(group):
+                n_samples += 1
+                n_columns += sample.size
+                out_ds.write_sample(sample.amend(
+                    features=None, labels=None,
+                    label_probs=probs[i, :sample.size]))
+        out_ds.write_registry()
+    logger.info(
+        "Processed %d samples (%d columns) in %.2fs.",
+        n_samples, n_columns, now() - t0)
+    return n_samples, n_columns

@@ -158,3 +158,55 @@ def test_small_tools(workspace, tmp_path, monkeypatch):
     # pileup_counts bench tool
     assert run_cli([
         "tools", "pileup_counts", workspace["bam"], "ref:0-1200"]) == 0
+
+
+def test_consensus_from_features(workspace, tmp_path):
+    """features -> consensus_from_features -> probs file."""
+    feats = str(tmp_path / "feats.hdf")
+    assert run_cli([
+        "features", workspace["bam"], feats,
+        "--truth", workspace["truth"],
+        "--chunk_len", "200", "--chunk_ovlp", "50", "--quiet"]) == 0
+    probs = str(tmp_path / "probs.hdf")
+    assert run_cli([
+        "consensus_from_features", feats, probs,
+        "--model", workspace["model"], "--batch_size", "4",
+        "--quiet"]) == 0
+    from medaka_tpu.datastore import DataStore
+    with DataStore(probs) as ds:
+        assert ds.n_samples > 0
+        name = sorted(ds.sample_registry)[0]
+        assert ds.load_sample(name).label_probs is not None
+
+
+def test_variant_pipeline(workspace, tmp_path):
+    """Full medaka_variant-equivalent pipeline on synthetic reads."""
+    import gzip
+
+    import numpy as np
+
+    from medaka_tpu.common import reverse_complement
+    seq = workspace["seq"]
+    # reads carrying a SNP at position 600
+    alt = "A" if seq[600] != "A" else "C"
+    varseq = seq[:600] + alt + seq[601:]
+    reads = str(tmp_path / "reads.fastq")
+    with open(reads, "w") as fh:
+        for i in range(8):
+            s = varseq if True else seq
+            if i % 2:
+                s = reverse_complement(s)
+            fh.write("@vr{}\n{}\n+\n{}\n".format(i, s, "I" * len(s)))
+    out = str(tmp_path / "vp")
+    assert run_cli([
+        "variant", reads, workspace["draft"], "-o", out,
+        "-m", workspace["model"], "-t", "2",
+        "--chunk_len", "400", "--chunk_ovlp", "100", "-b", "4",
+        "--quiet"]) == 0
+    import os
+    assert os.path.exists(os.path.join(out, "medaka.annotated.vcf"))
+    # with a random model the calls are noise; the pipeline contract is
+    # that the annotated VCF exists and parses
+    from medaka_tpu.vcf import VCFReader
+    list(VCFReader(os.path.join(out, "medaka.annotated.vcf"),
+                   cache=False).fetch())
