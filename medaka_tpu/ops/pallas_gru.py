@@ -471,3 +471,173 @@ def bilstm_stack_fused(layers, x: jnp.ndarray,
             interpret=interpret)
         out = jnp.concatenate([fwd_out, bwd_out], -1)
     return jnp.swapaxes(out, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused bi-GRU: input projection computed inside the kernel
+# ---------------------------------------------------------------------------
+
+
+def _bigru_fullfused_kernel(
+        x_f_ref, x_b_ref, w_ih_t_ref, b_ih_ref, w_hh_t_ref, b_hh_ref,
+        lengths_ref, out_f_ref, out_b_ref, h_scratch, xp_f_scratch,
+        xp_b_scratch, *, time_block: int):
+    """Both directions with in-kernel input projections.
+
+    Eliminates the (T, B, 3H) HBM intermediates the two-stage variant
+    materialises (the largest allocation at big batch): the projections
+    for a time block are computed as one block-batched MXU matmul into
+    VMEM scratch at block start.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+
+    hidden = h_scratch.shape[-1]
+    B = h_scratch.shape[-2]
+    w_ih_f = w_ih_t_ref[0]   # (IN, 3H) bf16
+    w_ih_b = w_ih_t_ref[1]
+    b_ih_f = b_ih_ref[0]     # (1, 3H)
+    b_ih_b = b_ih_ref[1]
+    w_f = w_hh_t_ref[0]      # (H, 3H) bf16
+    w_b = w_hh_t_ref[1]
+    b_f = b_hh_ref[0]
+    b_b = b_hh_ref[1]
+    lengths = lengths_ref[...]
+
+    # block-batched input projections into scratch
+    xf = x_f_ref[...].reshape(time_block * B, x_f_ref.shape[-1])
+    xb = x_b_ref[...].reshape(time_block * B, x_b_ref.shape[-1])
+    xp_f_scratch[...] = (
+        jnp.dot(xf, w_ih_f, preferred_element_type=jnp.float32)
+        + b_ih_f).reshape(
+            time_block, B, 3 * hidden).astype(jnp.bfloat16)
+    xp_b_scratch[...] = (
+        jnp.dot(xb, w_ih_b, preferred_element_type=jnp.float32)
+        + b_ih_b).reshape(
+            time_block, B, 3 * hidden).astype(jnp.bfloat16)
+
+    fwd_start = i * time_block
+    bwd_start = (n_blocks - 1 - i) * time_block
+
+    def cell(h, xp, w, b):
+        hp = jnp.dot(
+            h.astype(w.dtype), w,
+            preferred_element_type=jnp.float32) + b
+        r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+        z = jax.nn.sigmoid(
+            xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
+        n = jnp.tanh(
+            xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
+        return (1.0 - z) * n + z * h
+
+    def step(t, carry):
+        h_f, h_b = carry
+        t_b = time_block - 1 - t
+        nh_f = cell(h_f, xp_f_scratch[t].astype(jnp.float32), w_f, b_f)
+        nh_b = cell(
+            h_b, xp_b_scratch[t_b].astype(jnp.float32), w_b, b_b)
+        h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
+        h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
+        out_f_ref[t] = h_f.astype(out_f_ref.dtype)
+        out_b_ref[t_b] = h_b.astype(out_b_ref.dtype)
+        return (h_f, h_b)
+
+    h_f, h_b = jax.lax.fori_loop(
+        0, time_block, step, (h_scratch[0], h_scratch[1]))
+    h_scratch[0] = h_f
+    h_scratch[1] = h_b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("time_block", "interpret"))
+def bigru_pallas_fullfused(
+        x: jnp.ndarray, w_ih: jnp.ndarray, b_ih: jnp.ndarray,
+        w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        time_block: Optional[int] = None, interpret: bool = False):
+    """One bi-GRU layer with in-kernel input projection.
+
+    :param x: (T, B, IN) time-major layer input (bf16 recommended).
+    :param w_ih: (2, 3H, IN) stacked input weights (fwd, bwd).
+    :param b_ih: (2, 3H) input biases.
+    :param w_hh: (2, 3H, H); :param b_hh: (2, 3H).
+    :returns: ((T, B, H) fwd, (T, B, H) bwd) outputs.
+    """
+    T, B, IN = x.shape
+    H = w_hh.shape[-1]
+    if time_block is None:
+        time_block = _pick_time_block(
+            T, B, H, budget_bytes=1 << 20, gates=3)
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    w_ih_t = jnp.swapaxes(w_ih, 1, 2).astype(jnp.bfloat16)  # (2, IN, 3H)
+    b_ih_row = b_ih.astype(jnp.float32).reshape(2, 1, 3 * H)
+    w_hh_t = jnp.swapaxes(w_hh, 1, 2).astype(jnp.bfloat16)  # (2, H, 3H)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, 3 * H)
+
+    fwd_idx = lambda i: (i, 0, 0)                   # noqa: E731
+    bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)    # noqa: E731
+
+    kernel = functools.partial(
+        _bigru_fullfused_kernel, time_block=time_block)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, IN), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, IN), bwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (time_block, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), bwd_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x, x, w_ih_t, b_ih_row, w_hh_t, b_hh_row, lengths2d)
+
+
+def bigru_stack_fullfused(layers, x: jnp.ndarray,
+                          lengths: Optional[jnp.ndarray] = None,
+                          compute_dtype=jnp.bfloat16,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Bi-GRU stack with in-kernel input projections (lowest HBM).
+
+    Unlike :func:`bigru_stack_fused`, no (T, B, 3H) projection
+    intermediates are materialised in HBM — the peak-footprint limiter
+    at large batch.
+    """
+    cd = compute_dtype or jnp.bfloat16
+    out = jnp.swapaxes(x, 0, 1).astype(cd)  # (T, B, F)
+    for layer in layers:
+        w_ih = jnp.stack([layer["fwd"]["w_ih"], layer["bwd"]["w_ih"]])
+        b_ih = jnp.stack([layer["fwd"]["b_ih"], layer["bwd"]["b_ih"]])
+        w_hh = jnp.stack([layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])
+        b_hh = jnp.stack([layer["fwd"]["b_hh"], layer["bwd"]["b_hh"]])
+        fwd_out, bwd_out = bigru_pallas_fullfused(
+            out, w_ih, b_ih, w_hh, b_hh, lengths=lengths,
+            interpret=interpret)
+        out = jnp.concatenate([fwd_out, bwd_out], -1)
+    return jnp.swapaxes(out, 0, 1)

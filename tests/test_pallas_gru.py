@@ -102,3 +102,27 @@ class TestFusedLSTM:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             atol=3e-2)
+
+
+class TestFullFused:
+    def test_matches_scan(self):
+        from medaka_tpu.ops.pallas_gru import bigru_stack_fullfused
+        model_layers = []
+        key = jax.random.PRNGKey(6)
+        for i in range(2):
+            in_size = 10 if i == 0 else 32
+            key, kf, kb = jax.random.split(key, 3)
+            model_layers.append({
+                "fwd": gru_layer_params(kf, in_size, 16),
+                "bwd": gru_layer_params(kb, in_size, 16)})
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((4, 32, 10)).astype(np.float32))
+        lengths = jnp.asarray(np.array([32, 20, 5, 32], np.int32))
+        ref = bigru_stack(
+            model_layers, x, compute_dtype=jnp.bfloat16,
+            lengths=lengths)
+        got = bigru_stack_fullfused(
+            model_layers, x, lengths=lengths, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=3e-2)
