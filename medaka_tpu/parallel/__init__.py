@@ -154,6 +154,23 @@ def cross_entropy_loss(model, params, batch, compute_dtype=None):
     return loss, (n_correct, n_total)
 
 
+def majority_baseline_accuracy(batch):
+    """Argmax-of-counts baseline accuracy for counts batches.
+
+    The reference reports model accuracy alongside this baseline per batch
+    (``medaka/models.py:338-343``). Only meaningful for 10-channel
+    counts features; returns (n_correct, n_total).
+    """
+    x = batch["features"]
+    if x.ndim != 3 or x.shape[-1] != 10:
+        return jnp.zeros(()), jnp.zeros(())
+    from medaka_tpu.models.majority import MajorityVoteModel
+    probs = MajorityVoteModel().apply({}, x)
+    pred = jnp.argmax(probs, axis=-1)
+    n_correct = ((pred == batch["labels"]) * batch["mask"]).sum()
+    return n_correct, batch["mask"].sum()
+
+
 def make_train_step(model, optimizer, mesh: Mesh,
                     compute_dtype=jnp.bfloat16):
     """Build a jitted, mesh-sharded SGD step.

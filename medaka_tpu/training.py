@@ -263,6 +263,9 @@ def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
               logger, csv_logger=None, is_training=True, eval_fn=None):
     """One pass over a split; returns (params, opt_state, loss, acc)."""
     total_loss, total_correct, total_count, n_batches = 0.0, 0.0, 0.0, 0
+    base_correct = 0.0
+    baseline_fn = jax.jit(parallel.majority_baseline_accuracy)
+    is_counts = batcher.feat_dim == 10
     t0 = now()
     for batch in batcher.batches(split, shuffle=is_training, seed=epoch):
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -271,21 +274,34 @@ def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
                 params, opt_state, jbatch)
         else:
             loss, (n_c, n_t) = eval_fn(params, jbatch)
+        row = {
+            "split": split, "epoch": epoch, "batch": n_batches + 1,
+            "loss": float(loss),
+            "acc": float(n_c) / max(1.0, float(n_t)),
+            "time": now() - t0}
+        if is_counts:
+            # argmax-of-counts reference point (medaka models.py:338)
+            b_c, _b_t = baseline_fn(jbatch)
+            base_correct += float(b_c)
+            row["baseline_acc"] = float(b_c) / max(1.0, float(n_t))
         total_loss += float(loss)
         total_correct += float(n_c)
         total_count += float(n_t)
         n_batches += 1
         if csv_logger is not None:
-            csv_logger.append({
-                "split": split, "epoch": epoch, "batch": n_batches,
-                "loss": float(loss),
-                "acc": float(n_c) / max(1.0, float(n_t)),
-                "time": now() - t0})
+            csv_logger.append(row)
     acc = total_correct / max(1.0, total_count)
     mean_loss = total_loss / max(1, n_batches)
-    logger.info(
-        "[%s] epoch %d: loss %.4f acc %.4f (Q%.1f) in %.1fs",
-        split, epoch, mean_loss, acc, qscore(acc), now() - t0)
+    if is_counts:
+        base_acc = base_correct / max(1.0, total_count)
+        logger.info(
+            "[%s] epoch %d: loss %.4f acc %.4f (Q%.1f; baseline %.4f "
+            "Q%.1f) in %.1fs", split, epoch, mean_loss, acc,
+            qscore(acc), base_acc, qscore(base_acc), now() - t0)
+    else:
+        logger.info(
+            "[%s] epoch %d: loss %.4f acc %.4f (Q%.1f) in %.1fs",
+            split, epoch, mean_loss, acc, qscore(acc), now() - t0)
     return params, opt_state, mean_loss, acc
 
 
