@@ -170,3 +170,34 @@ class TestEndToEnd:
         from medaka_tpu.io.fastx import FastaReader
         cons = FastaReader(fasta).fetch("ref")
         assert cons == seq  # perfect pileup + majority vote = reference
+
+
+class TestTopologyIndependence:
+    def test_device_count_invariant_probs(self, tmp_path, single_read_bam):
+        """Identical label_probs whether the batch is sharded over 1 or
+        8 devices (the multi-host bitwise test the reference lacks,
+        SURVEY §4)."""
+        import jax
+
+        from medaka_tpu import parallel
+        from medaka_tpu.models.gru import GRUModel
+
+        path, _ = single_read_bam
+        model = GRUModel(gru_size=16)
+        params = model.init_params(jax.random.PRNGKey(0))
+        loader = prediction.DataLoader(
+            path, [Region("ref", 0, 5000)], CountsFeatureEncoder(),
+            batch_size=8, chunk_len=1000, chunk_overlap=100)
+        batches = list(loader)
+        results = []
+        for n_dev in (1, 8):
+            mesh = parallel.make_mesh(jax.devices()[:n_dev], data=n_dev)
+            pred = prediction.Predictor(
+                model, params, mesh=mesh, compute_dtype=None)
+            results.append(
+                np.concatenate(
+                    [pred.predict_on_batch(b) for b in batches]))
+        # XLA picks different fusion/reduction orders per topology, so
+        # "identical" means within a few float32 ulps, not bitwise
+        np.testing.assert_allclose(
+            results[0], results[1], rtol=1e-6, atol=1e-7)
