@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-BATCH = 256  # HBM sweet spot on 16GB v5e (reference default 100)
+BATCH = 512  # feasible with the fully-fused kernel (reference default 100)
 CHUNK = 10000
 FEATS = 10
 CLASSES = 5

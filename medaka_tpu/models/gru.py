@@ -144,7 +144,12 @@ class GRUModel:
             fused = (
                 compute_dtype == jnp.bfloat16
                 and jax.default_backend() not in ("cpu",))
-        if fused:
+        if fused and self.bidirectional:
+            from medaka_tpu.ops.pallas_gru import bigru_stack_fullfused
+            feats = bigru_stack_fullfused(
+                params["gru"], x, lengths=lengths,
+                compute_dtype=compute_dtype)
+        elif fused:
             from medaka_tpu.ops.pallas_gru import bigru_stack_fused
             feats = bigru_stack_fused(
                 params["gru"], x, bidirectional=self.bidirectional,
