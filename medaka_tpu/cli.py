@@ -914,5 +914,32 @@ def _cmd_is_compatible(args):
     return 0
 
 
+def counts_entry(argv=None):
+    """`medaka_tpu_counts` console script (pileup bench tool)."""
+    return main(["tools", "pileup_counts"] + list(argv or sys.argv[1:]))
+
+
+def version_report(argv=None):
+    """`medaka_tpu_version_report` console script.
+
+    Unlike the reference (which checks external minimap2/samtools/...,
+    ``medaka/__init__.py:70-112``) there are no external binaries to
+    check — report package, backend and native-library status instead.
+    """
+    del argv
+    from medaka_tpu import __version__, native
+    print("medaka_tpu {}".format(__version__))
+    try:
+        import jax
+        print("jax {} backend={} devices={}".format(
+            jax.__version__, jax.default_backend(),
+            len(jax.devices())))
+    except Exception as e:  # pragma: no cover
+        print("jax unavailable: {}".format(e))
+    print("native library: {}".format(
+        "ok" if native.available() else "UNAVAILABLE (g++ missing?)"))
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(main())
