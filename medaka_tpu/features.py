@@ -294,9 +294,7 @@ def _pileup_counts_native(reads, start, end, dtypes, dtype_index,
                 else np.zeros(len(r.seq_nt16)), dtype=np.uint8)
             for r in reads])
     else:
-        quals = np.zeros(1, dtype=np.uint8)
-        seq_off_q = seq_off  # unused by kernel when num_qstrat == 1
-        del seq_off_q
+        # kernel ignores quals when num_qstrat == 1
         quals = np.zeros(len(seqs), dtype=np.uint8)
     try:
         counts, majors, minors = native.pileup_counts_native(

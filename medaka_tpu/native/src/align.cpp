@@ -156,11 +156,11 @@ int mt_align(const char* query, int qlen, const char* ref, int rlen,
         for (int j = jlo; j <= jhi; ++j) {
             uint8_t code = 0;
             // E: gap in query (consume ref)
-            int32_t e_open = prev[0].h, e_ext;  // placeholder
             const Cell& left = cur[j - 1];
-            e_open = (left.h == NEG_INF) ? NEG_INF
+            int32_t e_open = (left.h == NEG_INF) ? NEG_INF
                 : left.h - gap_open - gap_extend;
-            e_ext = (left.e == NEG_INF) ? NEG_INF : left.e - gap_extend;
+            int32_t e_ext =
+                (left.e == NEG_INF) ? NEG_INF : left.e - gap_extend;
             int32_t e = std::max(e_open, e_ext);
             if (e_ext > e_open) code |= E_EXT;
             // F: gap in ref (consume query)

@@ -45,8 +45,7 @@ def _pick_time_block(T: int, B: int, H: int, budget_bytes: int = 4 << 20,
 
 
 def _gru_kernel(x_proj_ref, w_hh_t_ref, b_hh_ref, lengths_ref, out_ref,
-                h_scratch, *, time_block: int, reverse: bool,
-                total_t: int):
+                h_scratch, *, time_block: int, reverse: bool):
     """One time-block of the recurrence. Grid walks blocks sequentially."""
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
@@ -130,7 +129,7 @@ def gru_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
         idx = lambda i: (i, 0, 0)  # noqa: E731
 
     kernel = functools.partial(
-        _gru_kernel, time_block=time_block, reverse=reverse, total_t=T)
+        _gru_kernel, time_block=time_block, reverse=reverse)
     flops = 2 * T * B * (H * threeH) + 10 * T * B * threeH
     return pl.pallas_call(
         kernel,
