@@ -87,3 +87,34 @@ class TestConsensusWorkflow:
         # majority vote of ~200x real reads stays within a handful of
         # edits of the (high-quality) draft
         assert dist < 20
+
+
+class TestWorkflowGolden:
+    def test_majority_consensus_regression(self, tmp_path):
+        """Deterministic end-to-end snapshot on the real workflow data.
+
+        The majority-vote model has no weights, so the whole pipeline
+        (mapper -> featurizer -> decode -> stitch) is deterministic;
+        any change to this hash means a behavioural change somewhere in
+        the stack and must be intentional.
+        """
+        import hashlib
+        import json
+
+        from medaka_tpu.features import CountsFeatureEncoder
+        from medaka_tpu.io.fastx import FastaReader
+        from medaka_tpu.labels import HaploidLabelScheme
+        from medaka_tpu.models.majority import MajorityVoteModel
+        out = mapping.consensus_workflow(
+            WORKFLOW + "/reads.fq.gz", WORKFLOW + "/reference.fasta",
+            str(tmp_path / "wf"),
+            model=MajorityVoteModel(), params={},
+            feature_encoder=CountsFeatureEncoder(),
+            label_scheme=HaploidLabelScheme(),
+            threads=4, batch_size=8, chunk_len=2000, chunk_ovlp=200)
+        cons = FastaReader(out).fetch("lambda_5kb")
+        with open("tests/goldens/workflow_majority.json") as fh:
+            golden = json.load(fh)
+        assert len(cons) == golden["consensus_len"]
+        assert hashlib.sha256(
+            cons.encode()).hexdigest() == golden["consensus_sha256"]
