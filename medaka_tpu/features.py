@@ -261,10 +261,6 @@ def _pileup_counts_native(reads, start, end, dtypes, dtype_index,
         return None
     num_dtypes = len(dtypes)
     n = len(reads)
-    read_pos = np.fromiter(
-        (r.pos for r in reads), dtype=np.int64, count=n)
-    read_rev = np.fromiter(
-        (r.is_reverse for r in reads), dtype=np.uint8, count=n)
     if num_dtypes > 1:
         read_dtype = np.empty(n, dtype=np.int32)
         for i, rec in enumerate(reads):
@@ -275,31 +271,16 @@ def _pileup_counts_native(reads, start, end, dtypes, dtype_index,
             read_dtype[i] = dtype_index[dt_tag]
     else:
         read_dtype = np.zeros(n, dtype=np.int32)
-    cigar_arrays = [r.cigar_array for r in reads]
-    cigar_off = np.zeros(n + 1, dtype=np.int64)
-    cigar_off[1:] = np.cumsum([len(c) for c in cigar_arrays])
-    ca = np.concatenate(cigar_arrays) if n else np.empty(
-        (0, 2), np.uint32)
-    cigars = (
-        (ca[:, 1].astype(np.uint32) << 4)
-        | ca[:, 0].astype(np.uint32))
-    seq_arrays = [r.seq_nt16 for r in reads]
-    seq_off = np.zeros(n + 1, dtype=np.int64)
-    seq_off[1:] = np.cumsum([len(s) for s in seq_arrays])
-    seqs = np.concatenate(seq_arrays).astype(np.uint8)
-    if num_qstrat > 1:
-        quals = np.concatenate([
-            np.asarray(
-                r.query_qualities if r.query_qualities is not None
-                else np.zeros(len(r.seq_nt16)), dtype=np.uint8)
-            for r in reads])
-    else:
-        # kernel ignores quals when num_qstrat == 1
-        quals = np.zeros(len(seqs), dtype=np.uint8)
+    # the kernel parses position/strand/cigar/seq/quals straight from
+    # the raw record bytes — no per-record numpy arrays needed
+    raw = [r.raw for r in reads]
+    rec_off = np.zeros(n + 1, dtype=np.int64)
+    rec_off[1:] = np.cumsum([len(b) for b in raw])
+    records = b"".join(raw)
     try:
-        counts, majors, minors = native.pileup_counts_native(
-            read_pos, read_rev, read_dtype, cigar_off, cigars, seq_off,
-            seqs, quals, start, end, num_dtypes, num_qstrat)
+        counts, majors, minors = native.pileup_counts_raw(
+            records, rec_off, read_dtype, start, end, num_dtypes,
+            num_qstrat)
     except native.NativeBuildError:  # pragma: no cover
         return None
     positions = make_positions(majors, minors)

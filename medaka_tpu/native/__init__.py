@@ -357,3 +357,59 @@ def pileup_counts_native(read_pos, read_rev, read_dtype, cigar_off,
     majors = adopt(majors_p, (n,))
     minors = adopt(minors_p, (n,))
     return counts, majors, minors
+
+
+def _load_pileup_raw_symbols(lib):
+    if getattr(lib, "_pileup_raw_ready", False):
+        return
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.mt_pileup_counts_raw.restype = ctypes.c_int
+    lib.mt_pileup_counts_raw.argtypes = [
+        ctypes.c_int,
+        ctypes.c_char_p,                     # records
+        i64p,                                # rec_off
+        ctypes.POINTER(ctypes.c_int32),      # read_dtype
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(i64p), ctypes.POINTER(i64p), ctypes.POINTER(i64p),
+        i64p,
+    ]
+    lib._pileup_raw_ready = True
+
+
+def pileup_counts_raw(records: bytes, rec_off, read_dtype, start, end,
+                      num_dtypes, num_qstrat):
+    """Native pileup directly over concatenated raw BAM record bytes."""
+    import numpy as np
+
+    lib = _load()
+    _load_pileup_raw_symbols(lib)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    counts_p, majors_p, minors_p = i64p(), i64p(), i64p()
+    n_cols = ctypes.c_int64()
+    rec_off = np.ascontiguousarray(rec_off, dtype=np.int64)
+    read_dtype = np.ascontiguousarray(read_dtype, dtype=np.int32)
+    rv = lib.mt_pileup_counts_raw(
+        len(rec_off) - 1, records,
+        rec_off.ctypes.data_as(i64p),
+        read_dtype.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        start, end, num_dtypes, num_qstrat,
+        ctypes.byref(counts_p), ctypes.byref(majors_p),
+        ctypes.byref(minors_p), ctypes.byref(n_cols))
+    if rv != 0:
+        raise NativeBuildError("mt_pileup_counts_raw failed")
+    n = n_cols.value
+    col_feat = 10 * num_dtypes * num_qstrat
+    if n == 0:
+        return (np.empty((0, col_feat), np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64))
+
+    def adopt(ptr, shape):
+        import weakref
+        arr = np.ctypeslib.as_array(ptr, shape=shape)
+        addr = ctypes.cast(ptr, ctypes.c_void_p).value
+        weakref.finalize(arr, lib.mt_free, addr)
+        return arr
+
+    return (adopt(counts_p, (n, col_feat)), adopt(majors_p, (n,)),
+            adopt(minors_p, (n,)))
