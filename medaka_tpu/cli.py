@@ -274,6 +274,29 @@ def main(argv=None):
     p.set_defaults(func=_cmd_consensus)
 
     p = subparsers.add_parser(
+        "consensus_joint", parents=[log_parent],
+        help="Joint polishing from multiple read datatypes "
+             "(medaka_consensus_joint equivalent): each read set is "
+             "mapped, DT-tagged, merged and polished with a "
+             "multi-datatype model.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument(
+        "-i", dest="reads", action="append", required=True,
+        help="Reads fasta/q; repeat per datatype.")
+    p.add_argument(
+        "-v", dest="values", action="append", required=True,
+        help="DT tag value per -i input (e.g. r9, r10).")
+    p.add_argument("-d", dest="draft", required=True)
+    p.add_argument("--output", "-o", default="medaka_tpu_joint")
+    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--threads", "-t", type=int, default=1)
+    p.add_argument("--batch_size", "-b", type=int, default=128)
+    p.add_argument("--chunk_len", type=int, default=10000)
+    p.add_argument("--chunk_ovlp", type=int, default=1000)
+    p.add_argument("--qualities", "-q", action="store_true")
+    p.set_defaults(func=_cmd_consensus_joint)
+
+    p = subparsers.add_parser(
         "align", parents=[log_parent],
         help="Map reads to a draft, writing a sorted indexed BAM "
              "(mini_align replacement).",
@@ -705,6 +728,39 @@ def _cmd_consensus(args):
         threads=args.threads, batch_size=args.batch_size,
         chunk_len=args.chunk_len, chunk_ovlp=args.chunk_ovlp,
         qualities=args.qualities)
+    return 0
+
+
+def _cmd_consensus_joint(args):
+    from medaka_tpu import mapping, models, prediction, stitch
+    if len(args.reads) != len(args.values):
+        raise ValueError("Provide one -v value per -i input.")
+    os.makedirs(args.output, exist_ok=True)
+    tagged_bams = []
+    for i, (reads, value) in enumerate(zip(args.reads, args.values)):
+        bam = os.path.join(args.output, "calls_{}.bam".format(i))
+        if not os.path.exists(bam):
+            mapping.align_reads(
+                reads, args.draft, bam, threads=args.threads)
+        tagged_bams.append(bam)
+    merged = os.path.join(args.output, "calls_to_draft.bam")
+    if not os.path.exists(merged):
+        common.tag_merge_bams(
+            tagged_bams, args.values, "DT", merged,
+            threads=args.threads)
+    probs = os.path.join(args.output, "consensus_probs.hdf")
+    if not os.path.exists(probs):
+        prediction.predict(
+            merged, probs, model_path=models.resolve_model(args.model),
+            batch_size=args.batch_size, chunk_len=args.chunk_len,
+            chunk_overlap=args.chunk_ovlp,
+            bam_workers=max(1, args.threads // 2))
+    ext = "fastq" if args.qualities else "fasta"
+    out = os.path.join(args.output, "consensus." + ext)
+    stitch.stitch_to_fasta(
+        probs, args.draft, out, threads=args.threads,
+        qualities=args.qualities)
+    print(out)
     return 0
 
 

@@ -210,3 +210,47 @@ def test_variant_pipeline(workspace, tmp_path):
     from medaka_tpu.vcf import VCFReader
     list(VCFReader(os.path.join(out, "medaka.annotated.vcf"),
                    cache=False).fetch())
+
+
+def test_consensus_joint(workspace, tmp_path):
+    """Dual-datatype joint polishing with a dtype-splitting model."""
+    import jax
+    import numpy as np
+
+    from medaka_tpu.common import reverse_complement
+    from medaka_tpu.features import CountsFeatureEncoder
+    from medaka_tpu.io.fastx import FastaReader
+    from medaka_tpu.labels import HaploidLabelScheme
+    from medaka_tpu.models import save_model
+    from medaka_tpu.models.gru import GRUModel
+
+    seq = workspace["seq"]
+    # two read sets (slightly different error processes not needed;
+    # identical reads suffice to exercise the plumbing)
+    files = []
+    for tag in ("r9", "r10"):
+        path = str(tmp_path / "{}.fastq".format(tag))
+        with open(path, "w") as fh:
+            for i in range(4):
+                s = seq if i % 2 == 0 else reverse_complement(seq)
+                fh.write("@{}_{}\n{}\n+\n{}\n".format(
+                    tag, i, s, "I" * len(s)))
+        files.append(path)
+    # a model whose encoder splits by those datatypes (20 features)
+    model = GRUModel(num_features=20, gru_size=8)
+    model_path = str(tmp_path / "joint_model.tar.gz")
+    save_model(
+        model_path, model, model.init_params(jax.random.PRNGKey(0)),
+        feature_encoder=CountsFeatureEncoder(dtypes=("r9", "r10")),
+        label_scheme=HaploidLabelScheme())
+    out_dir = str(tmp_path / "joint")
+    assert run_cli([
+        "consensus_joint", "-i", files[0], "-v", "r9",
+        "-i", files[1], "-v", "r10", "-d", workspace["draft"],
+        "-o", out_dir, "-m", model_path, "-t", "2",
+        "--chunk_len", "400", "--chunk_ovlp", "100", "-b", "4",
+        "--quiet"]) == 0
+    import os
+    cons = FastaReader(
+        os.path.join(out_dir, "consensus.fasta")).fetch("ref")
+    assert len(cons) > 0.9 * len(seq)
