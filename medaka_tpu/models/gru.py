@@ -126,7 +126,8 @@ class GRUModel:
 
     def apply(self, params: Dict, x: jnp.ndarray, normalise: bool = True,
               compute_dtype=None, lengths=None,
-              fused: Optional[bool] = None) -> jnp.ndarray:
+              fused: Optional[bool] = None,
+              training: bool = False) -> jnp.ndarray:
         """Forward pass.
 
         :param x: (batch, positions, num_features) counts features.
@@ -144,7 +145,18 @@ class GRUModel:
             fused = (
                 compute_dtype == jnp.bfloat16
                 and jax.default_backend() not in ("cpu",))
-        if fused and self.bidirectional:
+        if fused and training and self.bidirectional:
+            # differentiable kernel pair (custom VJP)
+            from medaka_tpu.ops.pallas_gru import bigru_stack_trainable
+            feats = bigru_stack_trainable(
+                params["gru"], x, lengths=lengths,
+                compute_dtype=compute_dtype)
+        elif fused and training:
+            # no differentiable unidirectional kernel yet
+            feats = bigru_stack(
+                params["gru"], x, bidirectional=self.bidirectional,
+                compute_dtype=compute_dtype, lengths=lengths)
+        elif fused and self.bidirectional:
             from medaka_tpu.ops.pallas_gru import bigru_stack_fullfused
             feats = bigru_stack_fullfused(
                 params["gru"], x, lengths=lengths,

@@ -316,7 +316,10 @@ class LatentSpaceLSTM:
         pooled = jnp.sum(feats * mask, axis=1) / denom  # (B, P, L)
 
         if self.bidirectional:
+            # fused LSTM kernel has no custom VJP yet; fall back to the
+            # masked scan (XLA autodiff) when training.
             fused = (compute_dtype == jnp.bfloat16
+                     and not training
                      and jax.default_backend() not in ("cpu",))
             if fused:
                 from medaka_tpu.ops.pallas_gru import bilstm_stack_fused

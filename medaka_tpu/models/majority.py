@@ -33,7 +33,7 @@ class MajorityVoteModel:
         return {}
 
     def apply(self, params, x, normalise=True, compute_dtype=None,
-              lengths=None):
+              lengths=None, training=False):
         """Class probabilities (del, A, C, G, T) by direct vote counting."""
         b2i = base2index
         bases = (x[..., b2i["a"]:b2i["t"] + 1] +

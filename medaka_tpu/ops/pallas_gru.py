@@ -640,3 +640,229 @@ def bigru_stack_fullfused(layers, x: jnp.ndarray,
             interpret=interpret)
         out = jnp.concatenate([fwd_out, bwd_out], -1)
     return jnp.swapaxes(out, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel + custom VJP: training at kernel speed
+# ---------------------------------------------------------------------------
+
+
+def _gru_bwd_kernel(xp_ref, hprev_ref, dhout_ref, w_hh_t_ref, b_hh_ref,
+                    lengths_ref, dxp_ref, dw_ref, db_ref, dh_scratch,
+                    *, time_block: int, reverse: bool):
+    """Backward through one GRU direction (recompute-gates formulation).
+
+    Grid walks time blocks in the direction opposite to the forward
+    pass; the through-time gradient ``dh`` lives in VMEM scratch and
+    dW_hh/db_hh accumulate in constant-index output blocks.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dh_scratch[...] = jnp.zeros_like(dh_scratch)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    hidden = dh_scratch.shape[-1]
+    w_hh_t = w_hh_t_ref[...]      # (H, 3H) bf16
+    b_hh = b_hh_ref[...]          # (1, 3H) f32
+    lengths = lengths_ref[...]
+
+    # time indices: for a forward-direction GRU the backward pass walks
+    # t descending; for a reverse-direction GRU it walks t ascending
+    if reverse:
+        block_start = i * time_block
+    else:
+        block_start = (n_blocks - 1 - i) * time_block
+
+    def step(t_iter, dh):
+        # local step order inside the block follows the same direction
+        t_local = t_iter if reverse else (time_block - 1 - t_iter)
+        t_global = block_start + t_local
+        xp = xp_ref[t_local].astype(jnp.float32)
+        h_prev = hprev_ref[t_local].astype(jnp.float32)
+        dh = dh + dhout_ref[t_local].astype(jnp.float32)
+
+        # recompute the gates
+        hp = jnp.dot(
+            h_prev.astype(w_hh_t.dtype), w_hh_t,
+            preferred_element_type=jnp.float32) + b_hh
+        r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+        z = jax.nn.sigmoid(
+            xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
+        hn = hp[:, 2 * hidden:]
+        n = jnp.tanh(xp[:, 2 * hidden:] + r * hn)
+
+        valid = (lengths > t_global).astype(jnp.float32)
+        dh_eff = dh * valid
+
+        dn = dh_eff * (1.0 - z)
+        dz = dh_eff * (h_prev - n)
+        dn_pre = dn * (1.0 - n * n)
+        dr = dn_pre * hn
+        dz_pre = dz * z * (1.0 - z)
+        dr_pre = dr * r * (1.0 - r)
+        # grads at hp and xp (gate order r, z, n)
+        dhp = jnp.concatenate(
+            [dr_pre, dz_pre, dn_pre * r], axis=-1)  # (B, 3H)
+        dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+        dxp_ref[t_local] = dxp.astype(dxp_ref.dtype)
+
+        dw_ref[...] += jnp.dot(
+            dhp.astype(jnp.bfloat16).T,
+            h_prev.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        db_ref[...] += jnp.sum(dhp, axis=0, keepdims=True)
+
+        dh_prev = (dh_eff * z + jnp.dot(
+            dhp.astype(w_hh_t.dtype), w_hh_t.T,
+            preferred_element_type=jnp.float32))
+        # frozen steps pass the gradient straight through
+        return dh_prev + dh * (1.0 - valid)
+
+    dh = jax.lax.fori_loop(0, time_block, step, dh_scratch[...])
+    dh_scratch[...] = dh
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "time_block", "interpret"))
+def gru_bwd_pallas(x_proj, h_out, dh_out, w_hh, b_hh, lengths=None,
+                   reverse: bool = False,
+                   time_block: Optional[int] = None,
+                   interpret: bool = False):
+    """Backward pass of one GRU direction.
+
+    :param x_proj: (T, B, 3H) forward input projections.
+    :param h_out: (T, B, H) forward outputs.
+    :param dh_out: (T, B, H) upstream gradients at the outputs.
+    :returns: (dxp (T, B, 3H) f32, dW_hh (3H, H) f32, db_hh (3H,) f32).
+    """
+    T, B, threeH = x_proj.shape
+    H = threeH // 3
+    if time_block is None:
+        time_block = _pick_time_block(T, B, H, budget_bytes=1 << 20)
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    w_hh_t = w_hh.T.astype(jnp.bfloat16)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(1, threeH)
+    # h_{t-1} per step: zero at the recurrence start
+    if reverse:
+        h_prev = jnp.concatenate(
+            [h_out[1:], jnp.zeros_like(h_out[:1])], axis=0)
+    else:
+        h_prev = jnp.concatenate(
+            [jnp.zeros_like(h_out[:1]), h_out[:-1]], axis=0)
+
+    # grid walks blocks opposite to the forward direction
+    if reverse:
+        idx = lambda i: (i, 0, 0)                    # noqa: E731
+    else:
+        idx = lambda i: (n_blocks - 1 - i, 0, 0)     # noqa: E731
+    const2 = lambda i: (0, 0)                        # noqa: E731
+
+    kernel = functools.partial(
+        _gru_bwd_kernel, time_block=time_block, reverse=reverse)
+    dxp, dw, db = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, threeH), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (time_block, B, threeH), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((threeH, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, threeH), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((threeH, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, threeH), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(x_proj, h_prev, dh_out, w_hh_t, b_hh_row, lengths2d)
+    return dxp, dw, db.reshape(threeH)
+
+
+def _gru_dir_fwd_impl(x_proj, w_hh, b_hh, lengths, reverse, interpret):
+    out = gru_pallas(
+        x_proj.astype(jnp.bfloat16), w_hh, b_hh, lengths=lengths,
+        reverse=reverse, interpret=interpret)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gru_dir_trainable(x_proj, w_hh, b_hh, lengths, reverse=False,
+                      interpret=False):
+    """Differentiable fused GRU direction (kernel fwd + kernel bwd).
+
+    :param x_proj: (T, B, 3H) input projections (time-major).
+    :returns: (T, B, H) outputs (bf16).
+    """
+    return _gru_dir_fwd_impl(
+        x_proj, w_hh, b_hh, lengths, reverse, interpret)
+
+
+def _gru_dir_fwd(x_proj, w_hh, b_hh, lengths, reverse, interpret):
+    out = _gru_dir_fwd_impl(
+        x_proj, w_hh, b_hh, lengths, reverse, interpret)
+    return out, (x_proj, out, w_hh, b_hh, lengths)
+
+
+def _gru_dir_bwd(reverse, interpret, residuals, g):
+    x_proj, h_out, w_hh, b_hh, lengths = residuals
+    dxp, dw, db = gru_bwd_pallas(
+        x_proj.astype(jnp.bfloat16), h_out, g.astype(jnp.float32),
+        w_hh, b_hh, lengths=lengths, reverse=reverse,
+        interpret=interpret)
+    dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0) \
+        if jnp.issubdtype(lengths.dtype, jnp.integer) else \
+        jnp.zeros_like(lengths)
+    return (dxp.astype(x_proj.dtype), dw.astype(w_hh.dtype),
+            db.astype(b_hh.dtype), dlengths)
+
+
+gru_dir_trainable.defvjp(_gru_dir_fwd, _gru_dir_bwd)
+
+
+def bigru_stack_trainable(layers, x, lengths=None,
+                          compute_dtype=jnp.bfloat16,
+                          interpret: bool = False):
+    """Differentiable fused bi-GRU stack (for the training step).
+
+    Input projections stay in XLA (dense matmuls differentiate for
+    free); the recurrences run as fused forward/backward kernels via
+    :func:`gru_dir_trainable`.
+    """
+    cd = compute_dtype or jnp.bfloat16
+    B, T, _F = x.shape
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    out = jnp.swapaxes(x, 0, 1).astype(cd)
+    for layer in layers:
+        dirs = []
+        for key, reverse in (("fwd", False), ("bwd", True)):
+            p = layer[key]
+            x_proj = (
+                jnp.einsum(
+                    "tbi,hi->tbh", out, p["w_ih"].astype(cd),
+                    preferred_element_type=jnp.float32)
+                + p["b_ih"]).astype(cd)
+            dirs.append(gru_dir_trainable(
+                x_proj, p["w_hh"], p["b_hh"], lengths, reverse,
+                interpret))
+        out = jnp.concatenate(dirs, -1)
+    return jnp.swapaxes(out, 0, 1)

@@ -141,7 +141,7 @@ def cross_entropy_loss(model, params, batch, compute_dtype=None):
     logits = model.apply(
         params, batch["features"], normalise=False,
         compute_dtype=compute_dtype,
-        lengths=batch.get("lengths"))
+        lengths=batch.get("lengths"), training=True)
     labels = batch["labels"]
     mask = batch["mask"].astype(logits.dtype)
     logp = jax.nn.log_softmax(logits, axis=-1)

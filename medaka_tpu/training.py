@@ -311,13 +311,15 @@ def run_training(
         optimizer: str = "nadam", optim_args: Optional[Dict] = None,
         mesh=None, model_parallel: int = 1,
         compute_dtype=jnp.bfloat16, seed: int = 0,
-        early_stop_epochs: int = 20):
+        early_stop_epochs: int = 20, initial_params=None):
     """Train a consensus model (reference ``training.py:60-236``).
 
     :param train_name: output directory.
     :param batcher: a :class:`TrainBatcher`.
     :param model_dict: {type, kwargs} architecture (default: bundled
         GRUModel geometry, scaled to the batcher's feature width).
+    :param initial_params: warm-start params (e.g. from a checkpoint
+        tarball); random init when None.
     :returns: (model, params) of the final epoch.
     """
     logger = common.get_named_logger("Training")
@@ -339,7 +341,11 @@ def run_training(
         mesh = parallel.make_mesh(
             jax.devices()[:data * model_parallel], data=data,
             model=model_parallel)
-    params = model.init_params(jax.random.PRNGKey(seed))
+    if initial_params is not None:
+        params = jax.tree_util.tree_map(jnp.asarray, initial_params)
+        logger.info("Warm-starting from provided checkpoint params.")
+    else:
+        params = model.init_params(jax.random.PRNGKey(seed))
     params = parallel.shard_params(params, mesh)
 
     steps_per_epoch = batcher.n_batches("train")
@@ -402,10 +408,13 @@ def train(args):
         batch_size=args.batch_size, max_samples=args.max_samples,
         max_valid_samples=args.max_valid_samples)
     model_dict = None
+    initial_params = None
     if getattr(args, "model", None):
-        bundle = models_mod.open_model(args.model)
+        bundle = models_mod.open_model(models_mod.resolve_model(args.model))
         model_dict = bundle.model.to_dict()
+        initial_params = bundle.params
     run_training(
         args.train_name, batcher, model_dict=model_dict,
         epochs=args.epochs, optimizer=args.optimizer,
-        optim_args=args.optim_args, seed=args.seed)
+        optim_args=args.optim_args, seed=args.seed,
+        initial_params=initial_params)

@@ -126,3 +126,69 @@ class TestFullFused:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             atol=3e-2)
+
+
+class TestTrainableKernel:
+    """The custom-VJP kernel pair must match XLA autodiff gradients."""
+
+    def _setup(self):
+        model = GRUModel(gru_size=8)
+        params = model.init_params(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((3, 16, 10)).astype(np.float32))
+        lengths = jnp.asarray(np.array([16, 9, 16], np.int32))
+        return params, x, lengths
+
+    def test_forward_matches_scan(self):
+        from medaka_tpu.ops.pallas_gru import bigru_stack_trainable
+        params, x, lengths = self._setup()
+        ref = bigru_stack(
+            params["gru"], x, compute_dtype=jnp.bfloat16, lengths=lengths)
+        got = bigru_stack_trainable(
+            params["gru"], x, lengths=lengths, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=3e-2)
+
+    def test_gradients_match_scan_autodiff(self):
+        from medaka_tpu.ops.pallas_gru import bigru_stack_trainable
+        params, x, lengths = self._setup()
+
+        def loss_kernel(layers):
+            out = bigru_stack_trainable(
+                layers, x, lengths=lengths, interpret=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_scan(layers):
+            out = bigru_stack(
+                layers, x, compute_dtype=jnp.bfloat16, lengths=lengths)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g_kernel = jax.grad(loss_kernel)(params["gru"])
+        g_scan = jax.grad(loss_scan)(params["gru"])
+        leaves_k = jax.tree_util.tree_leaves(g_kernel)
+        leaves_s = jax.tree_util.tree_leaves(g_scan)
+        assert len(leaves_k) == len(leaves_s)
+        for gk, gs in zip(leaves_k, leaves_s):
+            gk = np.asarray(gk, np.float32)
+            gs = np.asarray(gs, np.float32)
+            scale = max(np.abs(gs).max(), 1e-3)
+            assert np.abs(gk - gs).max() / scale < 0.05, (
+                "grad mismatch: {}".format(np.abs(gk - gs).max() / scale))
+
+    def test_model_apply_training_path(self):
+        # training=True must route through a differentiable path and
+        # produce logits matching the scan within bf16 tolerance.
+        model = GRUModel(gru_size=8)
+        params, x, lengths = self._setup()
+
+        def loss(p):
+            logits = model.apply(
+                p, x, normalise=False, compute_dtype=jnp.bfloat16,
+                lengths=lengths, fused=False, training=True)
+            return jnp.sum(logits ** 2)
+
+        g = jax.grad(loss)(params)
+        assert all(
+            np.isfinite(np.asarray(leaf)).all()
+            for leaf in jax.tree_util.tree_leaves(g))
