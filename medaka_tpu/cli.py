@@ -113,7 +113,9 @@ def main(argv=None):
     p.add_argument(
         "--model", required=True,
         help="Model file (native tar.gz or reference medaka tarball).")
-    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument(
+        "--batch_size", type=int, default=None,
+        help="Batch size (default: auto — 512 for counts models on TPU, 128 otherwise).")
     p.add_argument("--bam_workers", type=int, default=2)
     p.add_argument("--bam_chunk", type=int, default=1_000_000)
     p.add_argument(
@@ -137,7 +139,9 @@ def main(argv=None):
     p.add_argument("inputs", nargs="+", help="Feature HDF5 file(s).")
     p.add_argument("output", help="Output probabilities file.")
     p.add_argument("--model", required=True)
-    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument(
+        "--batch_size", type=int, default=None,
+        help="Batch size (default: auto — 512 for counts models on TPU, 128 otherwise).")
     p.add_argument("--full_precision", action="store_true")
     p.set_defaults(func=_cmd_consensus_from_features)
 
@@ -154,7 +158,9 @@ def main(argv=None):
     p.add_argument("--model", "-m", required=True,
                    help="Variant-calling model.")
     p.add_argument("--threads", "-t", type=int, default=1)
-    p.add_argument("--batch_size", "-b", type=int, default=128)
+    p.add_argument(
+        "--batch_size", "-b", type=int, default=None,
+        help="Batch size (default: auto — 512 for counts models on TPU, 128 otherwise).")
     p.add_argument("--chunk_len", type=int, default=10000)
     p.add_argument("--chunk_ovlp", type=int, default=1000)
     p.add_argument("--no-annotate", dest="annotate",
@@ -267,7 +273,9 @@ def main(argv=None):
     p.add_argument("--output", "-o", default="medaka_tpu_consensus")
     p.add_argument("--model", "-m", required=True)
     p.add_argument("--threads", "-t", type=int, default=1)
-    p.add_argument("--batch_size", "-b", type=int, default=128)
+    p.add_argument(
+        "--batch_size", "-b", type=int, default=None,
+        help="Batch size (default: auto — 512 for counts models on TPU, 128 otherwise).")
     p.add_argument("--chunk_len", type=int, default=10000)
     p.add_argument("--chunk_ovlp", type=int, default=1000)
     p.add_argument("--qualities", "-q", action="store_true")
@@ -290,7 +298,9 @@ def main(argv=None):
     p.add_argument("--output", "-o", default="medaka_tpu_joint")
     p.add_argument("--model", "-m", required=True)
     p.add_argument("--threads", "-t", type=int, default=1)
-    p.add_argument("--batch_size", "-b", type=int, default=128)
+    p.add_argument(
+        "--batch_size", "-b", type=int, default=None,
+        help="Batch size (default: auto — 512 for counts models on TPU, 128 otherwise).")
     p.add_argument("--chunk_len", type=int, default=10000)
     p.add_argument("--chunk_ovlp", type=int, default=1000)
     p.add_argument("--qualities", "-q", action="store_true")

@@ -83,7 +83,7 @@ def consensus_workflow(
         reads_fastx: str, draft_fasta: str, output_dir: str,
         model_path: Optional[str] = None, model=None, params=None,
         feature_encoder=None, label_scheme=None, threads: int = 1,
-        batch_size: int = 128, chunk_len: int = 10000,
+        batch_size=None, chunk_len: int = 10000,
         chunk_ovlp: int = 1000, qualities: bool = False) -> str:
     """The full polishing pipeline (``medaka_consensus`` equivalent).
 
