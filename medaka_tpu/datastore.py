@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import json
+import os
 from collections import defaultdict
 from typing import Dict, Iterable, List, Optional
 
@@ -56,7 +57,19 @@ class DataStore:
         self.compression = compression
         self.verify_on_close = verify_on_close
         self.logger = common.get_named_logger("DataStore")
-        self.fh = h5py.File(filename, mode)
+        try:
+            self.fh = h5py.File(filename, mode)
+        except OSError as e:
+            if mode != "r" and os.path.exists(filename) \
+                    and "truncated" in str(e).lower():
+                # a previous run was killed mid-write; the file is
+                # unrecoverable (eof < stored_eof) — tell the user
+                # rather than surfacing a raw h5py stack
+                raise OSError(
+                    "{} is a truncated HDF5 (a previous run was "
+                    "interrupted mid-write). Remove it and rerun: "
+                    "{}".format(filename, e)) from e
+            raise
         self._meta: Optional[Dict] = None
         self.write_executor = None
         self._futures: List = []

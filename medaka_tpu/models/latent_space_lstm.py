@@ -263,6 +263,12 @@ class LatentSpaceLSTM:
         cd = compute_dtype or jnp.float32
         xf = x.astype(jnp.float32)
         B, P, R, _C = x.shape
+        needed = 5 if self.use_dwells else 4
+        if _C < needed:
+            raise ValueError(
+                "Read-level features need {} channels "
+                "[base, qual, strand, mapq{}]; got {}.".format(
+                    needed, ", dwell" if self.use_dwells else "", _C))
 
         # read rows that contain any data (reference
         # ``latent_space_lstm.py:164-166``)
@@ -315,12 +321,17 @@ class LatentSpaceLSTM:
         denom = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
         pooled = jnp.sum(feats * mask, axis=1) / denom  # (B, P, L)
 
-        if self.bidirectional:
-            # fused LSTM kernel has no custom VJP yet; fall back to the
-            # masked scan (XLA autodiff) when training.
-            fused = (compute_dtype == jnp.bfloat16
-                     and not training
-                     and jax.default_backend() not in ("cpu",))
+        fused = (compute_dtype == jnp.bfloat16
+                 and jax.default_backend() not in ("cpu",))
+        if fused and training:
+            # differentiable kernel pair (custom VJP) for both stack
+            # shapes; see ops.pallas_gru.bilstm_stack_trainable
+            from medaka_tpu.ops.pallas_gru import bilstm_stack_trainable
+            out = bilstm_stack_trainable(
+                params["lstm"], pooled, lengths=lengths,
+                bidirectional=self.bidirectional,
+                compute_dtype=compute_dtype)
+        elif self.bidirectional:
             if fused:
                 from medaka_tpu.ops.pallas_gru import bilstm_stack_fused
                 out = bilstm_stack_fused(

@@ -866,3 +866,345 @@ def bigru_stack_trainable(layers, x, lengths=None,
                 interpret))
         out = jnp.concatenate(dirs, -1)
     return jnp.swapaxes(out, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Trainable LSTM: single-direction forward (with cell-state output) and
+# backward kernels joined by a custom VJP. Mirrors the GRU pair above.
+# ---------------------------------------------------------------------------
+
+
+def _lstm_kernel(xp_ref, w_hh_t_ref, b_hh_ref, lengths_ref, out_ref,
+                 c_out_ref, hc_scratch, *, time_block: int, reverse: bool):
+    """One time-block of a single LSTM direction (gate order i,f,g,o).
+
+    Unlike :func:`_bilstm_kernel` this also writes the cell-state
+    sequence so the backward kernel can recompute gates.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        hc_scratch[...] = jnp.zeros_like(hc_scratch)
+
+    hidden = hc_scratch.shape[-1]
+    w_hh_t = w_hh_t_ref[...]      # (H, 4H) bf16
+    b_hh = b_hh_ref[...]          # (1, 4H) f32
+    lengths = lengths_ref[...]
+
+    if reverse:
+        block_start = (n_blocks - 1 - i) * time_block
+    else:
+        block_start = i * time_block
+
+    def step(t_iter, carry):
+        h, c = carry
+        t_local = (time_block - 1 - t_iter) if reverse else t_iter
+        t_global = block_start + t_local
+        xp = xp_ref[t_local].astype(jnp.float32)
+        gates = jnp.dot(
+            h.astype(w_hh_t.dtype), w_hh_t,
+            preferred_element_type=jnp.float32) + b_hh + xp
+        gi = jax.nn.sigmoid(gates[:, :hidden])
+        gf = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        gg = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        go = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c_new = gf * c + gi * gg
+        h_new = go * jnp.tanh(c_new)
+        valid = (lengths > t_global)
+        h_new = jnp.where(valid, h_new, h)
+        c_new = jnp.where(valid, c_new, c)
+        out_ref[t_local] = h_new.astype(out_ref.dtype)
+        c_out_ref[t_local] = c_new
+        return (h_new, c_new)
+
+    h, c = jax.lax.fori_loop(
+        0, time_block, step, (hc_scratch[0], hc_scratch[1]))
+    hc_scratch[0] = h
+    hc_scratch[1] = c
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "time_block", "interpret"))
+def lstm_pallas(x_proj, w_hh, b_hh, lengths=None, reverse: bool = False,
+                time_block: Optional[int] = None,
+                interpret: bool = False):
+    """One LSTM direction over pre-projected inputs, returning (h, c).
+
+    :param x_proj: (T, B, 4H) time-major projections ``x @ w_ih.T + b_ih``.
+    :param w_hh: (4H, H) recurrent weights (torch layout).
+    :returns: ((T, B, H) hidden outputs in x_proj dtype,
+        (T, B, H) float32 cell states).
+    """
+    T, B, fourH = x_proj.shape
+    H = fourH // 4
+    if time_block is None:
+        time_block = _pick_time_block(
+            T, B, H, budget_bytes=2 << 20, gates=4)
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    w_hh_t = w_hh.T.astype(jnp.bfloat16)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(1, fourH)
+
+    if reverse:
+        idx = lambda i: (n_blocks - 1 - i, 0, 0)  # noqa: E731
+    else:
+        idx = lambda i: (i, 0, 0)  # noqa: E731
+
+    kernel = functools.partial(
+        _lstm_kernel, time_block=time_block, reverse=reverse)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, fourH), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (time_block, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, B, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * (H * fourH) + 12 * T * B * fourH,
+            bytes_accessed=x_proj.size * 2 + T * B * H * 6,
+            transcendentals=4 * T * B * H),
+        interpret=interpret,
+    )(x_proj, w_hh_t, b_hh_row, lengths2d)
+
+
+def _lstm_bwd_kernel(xp_ref, hprev_ref, cprev_ref, dhout_ref, w_hh_t_ref,
+                     b_hh_ref, lengths_ref, dxp_ref, dw_ref, db_ref,
+                     dhc_scratch, *, time_block: int, reverse: bool):
+    """Backward through one LSTM direction (recompute-gates formulation).
+
+    dh and dc through-time gradients live in VMEM scratch; masked steps
+    pass both straight through (the forward froze h and c there).
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dhc_scratch[...] = jnp.zeros_like(dhc_scratch)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    hidden = dhc_scratch.shape[-1]
+    w_hh_t = w_hh_t_ref[...]      # (H, 4H) bf16
+    b_hh = b_hh_ref[...]
+    lengths = lengths_ref[...]
+
+    if reverse:
+        block_start = i * time_block
+    else:
+        block_start = (n_blocks - 1 - i) * time_block
+
+    def step(t_iter, carry):
+        dh, dc = carry
+        t_local = t_iter if reverse else (time_block - 1 - t_iter)
+        t_global = block_start + t_local
+        xp = xp_ref[t_local].astype(jnp.float32)
+        h_prev = hprev_ref[t_local].astype(jnp.float32)
+        c_prev = cprev_ref[t_local]
+        dh = dh + dhout_ref[t_local].astype(jnp.float32)
+
+        gates = jnp.dot(
+            h_prev.astype(w_hh_t.dtype), w_hh_t,
+            preferred_element_type=jnp.float32) + b_hh + xp
+        gi = jax.nn.sigmoid(gates[:, :hidden])
+        gf = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        gg = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        go = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c_t = gf * c_prev + gi * gg
+        th = jnp.tanh(c_t)
+
+        valid = (lengths > t_global).astype(jnp.float32)
+        do_pre = (dh * th) * go * (1.0 - go)
+        dc_tot = dc + dh * go * (1.0 - th * th)
+        di_pre = (dc_tot * gg) * gi * (1.0 - gi)
+        df_pre = (dc_tot * c_prev) * gf * (1.0 - gf)
+        dg_pre = (dc_tot * gi) * (1.0 - gg * gg)
+        dgates = jnp.concatenate(
+            [di_pre, df_pre, dg_pre, do_pre], axis=-1) * valid
+        dxp_ref[t_local] = dgates.astype(dxp_ref.dtype)
+
+        dw_ref[...] += jnp.dot(
+            dgates.astype(jnp.bfloat16).T,
+            h_prev.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        db_ref[...] += jnp.sum(dgates, axis=0, keepdims=True)
+
+        dh_prev = jnp.dot(
+            dgates.astype(w_hh_t.dtype), w_hh_t.T,
+            preferred_element_type=jnp.float32) + dh * (1.0 - valid)
+        dc_prev = dc_tot * gf * valid + dc * (1.0 - valid)
+        return (dh_prev, dc_prev)
+
+    dh, dc = jax.lax.fori_loop(
+        0, time_block, step, (dhc_scratch[0], dhc_scratch[1]))
+    dhc_scratch[0] = dh
+    dhc_scratch[1] = dc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "time_block", "interpret"))
+def lstm_bwd_pallas(x_proj, h_out, c_out, dh_out, w_hh, b_hh,
+                    lengths=None, reverse: bool = False,
+                    time_block: Optional[int] = None,
+                    interpret: bool = False):
+    """Backward pass of one LSTM direction.
+
+    :param c_out: (T, B, H) float32 cell states from :func:`lstm_pallas`.
+    :returns: (dxp (T, B, 4H) f32, dW_hh (4H, H) f32, db_hh (4H,) f32).
+    """
+    T, B, fourH = x_proj.shape
+    H = fourH // 4
+    if time_block is None:
+        time_block = _pick_time_block(
+            T, B, H, budget_bytes=1 << 20, gates=4)
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    w_hh_t = w_hh.T.astype(jnp.bfloat16)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(1, fourH)
+    if reverse:
+        h_prev = jnp.concatenate(
+            [h_out[1:], jnp.zeros_like(h_out[:1])], axis=0)
+        c_prev = jnp.concatenate(
+            [c_out[1:], jnp.zeros_like(c_out[:1])], axis=0)
+        idx = lambda i: (i, 0, 0)                    # noqa: E731
+    else:
+        h_prev = jnp.concatenate(
+            [jnp.zeros_like(h_out[:1]), h_out[:-1]], axis=0)
+        c_prev = jnp.concatenate(
+            [jnp.zeros_like(c_out[:1]), c_out[:-1]], axis=0)
+        idx = lambda i: (n_blocks - 1 - i, 0, 0)     # noqa: E731
+    const2 = lambda i: (0, 0)                        # noqa: E731
+
+    kernel = functools.partial(
+        _lstm_bwd_kernel, time_block=time_block, reverse=reverse)
+    dxp, dw, db = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, fourH), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (time_block, B, fourH), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fourH, H), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fourH), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, fourH), jnp.float32),
+            jax.ShapeDtypeStruct((fourH, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, fourH), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, B, H), jnp.float32)],
+        interpret=interpret,
+    )(x_proj, h_prev, c_prev, dh_out, w_hh_t, b_hh_row, lengths2d)
+    return dxp, dw, db.reshape(fourH)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lstm_dir_trainable(x_proj, w_hh, b_hh, lengths, reverse=False,
+                       interpret=False):
+    """Differentiable fused LSTM direction (kernel fwd + kernel bwd).
+
+    :param x_proj: (T, B, 4H) input projections (time-major).
+    :returns: (T, B, H) hidden outputs (bf16).
+    """
+    h, _c = lstm_pallas(
+        x_proj.astype(jnp.bfloat16), w_hh, b_hh, lengths=lengths,
+        reverse=reverse, interpret=interpret)
+    return h
+
+
+def _lstm_dir_fwd(x_proj, w_hh, b_hh, lengths, reverse, interpret):
+    h, c = lstm_pallas(
+        x_proj.astype(jnp.bfloat16), w_hh, b_hh, lengths=lengths,
+        reverse=reverse, interpret=interpret)
+    return h, (x_proj, h, c, w_hh, b_hh, lengths)
+
+
+def _lstm_dir_bwd(reverse, interpret, residuals, g):
+    x_proj, h_out, c_out, w_hh, b_hh, lengths = residuals
+    dxp, dw, db = lstm_bwd_pallas(
+        x_proj.astype(jnp.bfloat16), h_out, c_out,
+        g.astype(jnp.float32), w_hh, b_hh, lengths=lengths,
+        reverse=reverse, interpret=interpret)
+    dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0) \
+        if jnp.issubdtype(lengths.dtype, jnp.integer) else \
+        jnp.zeros_like(lengths)
+    return (dxp.astype(x_proj.dtype), dw.astype(w_hh.dtype),
+            db.astype(b_hh.dtype), dlengths)
+
+
+lstm_dir_trainable.defvjp(_lstm_dir_fwd, _lstm_dir_bwd)
+
+
+def bilstm_stack_trainable(layers, x, lengths=None,
+                           compute_dtype=jnp.bfloat16,
+                           bidirectional: bool = True,
+                           interpret: bool = False):
+    """Differentiable fused LSTM stack (for the training step).
+
+    Bidirectional stacks concatenate fwd/bwd per layer; unidirectional
+    stacks follow the ReversibleLSTM interleave (reverse on even
+    layers) used by ``LatentSpaceLSTM`` (reference
+    ``medaka/architectures/latent_space_lstm.py``).
+    """
+    cd = compute_dtype or jnp.bfloat16
+    B, T, _F = x.shape
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    out = jnp.swapaxes(x, 0, 1).astype(cd)
+    for li, layer in enumerate(layers):
+        if bidirectional:
+            dirs = []
+            for key, reverse in (("fwd", False), ("bwd", True)):
+                p = layer[key]
+                x_proj = (
+                    jnp.einsum(
+                        "tbi,hi->tbh", out, p["w_ih"].astype(cd),
+                        preferred_element_type=jnp.float32)
+                    + p["b_ih"]).astype(cd)
+                dirs.append(lstm_dir_trainable(
+                    x_proj, p["w_hh"], p["b_hh"], lengths, reverse,
+                    interpret))
+            out = jnp.concatenate(dirs, -1)
+        else:
+            p = layer["fwd"]
+            x_proj = (
+                jnp.einsum(
+                    "tbi,hi->tbh", out, p["w_ih"].astype(cd),
+                    preferred_element_type=jnp.float32)
+                + p["b_ih"]).astype(cd)
+            out = lstm_dir_trainable(
+                x_proj, p["w_hh"], p["b_hh"], lengths, li % 2 == 0,
+                interpret)
+    return jnp.swapaxes(out, 0, 1)

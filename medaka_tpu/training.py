@@ -417,4 +417,5 @@ def train(args):
         args.train_name, batcher, model_dict=model_dict,
         epochs=args.epochs, optimizer=args.optimizer,
         optim_args=args.optim_args, seed=args.seed,
+        model_parallel=getattr(args, "model_parallel", 1),
         initial_params=initial_params)

@@ -192,3 +192,76 @@ class TestTrainableKernel:
         assert all(
             np.isfinite(np.asarray(leaf)).all()
             for leaf in jax.tree_util.tree_leaves(g))
+
+
+class TestTrainableLSTM:
+    """LSTM custom-VJP kernel pair vs XLA autodiff of the masked scan."""
+
+    def _setup(self):
+        from medaka_tpu.ops.rnn import lstm_layer_params
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.random((3, 16, 12)).astype(np.float32))
+        lengths = jnp.asarray(np.array([16, 9, 16], np.int32))
+        key = jax.random.PRNGKey(3)
+        layers = []
+        for i in range(2):
+            insz = 12 if i == 0 else 16
+            key, kf, kb = jax.random.split(key, 3)
+            layers.append({"fwd": lstm_layer_params(kf, insz, 8),
+                           "bwd": lstm_layer_params(kb, insz, 8)})
+        return layers, x, lengths
+
+    @staticmethod
+    def _max_rel_diff(tree_a, tree_b):
+        worst = 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(b).max(), 1e-3)
+            worst = max(worst, np.abs(a - b).max() / scale)
+        return worst
+
+    def test_bidirectional_gradients(self):
+        from medaka_tpu.ops.pallas_gru import bilstm_stack_trainable
+        from medaka_tpu.ops.rnn import bilstm_stack
+        layers, x, lengths = self._setup()
+
+        def loss_kernel(ls):
+            out = bilstm_stack_trainable(
+                ls, x, lengths=lengths, interpret=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_scan(ls):
+            out = bilstm_stack(
+                ls, x, compute_dtype=jnp.bfloat16, lengths=lengths)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        diff = self._max_rel_diff(
+            jax.grad(loss_kernel)(layers), jax.grad(loss_scan)(layers))
+        assert diff < 0.05, diff
+
+    def test_unidirectional_interleave_gradients(self):
+        from medaka_tpu.ops.pallas_gru import bilstm_stack_trainable
+        from medaka_tpu.ops.rnn import lstm_layer_params, lstm_scan
+        layers, x, lengths = self._setup()
+        uni = [{"fwd": layers[0]["fwd"]},
+               {"fwd": lstm_layer_params(jax.random.PRNGKey(9), 8, 8)}]
+
+        def loss_kernel(ls):
+            out = bilstm_stack_trainable(
+                ls, x, lengths=lengths, bidirectional=False,
+                interpret=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_scan(ls):
+            out = x
+            for i, layer in enumerate(ls):
+                out = lstm_scan(
+                    layer["fwd"], out, reverse=(i % 2 == 0),
+                    compute_dtype=jnp.bfloat16, lengths=lengths)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        diff = self._max_rel_diff(
+            jax.grad(loss_kernel)(uni), jax.grad(loss_scan)(uni))
+        assert diff < 0.05, diff

@@ -352,3 +352,19 @@ class TestVcfFromFasta:
         assert open(prefix + "_coverage_gaps.bed").read() == ""
         import os
         assert os.path.exists(prefix + ".bam")
+
+
+def test_truncated_hdf5_clear_error(tmp_path):
+    """A mid-write-killed output file raises a clear message on reopen."""
+    import h5py
+    import pytest
+
+    from medaka_tpu.datastore import DataStore
+
+    p = str(tmp_path / "x.hdf5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("a", data=[1, 2, 3])
+    with open(p, "r+b") as f:
+        f.truncate(96)
+    with pytest.raises(OSError, match="truncated HDF5"):
+        DataStore(p, "a")
