@@ -220,9 +220,22 @@ class Predictor:
     """
 
     def __init__(self, model, params, mesh: Optional[jax.sharding.Mesh]
-                 = None, compute_dtype=jnp.bfloat16):
+                 = None, compute_dtype=jnp.bfloat16,
+                 compact_transfer: Optional[bool] = None):
+        """:param compact_transfer: halve host<->device bytes by sending
+        features as bfloat16 (the model computes in bf16 anyway) and
+        fetching float16 log-probabilities (log space preserves the
+        quality-score precision near p=1 that a float16 probability
+        would lose). Default: on when ``compute_dtype`` is bfloat16 and
+        the backend is not CPU; off for full-precision runs.
+        """
         self.model = model
         self.compute_dtype = compute_dtype
+        if compact_transfer is None:
+            compact_transfer = (
+                compute_dtype == jnp.bfloat16
+                and jax.default_backend() not in ("cpu",))
+        self.compact_transfer = compact_transfer
         if mesh is None:
             devices = jax.devices()
             mesh = jax.sharding.Mesh(np.array(devices), ("data",))
@@ -235,6 +248,12 @@ class Predictor:
         self._batch_sharding = spec_batch
 
         def forward(params, x, lengths):
+            if self.compact_transfer:
+                logits = self.model.apply(
+                    params, x.astype(jnp.float32), normalise=False,
+                    compute_dtype=compute_dtype, lengths=lengths)
+                return jax.nn.log_softmax(
+                    logits, axis=-1).astype(jnp.float16)
             return self.model.apply(
                 params, x, normalise=True,
                 compute_dtype=compute_dtype, lengths=lengths)
@@ -253,9 +272,17 @@ class Predictor:
             widths = [(0, pad)] + [(0, 0)] * (feats.ndim - 1)
             feats = np.pad(feats, widths)
             lengths = np.pad(lengths, (0, pad))
-        probs = self._forward(
-            self.params, jnp.asarray(feats), jnp.asarray(lengths))
-        return np.asarray(probs[:batch.n_valid]).astype(np.float32)
+        if self.compact_transfer and np.issubdtype(
+                feats.dtype, np.floating):
+            feats_dev = jnp.asarray(feats, dtype=jnp.bfloat16)
+        else:
+            feats_dev = jnp.asarray(feats)
+        out = self._forward(
+            self.params, feats_dev, jnp.asarray(lengths))
+        out = np.asarray(out[:batch.n_valid]).astype(np.float32)
+        if self.compact_transfer:
+            out = np.exp(out)
+        return out
 
 
 def auto_batch_size(model, backend=None) -> int:

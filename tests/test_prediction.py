@@ -201,3 +201,36 @@ class TestTopologyIndependence:
         # "identical" means within a few float32 ulps, not bitwise
         np.testing.assert_allclose(
             results[0], results[1], rtol=1e-6, atol=1e-7)
+
+
+class TestCompactTransfer:
+    """bf16-in / fp16-log-probs-out transfers match the float path."""
+
+    def test_probs_match_and_preserve_quality(self):
+        import jax
+        import jax.numpy as jnp
+
+        from medaka_tpu.models.gru import GRUModel
+
+        model = GRUModel(gru_size=32)
+        params = model.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+
+        class _B:
+            features = rng.random((4, 64, 10)).astype(np.float32)
+            lengths = np.array([64, 50, 64, 30], np.int32)
+            n_valid = 4
+
+        ref = prediction.Predictor(
+            model, params, compute_dtype=jnp.bfloat16,
+            compact_transfer=False).predict_on_batch(_B)
+        cmp_ = prediction.Predictor(
+            model, params, compute_dtype=jnp.bfloat16,
+            compact_transfer=True).predict_on_batch(_B)
+        assert np.max(np.abs(ref - cmp_)) < 1e-3
+        assert np.max(np.abs(cmp_.sum(-1) - 1.0)) < 2e-3
+        # fp16 log space must keep QV precision near p=1 (Q40 here);
+        # a raw fp16 probability would truncate this to ~Q32
+        lp = np.log(np.float32(1 - 1e-4)).astype(np.float16)
+        q = -10 * np.log10(1 - np.exp(np.float32(lp)))
+        assert abs(q - 40.0) < 0.1
