@@ -263,8 +263,14 @@ class Predictor:
             in_shardings=(spec_repl, spec_batch, spec_batch),
             out_shardings=spec_batch)
 
-    def predict_on_batch(self, batch: Batch) -> np.ndarray:
-        """Probabilities (n_valid, T, C) for the real rows of a batch."""
+    def dispatch(self, batch: Batch):
+        """Asynchronously launch a batch; returns an opaque handle.
+
+        JAX dispatch is asynchronous: this returns as soon as the
+        transfer + computation are enqueued, so the caller can overlap
+        device work with host-side featurization and output writing
+        (fetch the previous batch while the next one runs).
+        """
         n_dev = self.mesh.devices.size
         feats, lengths = batch.features, batch.lengths
         pad = (-feats.shape[0]) % n_dev
@@ -277,12 +283,19 @@ class Predictor:
             feats_dev = jnp.asarray(feats, dtype=jnp.bfloat16)
         else:
             feats_dev = jnp.asarray(feats)
-        out = self._forward(
+        return self._forward(
             self.params, feats_dev, jnp.asarray(lengths))
-        out = np.asarray(out[:batch.n_valid]).astype(np.float32)
+
+    def fetch(self, handle, n_valid: int) -> np.ndarray:
+        """Block on a :meth:`dispatch` handle; (n_valid, T, C) probs."""
+        out = np.asarray(handle[:n_valid]).astype(np.float32)
         if self.compact_transfer:
             out = np.exp(out)
         return out
+
+    def predict_on_batch(self, batch: Batch) -> np.ndarray:
+        """Probabilities (n_valid, T, C) for the real rows of a batch."""
+        return self.fetch(self.dispatch(batch), batch.n_valid)
 
 
 def auto_batch_size(model, backend=None) -> int:
@@ -341,23 +354,36 @@ def run_prediction(
         if label_scheme is not None:
             ds.set_meta(label_scheme, "label_scheme")
         ds.set_meta(model.to_dict(), "model_function")
-        for batch in loader:
-            probs = predictor.predict_on_batch(batch)
-            for i, sample in enumerate(batch.samples):
+        def drain(pending_batch, handle):
+            nonlocal n_columns, tlast
+            probs = predictor.fetch(handle, pending_batch.n_valid)
+            for i, sample in enumerate(pending_batch.samples):
                 n = sample.size
                 n_columns += n
                 ds.write_sample(
                     sample.amend(
                         features=None, label_probs=probs[i, :n]))
-            mbases_done = n_columns / 1e6
             t1 = now()
             if t1 - tlast > 10:
                 tlast = t1
                 logger.info(
                     "%.1f%% Done (~%.2f Mbases) in %.1fs",
-                    100 * min(1.0, mbases_done / max(
+                    100 * min(1.0, n_columns / 1e6 / max(
                         1e-9, total_region_mbases)),
-                    mbases_done, t1 - t0)
+                    n_columns / 1e6, t1 - t0)
+
+        # one batch in flight: dispatch N+1 before fetching N so the
+        # device (and the tunnel transfers) overlap featurization and
+        # HDF5 writes
+        pending = None
+        for batch in loader:
+            handle = predictor.dispatch(batch)
+            if pending is not None:
+                drain(*pending)
+            pending = (batch, handle)
+        if pending is not None:
+            drain(*pending)
+        mbases_done = n_columns / 1e6
         ds.write_registry()
 
     t1 = now()
