@@ -1,7 +1,7 @@
 """Benchmark: pileup columns/s/chip for bi-GRU consensus inference.
 
-Measures the jitted medaka_tpu forward (bi-GRU 2x256, bf16, masked scan)
-on the default inference geometry (batch 100 x 10000 columns x 10
+Measures the jitted medaka_tpu forward (bi-GRU 2x256, bf16, fully-fused
+Pallas kernels) on the inference geometry (batch 512 x 10000 columns x 10
 features — reference ``medaka/medaka.py:266-272``) and compares against a
 torch-CPU forward of the identical architecture (the compute the
 reference performs per host when no GPU is present).

@@ -294,7 +294,9 @@ class LatentSpaceLSTM:
                 feats, w, window_strides=(1,),
                 padding="SAME",
                 dimension_numbers=("NWC", "OIW", "NWC"),
-                preferred_element_type=cd)
+                # MXU accumulates f32 natively; bf16 accumulation is
+                # both slower to lower and less accurate
+                preferred_element_type=jnp.float32).astype(cd)
             feats = feats + layer["conv"]["b"].astype(cd)
             feats = jax.nn.relu(feats)
             bn = layer["bn"]

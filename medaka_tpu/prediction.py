@@ -303,8 +303,9 @@ def auto_batch_size(model, backend=None) -> int:
 
     Large batches keep the fused recurrence kernels MXU-bound: on a
     v5e chip B=512 measures ~1.6x the columns/s of B=128 for the
-    counts bi-GRU. CPU backends and read-level (4D feature) models
-    stay at 128 to bound memory.
+    counts bi-GRU. CPU backends stay at 128; read-level (4D feature)
+    models use 128 too (measured 3x the throughput of B=8, and the
+    conv activations at larger batches approach the memory budget).
     """
     if backend is None:
         backend = jax.default_backend()
