@@ -234,3 +234,14 @@ class TestCompactTransfer:
         lp = np.log(np.float32(1 - 1e-4)).astype(np.float16)
         q = -10 * np.log10(1 - np.exp(np.float32(lp)))
         assert abs(q - 40.0) < 0.1
+
+
+def test_auto_batch_size():
+    """Counts models get large batches on accelerators, 128 elsewhere."""
+    from medaka_tpu.models.gru import GRUModel
+    from medaka_tpu.models.latent_space_lstm import LatentSpaceLSTM
+
+    assert prediction.auto_batch_size(GRUModel(), backend="tpu") == 512
+    assert prediction.auto_batch_size(GRUModel(), backend="cpu") == 128
+    assert prediction.auto_batch_size(
+        LatentSpaceLSTM(), backend="tpu") == 128
