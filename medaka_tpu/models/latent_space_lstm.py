@@ -288,7 +288,13 @@ class LatentSpaceLSTM:
         # per-read convs along positions: to (B*R, P, F)
         feats = jnp.transpose(feats, (0, 2, 1, 3)).reshape(
             B * R, P, -1).astype(cd)
+        # NOTE: a fused Pallas conv (K shifted matmuls + folded bn/relu
+        # epilogue) measured *slower* than XLA's conv here (188 ms vs
+        # 172 ms at B=128): the 17 non-8-aligned tap slices cost more
+        # in sublane rotations than the epilogue fusion saves. XLA's
+        # conv is the right tool for this geometry.
         for layer in params["convs"]:
+            bn = layer["bn"]
             w = layer["conv"]["w"].astype(cd)  # (out, in, k)
             feats = jax.lax.conv_general_dilated(
                 feats, w, window_strides=(1,),
@@ -299,7 +305,6 @@ class LatentSpaceLSTM:
                 preferred_element_type=jnp.float32).astype(cd)
             feats = feats + layer["conv"]["b"].astype(cd)
             feats = jax.nn.relu(feats)
-            bn = layer["bn"]
             if training:
                 mean = jnp.mean(feats, axis=(0, 1))
                 var = jnp.var(feats, axis=(0, 1))
@@ -310,18 +315,23 @@ class LatentSpaceLSTM:
                 var.astype(jnp.float32) + 1e-5).astype(cd)
             feats = feats * bn["scale"].astype(cd) + bn["bias"].astype(cd)
 
-        # linear expansion to lstm width
-        feats = (
-            jnp.einsum(
-                "nwc,lc->nwl", feats, params["pre_pool"]["w"].astype(cd),
-                preferred_element_type=cd)
-            + params["pre_pool"]["b"].astype(cd))
-        feats = feats.reshape(B, R, P, self.lstm_size)
-
-        # masked mean-pool over reads
+        # masked mean-pool over reads FIRST, then the linear expansion
+        # to lstm width: the pre_pool layer is affine and the pool is a
+        # masked mean over reads, so they commute exactly —
+        # mean_r(W f_r + b) = W mean_r(f_r) + b. Pooling first applies
+        # the (C -> L) matmul once per column instead of once per read
+        # (R x less compute and HBM traffic; reference applies it
+        # per-read, ``latent_space_lstm.py:168-186``).
+        feats = feats.reshape(B, R, P, -1)
         mask = non_empty.astype(cd)[:, :, None, None]
         denom = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
-        pooled = jnp.sum(feats * mask, axis=1) / denom  # (B, P, L)
+        pooled_c = jnp.sum(feats * mask, axis=1) / denom  # (B, P, C)
+        pooled = (
+            jnp.einsum(
+                "bpc,lc->bpl", pooled_c,
+                params["pre_pool"]["w"].astype(cd),
+                preferred_element_type=cd)
+            + params["pre_pool"]["b"].astype(cd))  # (B, P, L)
 
         fused = (compute_dtype == jnp.bfloat16
                  and jax.default_backend() not in ("cpu",))
