@@ -14,7 +14,7 @@ mirroring the reference (mapq/haplotype/dtype channels ignored).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ state is carried in f32. Gate order (r, z, n) matches torch.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

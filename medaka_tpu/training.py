@@ -24,7 +24,7 @@ import os
 import threading
 import queue as queue_mod
 from timeit import default_timer as now
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
