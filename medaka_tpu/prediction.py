@@ -420,6 +420,12 @@ def predict(
         raise ValueError(
             "Provide model_path or explicit model/params/feature_encoder.")
     model.check_feature_encoder_compatibility(feature_encoder)
+    if getattr(model, "input_kind", "counts") == "reads" \
+            and chunk_len > 2000:
+        logger.warning(
+            "chunk_len=%d with a read-level model implies very large "
+            "(batch, %d, reads, features) device tensors; consider "
+            "--chunk_len 1000.", chunk_len, chunk_len)
 
     if regions is None:
         from medaka_tpu.io.bam import BamReader
