@@ -145,17 +145,13 @@ class GRUModel:
             fused = (
                 compute_dtype == jnp.bfloat16
                 and jax.default_backend() not in ("cpu",))
-        if fused and training and self.bidirectional:
-            # differentiable kernel pair (custom VJP)
+        if fused and training:
+            # differentiable kernel pairs (custom VJP)
             from medaka_tpu.ops.pallas_gru import bigru_stack_trainable
             feats = bigru_stack_trainable(
                 params["gru"], x, lengths=lengths,
+                bidirectional=self.bidirectional,
                 compute_dtype=compute_dtype)
-        elif fused and training:
-            # no differentiable unidirectional kernel yet
-            feats = bigru_stack(
-                params["gru"], x, bidirectional=self.bidirectional,
-                compute_dtype=compute_dtype, lengths=lengths)
         elif fused and self.bidirectional:
             from medaka_tpu.ops.pallas_gru import bigru_stack_fullfused
             feats = bigru_stack_fullfused(

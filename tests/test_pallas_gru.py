@@ -193,6 +193,37 @@ class TestTrainableKernel:
             np.isfinite(np.asarray(leaf)).all()
             for leaf in jax.tree_util.tree_leaves(g))
 
+    def test_unidirectional_gradients(self):
+        from medaka_tpu.ops.pallas_gru import bigru_stack_trainable
+        from medaka_tpu.ops.rnn import gru_layer_params, gru_scan
+        _, x, lengths = self._setup()
+        uni = [{"fwd": gru_layer_params(jax.random.PRNGKey(7), 10, 8)},
+               {"fwd": gru_layer_params(jax.random.PRNGKey(8), 8, 8)}]
+
+        def loss_kernel(ls):
+            out = bigru_stack_trainable(
+                ls, x, lengths=lengths, bidirectional=False,
+                interpret=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_scan(ls):
+            out = x
+            for layer in ls:
+                out = gru_scan(
+                    layer["fwd"], out, compute_dtype=jnp.bfloat16,
+                    lengths=lengths)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gk = jax.grad(loss_kernel)(uni)
+        gs = jax.grad(loss_scan)(uni)
+        for a, b in zip(jax.tree_util.tree_leaves(gk),
+                        jax.tree_util.tree_leaves(gs)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(b).max(), 1e-3)
+            assert np.abs(a - b).max() / scale < 0.05
+
+
 
 class TestTrainableLSTM:
     """LSTM custom-VJP kernel pair vs XLA autodiff of the masked scan."""
