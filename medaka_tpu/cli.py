@@ -125,6 +125,18 @@ def main(argv=None):
         "--profile_dir", default=None,
         help="Capture a jax.profiler trace of the run to this directory "
              "(view with tensorboard/xprof).")
+    tg = p.add_argument_group(
+        "read filters",
+        "Override the model's feature-encoder alignment filters.")
+    tg.add_argument("--RG", default=None, help="Read group filter.")
+    tg.add_argument("--min_mapq", type=int, default=None,
+                    help="Minimum mapping quality.")
+    tg.add_argument("--tag_name", default=None,
+                    help="Two-letter tag name to filter by.")
+    tg.add_argument("--tag_value", type=int, default=None,
+                    help="Value of tag.")
+    tg.add_argument("--tag_keep_missing", action="store_true",
+                    help="Keep alignments missing the tag.")
     mh = p.add_argument_group("multi-host")
     mh.add_argument("--coordinator", default=None,
                     help="host:port of process 0 (jax.distributed).")
@@ -593,12 +605,21 @@ def _cmd_inference(args):
         import jax
         ctx = jax.profiler.trace(args.profile_dir)
     with ctx:
+        overrides = {
+            k: v for k, v in (
+                ("read_group", args.RG),
+                ("min_mapq", args.min_mapq),
+                ("tag_name", args.tag_name),
+                ("tag_value", args.tag_value),
+                ("tag_keep_missing",
+                 args.tag_keep_missing or None)) if v is not None}
         prediction.predict(
             args.bam, args.output, model_path=args.model,
             regions=regions, batch_size=args.batch_size,
             chunk_len=args.chunk_len, chunk_overlap=args.chunk_ovlp,
             bam_workers=args.bam_workers, bam_chunk=args.bam_chunk,
-            full_precision=args.full_precision)
+            full_precision=args.full_precision,
+            encoder_overrides=overrides or None)
     return 0
 
 

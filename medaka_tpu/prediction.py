@@ -25,7 +25,7 @@ import dataclasses
 import queue
 import threading
 from timeit import default_timer as now
-from typing import Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -402,11 +402,16 @@ def predict(
         batch_size: Optional[int] = None, chunk_len: int = 10000,
         chunk_overlap: int = 1000, bam_workers: int = 2,
         bam_chunk: int = 1_000_000, full_precision: bool = False,
-        mesh=None):
+        mesh=None, encoder_overrides: Optional[Dict] = None):
     """Top-level inference entry (reference ``prediction.py:84-222``).
 
     Either ``model_path`` (native tarball or reference ``.tar.gz``) or an
     explicit (model, params, feature_encoder, label_scheme) must be given.
+
+    :param encoder_overrides: attribute overrides applied to the
+        feature encoder (read filters: ``read_group``, ``min_mapq``,
+        ``tag_name``, ``tag_value``, ``tag_keep_missing`` — the
+        reference's ``--RG``/``--tag_*`` flags).
     """
     logger = common.get_named_logger("Predict")
     if model_path is not None:
@@ -416,6 +421,14 @@ def predict(
         params = bundle.params
         feature_encoder = feature_encoder or bundle.feature_encoder
         label_scheme = label_scheme or bundle.label_scheme
+    if encoder_overrides and feature_encoder is not None:
+        for key, value in encoder_overrides.items():
+            if not hasattr(feature_encoder, key):
+                raise ValueError(
+                    "Feature encoder {} has no filter attribute "
+                    "{!r}.".format(type(feature_encoder).__name__, key))
+            setattr(feature_encoder, key, value)
+            logger.info("Encoder override: %s=%r", key, value)
     if model is None or params is None or feature_encoder is None:
         raise ValueError(
             "Provide model_path or explicit model/params/feature_encoder.")

@@ -245,3 +245,25 @@ def test_auto_batch_size():
     assert prediction.auto_batch_size(GRUModel(), backend="cpu") == 128
     assert prediction.auto_batch_size(
         LatentSpaceLSTM(), backend="tpu") == 128
+
+
+def test_encoder_overrides(tmp_path, single_read_bam=None):
+    """predict() applies read-filter overrides to the loaded encoder."""
+    from medaka_tpu.features import CountsFeatureEncoder
+    from medaka_tpu.models.majority import MajorityVoteModel
+    from tests.mock_data import create_simple_bam
+
+    bam = create_simple_bam(str(tmp_path / "reads.bam"))
+    enc = CountsFeatureEncoder()
+    # mapq filter that excludes every mock read -> no samples written
+    n_samples, n_cols = prediction.predict(
+        bam, str(tmp_path / "probs.hdf5"),
+        model=MajorityVoteModel(), params={}, feature_encoder=enc,
+        encoder_overrides={"min_mapq": 255})
+    assert enc.min_mapq == 255
+    assert n_samples == 0
+    with pytest.raises(ValueError, match="no filter attribute"):
+        prediction.predict(
+            bam, str(tmp_path / "probs2.hdf5"),
+            model=MajorityVoteModel(), params={}, feature_encoder=enc,
+            encoder_overrides={"bogus": 1})
