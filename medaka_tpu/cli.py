@@ -122,6 +122,12 @@ def main(argv=None):
         "--full_precision", action="store_true",
         help="Run float32 instead of bfloat16.")
     p.add_argument(
+        "--save_features", action="store_true",
+        help="Save features with consensus probabilities.")
+    p.add_argument(
+        "--check_output", action="store_true",
+        help="Verify integrity of the output file after inference.")
+    p.add_argument(
         "--profile_dir", default=None,
         help="Capture a jax.profiler trace of the run to this directory "
              "(view with tensorboard/xprof).")
@@ -619,7 +625,12 @@ def _cmd_inference(args):
             chunk_len=args.chunk_len, chunk_overlap=args.chunk_ovlp,
             bam_workers=args.bam_workers, bam_chunk=args.bam_chunk,
             full_precision=args.full_precision,
-            encoder_overrides=overrides or None)
+            encoder_overrides=overrides or None,
+            save_features=args.save_features)
+    if args.check_output:
+        from medaka_tpu import datastore as ds_mod
+        with ds_mod.DataStore(args.output, "a"):
+            pass
     return 0
 
 

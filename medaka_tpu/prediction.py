@@ -321,7 +321,8 @@ def run_prediction(
         batch_size: Optional[int] = None,
         chunk_len: int = 10000, chunk_overlap: int = 1000,
         bam_workers: int = 2, compute_dtype=jnp.bfloat16,
-        mesh=None, full_precision: bool = False):
+        mesh=None, full_precision: bool = False,
+        save_features: bool = False):
     """Run inference and write probability samples to ``output``.
 
     Reference: ``medaka/prediction.py:14-81``.
@@ -363,7 +364,9 @@ def run_prediction(
                 n_columns += n
                 ds.write_sample(
                     sample.amend(
-                        features=None, label_probs=probs[i, :n]))
+                        features=sample.features if save_features
+                        else None,
+                        label_probs=probs[i, :n]))
             t1 = now()
             if t1 - tlast > 10:
                 tlast = t1
@@ -402,7 +405,8 @@ def predict(
         batch_size: Optional[int] = None, chunk_len: int = 10000,
         chunk_overlap: int = 1000, bam_workers: int = 2,
         bam_chunk: int = 1_000_000, full_precision: bool = False,
-        mesh=None, encoder_overrides: Optional[Dict] = None):
+        mesh=None, encoder_overrides: Optional[Dict] = None,
+        save_features: bool = False):
     """Top-level inference entry (reference ``prediction.py:84-222``).
 
     Either ``model_path`` (native tarball or reference ``.tar.gz``) or an
@@ -463,7 +467,8 @@ def predict(
         output, bam, work, model, params, feature_encoder,
         label_scheme=label_scheme, batch_size=batch_size,
         chunk_len=chunk_len, chunk_overlap=chunk_overlap,
-        bam_workers=bam_workers, full_precision=full_precision, mesh=mesh)
+        bam_workers=bam_workers, full_precision=full_precision,
+        mesh=mesh, save_features=save_features)
 
 
 def predict_from_features(

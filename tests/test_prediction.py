@@ -267,3 +267,22 @@ def test_encoder_overrides(tmp_path, single_read_bam=None):
             bam, str(tmp_path / "probs2.hdf5"),
             model=MajorityVoteModel(), params={}, feature_encoder=enc,
             encoder_overrides={"bogus": 1})
+
+
+def test_save_features(tmp_path):
+    """--save_features keeps the feature matrices in the output HDF5."""
+    from medaka_tpu.features import CountsFeatureEncoder
+    from medaka_tpu.models.majority import MajorityVoteModel
+    from tests.mock_data import create_simple_bam
+
+    bam = create_simple_bam(str(tmp_path / "reads.bam"))
+    out = str(tmp_path / "probs.hdf5")
+    prediction.predict(
+        bam, out, model=MajorityVoteModel(), params={},
+        feature_encoder=CountsFeatureEncoder(), save_features=True)
+    import h5py
+    with h5py.File(out) as f:
+        names = list(f["samples/data"])
+        assert names
+        grp = f["samples/data"][names[0]]
+        assert "features" in grp and "label_probs" in grp
