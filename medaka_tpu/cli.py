@@ -278,6 +278,9 @@ def main(argv=None):
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--max_valid_samples", type=int, default=None)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument(
+        "--validate_only", action="store_true",
+        help="Evaluate --model on the validation split; no training.")
     p.set_defaults(func=_cmd_train)
 
     # --- consensus (full pipeline) --------------------------------------

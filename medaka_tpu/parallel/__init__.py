@@ -131,17 +131,20 @@ def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16):
         out_shardings=batch_sharding(mesh))
 
 
-def cross_entropy_loss(model, params, batch, compute_dtype=None):
+def cross_entropy_loss(model, params, batch, compute_dtype=None,
+                       training=True):
     """Masked cross-entropy over a (features, labels, mask) batch dict.
 
     ``labels`` are int class ids; ``mask`` (B, T) excludes padding.
     Returns (loss, (n_correct, n_total)) for accuracy accounting mirroring
     the reference metrics (``medaka/models.py:315-345``).
+    ``training=False`` for evaluation (batch-norm running statistics,
+    no need for differentiable kernel paths).
     """
     logits = model.apply(
         params, batch["features"], normalise=False,
         compute_dtype=compute_dtype,
-        lengths=batch.get("lengths"), training=True)
+        lengths=batch.get("lengths"), training=training)
     labels = batch["labels"]
     mask = batch["mask"].astype(logits.dtype)
     logp = jax.nn.log_softmax(logits, axis=-1)

@@ -362,7 +362,7 @@ def run_training(
 
     eval_fn = jax.jit(
         lambda p, b: parallel.cross_entropy_loss(
-            model, p, b, compute_dtype=compute_dtype))
+            model, p, b, compute_dtype=compute_dtype, training=False))
 
     csv_logger = CSVLogger(os.path.join(train_name, "training.csv"))
     best = {"val_loss": np.inf, "val_acc": -np.inf}
@@ -400,6 +400,29 @@ def run_training(
     return model, jax.tree_util.tree_map(np.asarray, params)
 
 
+def run_validation(batcher: TrainBatcher, model_path: str,
+                   compute_dtype=jnp.bfloat16):
+    """Evaluate a checkpoint on the batcher's validation split.
+
+    Reference: ``medaka train --validate_only``
+    (``medaka/training.py:38-46``). Returns (loss, accuracy).
+    """
+    logger = common.get_named_logger("Training")
+    bundle = models_mod.open_model(models_mod.resolve_model(model_path))
+    model, params = bundle.model, bundle.params
+    if not batcher.valid_samples:
+        logger.info(
+            "No validation split; evaluating on all provided samples.")
+        batcher.valid_samples = batcher.train_samples
+    eval_fn = jax.jit(
+        lambda p, b: parallel.cross_entropy_loss(
+            model, p, b, compute_dtype=compute_dtype, training=False))
+    _, _, loss, acc = run_epoch(
+        None, params, None, batcher, "validation", 0, logger,
+        is_training=False, eval_fn=eval_fn)
+    return loss, acc
+
+
 def train(args):
     """CLI entry point for `medaka_tpu train`."""
     batcher = TrainBatcher(
@@ -407,6 +430,11 @@ def train(args):
         or args.validation_split, seed=args.seed,
         batch_size=args.batch_size, max_samples=args.max_samples,
         max_valid_samples=args.max_valid_samples)
+    if getattr(args, "validate_only", False):
+        if not args.model:
+            raise ValueError("--validate_only requires --model.")
+        run_validation(batcher, args.model)
+        return
     model_dict = None
     initial_params = None
     if getattr(args, "model", None):
