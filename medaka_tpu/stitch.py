@@ -208,6 +208,12 @@ def stitch_to_fasta(
             else draft.get_reference_length(region.ref_name)
         to_process.append(common.Region(region.ref_name, start, end))
 
+    if not to_process:
+        logger.warning(
+            "No overlap between draft contigs (%d) and probability "
+            "contigs (%d) — output will be empty. Did you pass the "
+            "draft that was polished?",
+            len(req_regions), len(indexed_refs))
     work = list(itertools.chain.from_iterable(
         r.split(MAX_REGION_SIZE, overlap=0, fixed_size=False)
         for r in to_process))
