@@ -122,6 +122,9 @@ def main(argv=None):
         "--full_precision", action="store_true",
         help="Run float32 instead of bfloat16.")
     p.add_argument(
+        "--cpu", action="store_true",
+        help="Execute the model on the CPU backend.")
+    p.add_argument(
         "--save_features", action="store_true",
         help="Save features with consensus probabilities.")
     p.add_argument(
@@ -596,6 +599,15 @@ def main(argv=None):
 
 def _cmd_inference(args):
     import contextlib
+
+    if getattr(args, "cpu", False):
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:
+            raise RuntimeError(
+                "--cpu must be the first JAX-touching option; a device "
+                "backend is already initialised: {}".format(e))
 
     from medaka_tpu import parallel, prediction
     regions = _regions_arg(args.regions) if args.regions else None
