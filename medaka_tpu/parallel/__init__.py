@@ -216,6 +216,16 @@ def initialize_distributed(coordinator: Optional[str] = None,
     if num_processes is None or num_processes <= 1:
         logger.debug("Single-process run; skipping jax.distributed init.")
         return
+    if coordinator is None:
+        # coordinator-less scale-out: each process is an independent
+        # job taking a deterministic region share (shard_regions) and
+        # writing its own output — the reference's per-contig scale-out
+        # pattern. No cross-process collectives, so no jax.distributed.
+        logger.info(
+            "Process %d/%d running coordinator-less (region striding "
+            "only; outputs merge via DataIndex).",
+            process_id, num_processes)
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes, process_id=process_id)

@@ -90,3 +90,15 @@ def test_topology_independent_training(setup):
             np.asarray(p["gru"][0]["fwd"]["w_ih"]))
     np.testing.assert_allclose(results[0], results[1], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(results[0], results[2], rtol=1e-5, atol=1e-6)
+
+
+def test_coordinatorless_multi_process_init():
+    """--num_processes without --coordinator must not touch
+    jax.distributed (region striding needs no collectives); calling it
+    after backend init would raise otherwise."""
+    import jax
+
+    from medaka_tpu import parallel
+
+    jax.devices()  # ensure the backend is initialised
+    parallel.initialize_distributed(None, 2, 1)  # must be a no-op
