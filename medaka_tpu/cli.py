@@ -383,6 +383,15 @@ def main(argv=None):
     p.add_argument("--chunk_ovlp", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--qualities", action="store_true")
+    p.add_argument(
+        "--method", choices=["spoa"], default="spoa",
+        help="Pre-polish consensus method (built-in POA).")
+    p.add_argument(
+        "--save_features", action="store_true",
+        help="Save features with consensus probabilities.")
+    p.add_argument(
+        "--check_output", action="store_true",
+        help="Verify integrity of the probabilities file.")
     p.set_defaults(func=_cmd_smolecule)
 
     # --- tandem ----------------------------------------------------------
@@ -852,7 +861,9 @@ def _cmd_smolecule(args):
         args.fasta, args.output, model_path=args.model,
         threads=args.threads, depth=args.depth, length=args.length,
         chunk_len=args.chunk_len, chunk_ovlp=args.chunk_ovlp,
-        batch_size=args.batch_size, qualities=args.qualities)
+        batch_size=args.batch_size, qualities=args.qualities,
+        save_features=args.save_features,
+        check_output=args.check_output)
     return 0
 
 

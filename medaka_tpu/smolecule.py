@@ -249,7 +249,8 @@ def smolecule(
         feature_encoder=None, label_scheme=None, model_path=None,
         threads: int = 1, depth: int = 3, length: int = 400,
         chunk_len: int = 1000, chunk_ovlp: int = 500,
-        batch_size: int = 32, qualities: bool = False):
+        batch_size: int = 32, qualities: bool = False,
+        save_features: bool = False, check_output: bool = False):
     """Run the full smolecule workflow (reference
     ``smolecule.py:432-516``).
 
@@ -300,7 +301,12 @@ def smolecule(
         bam_file, probs_file, model=model, params=params,
         model_path=model_path, feature_encoder=feature_encoder,
         label_scheme=label_scheme, chunk_len=chunk_len,
-        chunk_overlap=chunk_ovlp, batch_size=batch_size)
+        chunk_overlap=chunk_ovlp, batch_size=batch_size,
+        save_features=save_features)
+    if check_output:
+        from medaka_tpu import datastore as ds_mod
+        with ds_mod.DataStore(probs_file, "a"):
+            pass
     t3 = now()
 
     out_ext = "fastq" if qualities else "fasta"
