@@ -78,3 +78,21 @@ class TestOnReferenceData:
             bundle.params,
             np.zeros((1, 32, 10), np.float32))
         assert probs.shape == (1, 32, 5)
+
+
+def test_training_reproducible(tmp_path):
+    """Same seed -> bitwise-identical training curve."""
+    losses = []
+    for run in range(2):
+        b = training.TrainBatcher(
+            [REF_TRAIN], validation=0.2, seed=3, batch_size=16,
+            max_samples=32)
+        out = str(tmp_path / "run{}".format(run))
+        training.run_training(
+            out, b, epochs=1, seed=3,
+            model_dict={"type": "GRUModel",
+                        "kwargs": {"gru_size": 8}})
+        with open(os.path.join(out, "training.csv")) as fh:
+            losses.append(
+                [r.split(",")[3] for r in fh.read().splitlines()[1:]])
+    assert losses[0] == losses[1]
