@@ -126,6 +126,13 @@ def _safe_extract_names(tar):
 
 def load_model(path: str) -> ModelBundle:
     """Load a model bundle; accepts our format or reference medaka tgz."""
+    with open(path, "rb") as fh:
+        head = fh.read(40)
+    if head.startswith(b"version https://git-lfs"):
+        raise ValueError(
+            "{} is a git-lfs pointer stub, not the model itself; "
+            "fetch the real file with `git lfs pull` (or download the "
+            "model tarball) first.".format(path))
     with tarfile.open(path, "r:*") as tar:
         names = [m.name for m in _safe_extract_names(tar)]
         if any(n.endswith("config.json") for n in names):
