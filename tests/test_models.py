@@ -242,7 +242,8 @@ class TestExportAndScrape:
                 tar.extractfile("model/config.toml").read().decode())
             assert config["config_version"] == 3
             assert config["model"]["type"] == "GRUModel"
-            tar.extract("model/weights.pt", tmp_path)
+            tar.extract(
+                "model/weights.pt", tmp_path, filter="data")
         state = torch.load(
             str(tmp_path / "model" / "weights.pt"), weights_only=True)
         model2 = GRUModel(gru_size=12)
