@@ -74,7 +74,12 @@ def test_inference_sequence_vcf_roundtrip(workspace, tmp_path):
         "inference", workspace["bam"], probs,
         "--model", workspace["model"],
         "--chunk_len", "400", "--chunk_ovlp", "100",
-        "--batch_size", "4", "--quiet"]) == 0
+        "--batch_size", "4", "--quiet",
+        "--save_features", "--check_output"]) == 0
+    import h5py
+    with h5py.File(probs) as fh:
+        grp = fh["samples/data"][list(fh["samples/data"])[0]]
+        assert "features" in grp
     cons = str(tmp_path / "cons.fasta")
     assert run_cli([
         "sequence", probs, workspace["draft"], cons, "--quiet"]) == 0
