@@ -92,6 +92,10 @@ def test_inference_sequence_vcf_roundtrip(workspace, tmp_path):
     bed = str(tmp_path / "out.bed")
     assert run_cli(["tools", "hdf_to_bed", probs, bed]) == 0
     assert open(bed).read().startswith("ref\t0\t1200")
+    snp_vcf = str(tmp_path / "snp.vcf")
+    assert run_cli([
+        "snp", probs, workspace["draft"], snp_vcf, "--quiet"]) == 0
+    assert open(snp_vcf).read().startswith("##fileformat")
 
 
 def test_features_and_train(workspace, tmp_path):
