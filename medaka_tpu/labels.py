@@ -430,66 +430,59 @@ class HaploidLabelScheme(BaseLabelScheme):
                      return_all=False):
         """Threshold-based diploid-from-haploid SNP calling.
 
-        Mirrors ``labels.py:773-867``.
+        Per locus the two highest-probability classes are inspected: a
+        second call above ``secondary_threshold`` (and neither call a
+        deletion) produces a heterozygous record; otherwise a non-ref,
+        non-deletion top call produces a homozygous-alt record. Anything
+        else is emitted as 0/0 only when ``return_all`` (gVCF mode).
+        Behavioural parity target: reference ``labels.py:773-867``.
         """
+        probs = np.asarray(outputs, dtype=float)
+        if probs.size == 0:
+            return []
+        # per-locus class ranking, vectorised: [:, -1] best, [:, -2] runner-up
+        ranked = np.argsort(probs, axis=1)
+        top_idx, second_idx = ranked[:, -1], ranked[:, -2]
+        rows = np.arange(len(probs))
+        top_p, second_p = probs[rows, top_idx], probs[rows, second_idx]
+
+        def make_record(pos, ref_symbol, alt, gt, err, info):
+            q = self._phred(err)
+            return vcf.Variant(
+                ref_name, pos, ref_symbol, alt, filt="PASS", info=info,
+                qual=self._pfmt(q),
+                genotype_data={"GT": gt, "GQ": self._pfmt(q, 0)})
+
         results = []
-        for network_output, pos, ref_symbol in zip(
-                outputs, positions, ref_symbols):
-            order = np.argsort(network_output)
-            secondary_call, primary_call = (
-                self._decoding[p][0] for p in order[-2:])
-            secondary_prob, primary_prob = np.sort(network_output)[-2:]
-            ref_prob = network_output[self._encoding[(ref_symbol,)]]
+        for i, (pos, ref_symbol) in enumerate(zip(positions, ref_symbols)):
+            call = self._decoding[top_idx[i]][0]
+            runner_up = self._decoding[second_idx[i]][0]
+            p1, p2 = top_p[i], second_p[i]
 
             info = {}
             if self.verbose:
+                ref_p = probs[i, self._encoding[(ref_symbol,)]]
                 info = {
-                    "ref_prob": self._pfmt(ref_prob),
-                    "primary_prob": self._pfmt(primary_prob),
-                    "primary_call": primary_call,
-                    "secondary_prob": self._pfmt(secondary_prob),
-                    "secondary_call": secondary_call}
+                    "ref_prob": self._pfmt(ref_p),
+                    "primary_prob": self._pfmt(p1),
+                    "primary_call": call,
+                    "secondary_prob": self._pfmt(p2),
+                    "secondary_call": runner_up}
 
-            primary_is_reference = primary_call == ref_symbol
-            primary_is_deletion = primary_call == "*"
-            secondary_is_deletion = secondary_call == "*"
-            secondary_exceeds = \
-                secondary_prob >= self.secondary_threshold
-
-            if (not primary_is_reference and not primary_is_deletion and
-                    not secondary_exceeds):
-                qual = self._phred(1 - primary_prob)
-                results.append(vcf.Variant(
-                    ref_name, pos, ref_symbol, primary_call, filt="PASS",
-                    info=info, qual=self._pfmt(qual),
-                    genotype_data={
-                        "GT": "1/1", "GQ": self._pfmt(qual, 0)}))
-            elif (not primary_is_deletion and not secondary_is_deletion and
-                    secondary_exceeds):
-                err = 1 - (primary_prob + secondary_prob)
-                qual = self._phred(err)
-                alt = [c for c in (primary_call, secondary_call)
-                       if c != ref_symbol]
-                gt = "0/1" if len(alt) == 1 else "1/2"
-                results.append(vcf.Variant(
-                    ref_name, pos, ref_symbol, alt, filt="PASS", info=info,
-                    qual=self._pfmt(qual),
-                    genotype_data={"GT": gt, "GQ": self._pfmt(qual, 0)}))
-            elif (not primary_is_reference and not primary_is_deletion and
-                    secondary_is_deletion and secondary_exceeds):
-                qual = self._phred(1 - primary_prob)
-                results.append(vcf.Variant(
-                    ref_name, pos, ref_symbol, primary_call, filt="PASS",
-                    info=info, qual=self._pfmt(qual),
-                    genotype_data={
-                        "GT": "1/1", "GQ": self._pfmt(qual, 0)}))
+            heterozygous = (
+                p2 >= self.secondary_threshold
+                and "*" not in (call, runner_up))
+            if heterozygous:
+                alt = [c for c in (call, runner_up) if c != ref_symbol]
+                gt = "0/1" if ref_symbol in (call, runner_up) else "1/2"
+                results.append(make_record(
+                    pos, ref_symbol, alt, gt, 1.0 - (p1 + p2), info))
+            elif call not in (ref_symbol, "*"):
+                results.append(make_record(
+                    pos, ref_symbol, call, "1/1", 1.0 - p1, info))
             elif return_all:
-                qual = self._phred(1 - primary_prob)
-                results.append(vcf.Variant(
-                    ref_name, pos, ref_symbol, alt=".", filt="PASS",
-                    info=info, qual=self._pfmt(qual),
-                    genotype_data={
-                        "GT": "0/0", "GQ": self._pfmt(qual, 0)}))
+                results.append(make_record(
+                    pos, ref_symbol, ".", "0/0", 1.0 - p1, info))
         return results
 
     def decode_variants(self, sample, ref_seq, ambig_ref=False,

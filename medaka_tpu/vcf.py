@@ -135,34 +135,40 @@ class Variant:
 
     @staticmethod
     def _sort_genotype_data(gd):
-        return GenotypeData(
-            gd['GT'], **{k: v for k, v in gd.items() if k != 'GT'})
+        rest = dict(gd)
+        gt = rest.pop('GT')
+        return GenotypeData(gt, **rest)
+
+    def _record_fields(self):
+        return (self.chrom, self.pos, self.ident, self.ref, self.alt,
+                self.qual, self.filt, self.info, self.genotype_data)
 
     def __eq__(self, other):
-        for field in ('chrom', 'pos', 'ident', 'ref', 'alt', 'qual', 'filt',
-                      'info', 'genotype_data'):
-            if getattr(self, field) != getattr(other, field):
-                return False
-        return True
+        if not isinstance(other, Variant):
+            return NotImplemented
+        return self._record_fields() == other._record_fields()
 
     def __ne__(self, other):
-        return not self.__eq__(other)
+        eq = self.__eq__(other)
+        return eq if eq is NotImplemented else not eq
 
     def __repr__(self):
-        return (
-            "Variant('{}', {}, '{}', alt={}, ident={}, qual={}, filt={}, "
-            "info='{}', genotype_data='{}')".format(
-                self.chrom, self.pos, self.ref, self.alt, self.ident,
-                self.qual, self.filt, self.info_string,
-                ';'.join('{}={}'.format(*d)
-                         for d in self.genotype_data.items())))
+        gd = ';'.join(
+            '{}={}'.format(k, v) for k, v in self.genotype_data.items())
+        parts = [
+            repr(self.chrom), str(self.pos), repr(self.ref),
+            'alt={}'.format(self.alt), 'ident={}'.format(self.ident),
+            'qual={}'.format(self.qual), 'filt={}'.format(self.filt),
+            "info='{}'".format(self.info_string),
+            "genotype_data='{}'".format(gd)]
+        return 'Variant({})'.format(', '.join(parts))
 
     # --- derived fields ---
 
     @property
     def genotype_keys(self):
         """FORMAT column."""
-        return ':'.join(self.genotype_data)
+        return ':'.join(str(k) for k in self.genotype_data)
 
     @property
     def genotype_values(self):
@@ -209,10 +215,9 @@ class Variant:
                    filt=filt, info=info, genotype_data=gt)
 
     def add_tag(self, tag, value=None):
-        """Set an INFO tag."""
+        """Set an INFO tag, dropping any '.' placeholder entry."""
+        self.info.pop('.', None)
         self.info[tag] = value
-        if len(self.info) > 0:
-            self.info.pop('.', None)
 
     def get_tag(self, tag):
         """Read an INFO tag."""
@@ -544,9 +549,30 @@ def vcf2tsv(args):
 # ---------------------------------------------------------------------------
 
 
+def _splice_edits(ref, origin, edits):
+    """Apply (pos, ref, alt) edits to ``ref`` (coordinates of ``origin``).
+
+    Edits are applied right-to-left so earlier coordinates stay valid.
+    """
+    out = ref
+    for pos, vref, valt in sorted(edits, reverse=True):
+        lo = pos - origin
+        found = ref[lo:lo + len(vref)]
+        if found != vref:
+            raise ValueError(
+                'Edit ref allele {!r} disagrees with reference {!r} '
+                'near offset {}'.format(vref, found, pos))
+        out = out[:lo] + valt + out[lo + len(vref):]
+    return out
+
+
 def _merge_variants(interval, hap_of, ref_seq, detailed_info=False,
                     discard_phase=False):
-    """Merge the variants covering one merged interval into one record.
+    """Fuse the haploid variants covering one merged interval.
+
+    Builds each haplotype's full alternative sequence over the interval,
+    then emits a single diploid record with per-haplotype quality info.
+    Behavioural parity target: reference ``vcf.py:688-790``.
 
     :param interval: (begin, end, [variants]) tuple.
     :param hap_of: mapping id(variant) -> haplotype number (1 or 2).
@@ -555,97 +581,95 @@ def _merge_variants(interval, hap_of, ref_seq, detailed_info=False,
     begin, end, group = interval
     if end > len(ref_seq):
         raise ValueError(
-            'A variant occurs after the end of the reference sequence.')
+            'Merge interval extends beyond the reference sequence end.')
     ref = ref_seq[begin:end]
-    mixed_vars = collections.defaultdict(list)
+
+    by_hap = collections.defaultdict(list)
     for v in group:
-        mixed_vars[str(hap_of[id(v)])].append(v)
-    alts_dict = collections.OrderedDict()
-    haps_to_skip = set()
-    for hap, hap_vars in sorted(mixed_vars.items()):
-        alt = list(ref)
-        for v in hap_vars:
-            if len(v.alt) > 1:
-                raise ValueError(
-                    'Only single-allele variants from two vcfs can be '
-                    'merged')
-            start_i = v.pos - begin
-            end_i = start_i + len(v.ref)
-            if v.ref != ref[start_i:end_i]:
-                raise ValueError(
-                    'Variant ref {} does not match ref {} at {}:{}'.format(
-                        v.ref, ref[start_i:end_i], v.chrom, v.pos))
-            alt[start_i:end_i] = [''] * len(v.ref)
-            alt[start_i] = v.alt[0]
-        if ''.join(alt) == ref:
-            # nearby variants cancelled each other out
-            haps_to_skip.add(hap)
-            continue
-        alts_dict[hap] = ''.join(alt)
-    for hap in haps_to_skip:
-        del mixed_vars[hap]
+        if len(v.alt) != 1:
+            raise ValueError(
+                'Haploid merge inputs must be single-allele records; got '
+                '{} alts at {}:{}'.format(len(v.alt), v.chrom, v.pos))
+        by_hap[str(hap_of[id(v)])].append(v)
+
+    # Per-haplotype spliced sequence; haplotypes whose edits cancel back
+    # to the reference are treated as absent from here on.
+    hap_seqs = {}
+    for hap in sorted(by_hap):
+        spliced = _splice_edits(
+            ref, begin, [(v.pos, v.ref, v.alt[0]) for v in by_hap[hap]])
+        if spliced == ref:
+            del by_hap[hap]
+        else:
+            hap_seqs[hap] = spliced
 
     info = {}
-    qual = 0.0
-    for hap, hap_vars in sorted(mixed_vars.items()):
-        info['q{}'.format(hap)] = sum(
-            float(v.qual) if v.qual != '.' else 0.0
-            for v in hap_vars) / len(hap_vars)
-        info['pos{}'.format(hap)] = ','.join(
-            str(v.pos + 1) for v in hap_vars)
+    hap_quals = []
+    for hap in sorted(by_hap):
+        hap_vars = by_hap[hap]
+        quals = [0.0 if v.qual == '.' else float(v.qual) for v in hap_vars]
+        mean_q = sum(quals) / len(quals)
+        hap_quals.append(mean_q)
+        info['q' + hap] = mean_q
+        info['pos' + hap] = ','.join(str(v.pos + 1) for v in hap_vars)
         if detailed_info:
-            info['ref{}'.format(hap)] = ','.join(v.ref for v in hap_vars)
-            info['alt{}'.format(hap)] = ','.join(
-                v.alt[0] for v in hap_vars)
-        qual += info['q{}'.format(hap)] / len(mixed_vars)
+            info['ref' + hap] = ','.join(v.ref for v in hap_vars)
+            info['alt' + hap] = ','.join(v.alt[0] for v in hap_vars)
+    qual = sum(hap_quals) / len(hap_quals) if hap_quals else 0.0
 
-    haps = list(alts_dict.keys())
-    alts = list(alts_dict.values())
-    gt_sep = '/' if discard_phase else '|'
-    if len(alts) == 2:
-        if alts[0] == alts[1]:  # homozygous
-            gt = gt_sep.join(len(haps) * '1')
-            alts = alts[:1]
-        else:
-            gt = gt_sep.join(map(str, haps))
+    surviving = sorted(hap_seqs)
+    alts = [hap_seqs[h] for h in surviving]
+    sep = '/' if discard_phase else '|'
+    if len(alts) == 2 and alts[0] == alts[1]:
+        # both haplotypes carry the same sequence: homozygous alt
+        alts = alts[:1]
+        gt = sep.join(['1'] * len(surviving))
+    elif len(alts) == 2:
+        gt = sep.join(surviving)
     else:
-        gts = [0, 1]
-        if not discard_phase and int(haps[0]) == 1:
-            gts = [1, 0]
-        gt = gt_sep.join(map(str, gts))
-    genotype_data = {'GT': gt, 'GQ': round(qual)}
-    chrom = group[0].chrom
-    return Variant(
-        chrom, begin, ref, alt=alts, filt='PASS', info=info, qual=qual,
-        genotype_data=genotype_data).trim()
+        # one haplotype is reference; phased output keeps hap 1 first
+        alleles = ['0', '1']
+        if not discard_phase and surviving[0] == '1':
+            alleles.reverse()
+        gt = sep.join(alleles)
+
+    merged = Variant(
+        group[0].chrom, begin, ref, alt=alts, filt='PASS', info=info,
+        qual=qual, genotype_data={'GT': gt, 'GQ': round(qual)})
+    return merged.trim()
 
 
 def split_mnp(v):
-    """Split an MNP variant into per-base SNPs (others unchanged)."""
+    """Split an MNP variant into per-base SNPs (others unchanged).
+
+    At each column the alt bases may collapse (duplicates, or bases equal
+    to the reference), in which case the GT indices are remapped to the
+    deduplicated allele list.
+    """
     if classify_variant(v) != 'mnp':
         return [v]
-    variants = []
-    for i, ref in enumerate(v.ref):
-        pos = v.pos + i
-        alt = [a[i] for a in v.alt]
-        genotype_data = v.genotype_data.copy()
-        gt_sep = v.genotype_data['GT'][1]
-        gt = v.gt
-        if ref in alt or len(set(alt)) != len(alt):
-            ref_and_alts = [ref] + alt
-            haps = [ref_and_alts[n] for n in gt]
-            new_alt = []
-            for a in alt:
-                if a != ref and a not in new_alt:
-                    new_alt.append(a)
-            ref_and_new_alts = [ref] + new_alt
-            gt = tuple(ref_and_new_alts.index(a) for a in haps)
-            alt = ref_and_new_alts[1:]
-            genotype_data['GT'] = gt_sep.join(map(str, gt))
-        variants.append(Variant(
-            v.chrom, pos, ref, alt, ident=v.ident, qual=v.qual,
-            filt=v.filt, info=v.info, genotype_data=genotype_data))
-    return variants
+    phase = '|' if v.phased else '/'
+    out = []
+    for offset, column in enumerate(zip(v.ref, *v.alt)):
+        ref_base = column[0]
+        alt_bases = list(column[1:])
+        gd = dict(v.genotype_data)
+        kept = []
+        for base in alt_bases:
+            if base != ref_base and base not in kept:
+                kept.append(base)
+        if kept != alt_bases:
+            # remap genotype indices onto the collapsed allele list
+            alleles_in = [ref_base] + alt_bases
+            alleles_out = [ref_base] + kept
+            called = (alleles_in[g] for g in v.gt)
+            gd['GT'] = phase.join(
+                str(alleles_out.index(b)) for b in called)
+            alt_bases = kept
+        out.append(Variant(
+            v.chrom, v.pos + offset, ref_base, alt_bases, ident=v.ident,
+            qual=v.qual, filt=v.filt, info=v.info, genotype_data=gd))
+    return out
 
 
 class Haploid2DiploidConverter:
@@ -786,39 +810,33 @@ def get_homozygous_regions(vcf_path, region, min_len=1000,
     if reg.start is None or reg.end is None:
         raise ValueError('Region start and end must be specified')
 
-    pos = [reg.start]
-    for v in vcf.fetch(ref_name=reg.ref_name, start=reg.start,
-                       end=reg.end):
-        gt = v.genotype_data.get('GT', '')
-        if gt and gt[0] != gt[-1]:  # heterozygous
-            pos.extend(range(v.pos, v.pos + len(v.ref)))
-    pos.append(reg.end)
+    # every reference base covered by a heterozygous call breaks a run
+    het_cover = [reg.start]
+    for v in vcf.fetch(ref_name=reg.ref_name, start=reg.start, end=reg.end):
+        gt = v.gt
+        if gt is not None and len(set(gt)) > 1:
+            het_cover.extend(range(v.pos, v.pos + len(v.ref)))
+    het_cover.append(reg.end)
+    het_cover.sort()
 
-    gaps = np.ediff1d(pos)
-    homo_regions = []
-    homo_len = 0
-    for i in np.argsort(gaps)[::-1]:
-        if gaps[i] < min_len:
-            break
-        homo_len += gaps[i]
-        homo_regions.append(
-            common.Region(reg.ref_name, pos[i], pos[i] + int(gaps[i])))
-    homo_regions.sort(key=lambda r: r.start)
+    homo_regions = [
+        common.Region(reg.ref_name, a, b)
+        for a, b in zip(het_cover[:-1], het_cover[1:])
+        if b - a >= min_len]
 
+    # the complement of the homozygous runs, keeping only long pieces
     hetero_regions = []
-    start = reg.start
-    sentinel = [common.Region(reg.ref_name, reg.end, None)]
-    for homo_reg in homo_regions + sentinel:
-        end = homo_reg.start
-        if end - start > min_len:
-            hetero_regions.append(
-                common.Region(reg.ref_name, start, end))
-        start = homo_reg.end
+    cursor = reg.start
+    for lo, hi in [(r.start, r.end) for r in homo_regions] + [
+            (reg.end, reg.end)]:
+        if lo - cursor > min_len:
+            hetero_regions.append(common.Region(reg.ref_name, cursor, lo))
+        cursor = hi
 
-    with open('homozygous_' + suffix, 'w') as fh:
-        fh.write('\n'.join(r.name for r in homo_regions))
-    with open('heterozygous_' + suffix, 'w') as fh:
-        fh.write('\n'.join(r.name for r in hetero_regions))
+    for prefix, regions in (('homozygous_', homo_regions),
+                            ('heterozygous_', hetero_regions)):
+        with open(prefix + suffix, 'w') as fh:
+            fh.write('\n'.join(r.name for r in regions))
     return homo_regions, hetero_regions
 
 
