@@ -41,35 +41,39 @@ def align_reads(
 
     def _map(item):
         name, seq, qual = item
-        hit = mapper.map(seq, band=band)
-        return name, seq, qual, hit
+        hits = mapper.map_all(seq, band=band)
+        return name, seq, qual, hits
 
     def read_iter():
         for rec in read_fastx(reads_fastx):
             yield rec.name, rec.sequence, rec.quality
 
     with concurrent.futures.ThreadPoolExecutor(max(1, threads)) as ex:
-        for name, seq, qual, hit in ex.map(_map, read_iter()):
-            if hit is None or (
-                    min_score is not None and hit.score < min_score):
+        for name, seq, qual, hits in ex.map(_map, read_iter()):
+            hits = [
+                h for h in hits
+                if min_score is None or h.score >= min_score]
+            if not hits:
                 n_unmapped += 1
                 continue
-            oriented = seq if hit.flag == 0 else \
-                common.reverse_complement(seq)
-            quals = None
-            if qual is not None:
-                q = [ord(c) - 33 for c in qual]
-                quals = q if hit.flag == 0 else q[::-1]
-            cigar = hit.cigar
-            if hit.query_start:
-                cigar = "{}S".format(hit.query_start) + cigar
-            end_clip = len(seq) - hit.query_end
-            if end_clip:
-                cigar += "{}S".format(end_clip)
-            records.append(BamRecord.build(
-                query_name=name, ref_id=hit.ref_id, pos=hit.ref_start,
-                seq=oriented, qual=quals, cigar=cigar, flag=hit.flag,
-                mapq=60))
+            for hit in hits:
+                reverse = bool(hit.flag & 16)
+                oriented = common.reverse_complement(seq) if reverse \
+                    else seq
+                quals = None
+                if qual is not None:
+                    q = [ord(c) - 33 for c in qual]
+                    quals = q[::-1] if reverse else q
+                cigar = hit.cigar
+                if hit.query_start:
+                    cigar = "{}S".format(hit.query_start) + cigar
+                end_clip = len(seq) - hit.query_end
+                if end_clip:
+                    cigar += "{}S".format(end_clip)
+                records.append(BamRecord.build(
+                    query_name=name, ref_id=hit.ref_id,
+                    pos=hit.ref_start, seq=oriented, qual=quals,
+                    cigar=cigar, flag=hit.flag, mapq=hit.mapq))
             n_mapped += 1
     mapper.close()
     write_bam(out_bam, records, ref_lengths)

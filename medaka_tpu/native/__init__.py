@@ -187,21 +187,28 @@ class _MtMapping(ctypes.Structure):
         ("score", ctypes.c_int32),
         ("query_start", ctypes.c_int32),
         ("query_end", ctypes.c_int32),
+        ("mapq", ctypes.c_int32),
         ("cigar", ctypes.c_void_p),
     ]
 
 
 @dataclasses.dataclass
 class Mapping:
-    """A primary read-to-reference mapping."""
+    """A read-to-reference mapping."""
 
     ref_id: int
     ref_start: int
-    flag: int            # 0 fwd, 16 rev
+    flag: int            # 0 fwd, 16 rev; | 2048 for supplementary
     score: int
     query_start: int     # clip on the oriented query
     query_end: int
     cigar: str           # aligned portion, no clips
+    mapq: int = 60       # 0-60 confidence (gap over competing chains)
+
+    @property
+    def is_supplementary(self) -> bool:
+        """Whether this is a supplementary (split-read) mapping."""
+        return bool(self.flag & 2048)
 
 
 def _load_mapper_symbols(lib):
@@ -218,6 +225,10 @@ def _load_mapper_symbols(lib):
     lib.mt_map.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(_MtMapping)]
+    lib.mt_map_multi.restype = ctypes.c_int
+    lib.mt_map_multi.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(_MtMapping), ctypes.c_int]
     lib._mapper_ready = True
 
 
@@ -239,20 +250,36 @@ class Mapper:
 
     def map(self, seq: str, band: int = 500) -> Optional[Mapping]:
         """Primary mapping of a read (None when unmapped)."""
-        res = _MtMapping()
+        hits = self.map_all(seq, band=band, max_mappings=1)
+        return hits[0] if hits else None
+
+    def map_all(self, seq: str, band: int = 500,
+                max_mappings: int = 4) -> List[Mapping]:
+        """All mappings of a read: primary first, then supplementary.
+
+        Supplementary mappings (flag 2048) cover query intervals the
+        primary does not (split/chimeric reads). Every mapping carries a
+        minimap2-style ``mapq`` in [0, 60]; repetitive placements score
+        0 so downstream ``min_mapq`` filters behave like the
+        reference's (``src/medaka_bamiter.c:16-46``).
+        """
+        res = (_MtMapping * max_mappings)()
         q = seq.encode()
-        rv = self._lib.mt_map(
-            self._handle, q, len(q), band, ctypes.byref(res))
-        if rv != 0:
-            raise NativeBuildError("mt_map failed")
-        if res.flag < 0:
-            return None
-        cigar = ctypes.cast(res.cigar, ctypes.c_char_p).value or b""
-        self._lib.mt_free(res.cigar)
-        return Mapping(
-            ref_id=res.ref_id, ref_start=res.ref_start, flag=res.flag,
-            score=res.score, query_start=res.query_start,
-            query_end=res.query_end, cigar=cigar.decode())
+        n = self._lib.mt_map_multi(
+            self._handle, q, len(q), band, res, max_mappings)
+        if n < 0:
+            raise NativeBuildError("mt_map_multi failed")
+        hits = []
+        for i in range(n):
+            cigar = ctypes.cast(res[i].cigar, ctypes.c_char_p).value or b""
+            self._lib.mt_free(res[i].cigar)
+            hits.append(Mapping(
+                ref_id=res[i].ref_id, ref_start=res[i].ref_start,
+                flag=res[i].flag, score=res[i].score,
+                query_start=res[i].query_start,
+                query_end=res[i].query_end, cigar=cigar.decode(),
+                mapq=res[i].mapq))
+        return hits
 
     def close(self):
         """Free the native index."""

@@ -132,10 +132,11 @@ void mt_index_destroy(void* handle) {
 typedef struct {
     int32_t ref_id;
     int32_t ref_start;
-    int32_t flag;        // 0 fwd, 16 rev, -1 unmapped
+    int32_t flag;        // 0 fwd, 16 rev (| 2048 supplementary), -1 unmapped
     int32_t score;
     int32_t query_start;  // soft-clip at start (of oriented query)
     int32_t query_end;
+    int32_t mapq;         // 0-60, minimap2-style confidence
     char* cigar;          // aligned part only (no clips); mt_free()
 } mt_mapping;
 
@@ -167,13 +168,49 @@ static void revcomp(const std::string& in, std::string* out) {
     }
 }
 
-// Map one read: collect anchors per (ref, strand), pick the densest
-// colinear chain, align the spanned segment with a banded NW.
-int mt_map(void* handle, const char* qseq_c, int qlen, int band,
-           mt_mapping* out) {
+namespace {
+
+// one diagonal-bundle chain candidate
+struct Candidate {
+    uint64_t key;    // (ref_id << 1) | orient_rev
+    int diag;        // diagonal bucket (rpos - oriented_qpos) / 500
+    int count;       // anchors in the bundle (chain score proxy)
+    int rmin, rmax;  // reference span of the bundle's anchors
+    int qmin, qmax;  // oriented-query span of the bundle's anchors
+};
+
+// overlap of two [a0, a1) intervals
+inline int interval_overlap(int a0, int a1, int b0, int b1) {
+    return std::max(0, std::min(a1, b1) - std::max(a0, b0));
+}
+
+// anchors-count-based mapping quality: scales with how decisively the
+// best chain beats its best same-query-interval competitor, damped for
+// thin chains (minimap2-style shape; exact formula is our own)
+inline int chain_mapq(int best, int runner_up) {
+    double ratio = best > 0 ? 1.0 - (double)runner_up / best : 0.0;
+    double thin = std::min(1.0, best / 10.0);
+    int q = (int)(60.0 * ratio * thin + 0.499);
+    return std::max(0, std::min(60, q));
+}
+
+}  // namespace
+
+// Map one read: collect anchors per (ref, strand), enumerate diagonal
+// bundle candidates, emit the best chain as the primary mapping plus up
+// to max_out-1 supplementary mappings over distinct query intervals.
+// Each mapping carries a mapq derived from the margin over the best
+// competing candidate on the same part of the query.
+// Returns the number of mappings written (0 = unmapped), or -1 on error.
+int mt_map_multi(void* handle, const char* qseq_c, int qlen, int band,
+                 mt_mapping* out, int max_out) {
     RefIndex* idx = static_cast<RefIndex*>(handle);
-    out->cigar = nullptr;
-    out->flag = -1;
+    if (max_out < 1) return 0;
+    for (int i = 0; i < max_out; ++i) {
+        out[i].cigar = nullptr;
+        out[i].flag = -1;
+        out[i].mapq = 0;
+    }
     if (qlen < K) return 0;
     std::string qseq(qseq_c, qlen);
     std::vector<Minimizer> qmins;
@@ -195,79 +232,131 @@ int mt_map(void* handle, const char* qseq_c, int qlen, int band,
         }
     }
 
-    // choose best bucket by simple colinear chain length
-    uint64_t best_key = 0;
-    int best_chain = 0;
-    int best_diag = 0;
+    // enumerate diagonal-bundle candidates (>= 3 anchors)
+    std::vector<Candidate> cands;
     for (auto& kv : buckets) {
-        auto& anchors = kv.second;
         bool orient_rev = kv.first & 1;
-        // for reverse orientation, flip query coords so colinearity is
+        // flip query coords for reverse orientation so colinearity is
         // ascending in both axes
-        std::vector<Anchor> a = anchors;
+        std::vector<Anchor> a = kv.second;
         if (orient_rev)
             for (Anchor& an : a) an.qpos = qlen - K - an.qpos;
-        // histogram of diagonals; densest diagonal bundle approximates
-        // the chain (adequate at polishing identity)
         std::unordered_map<int, int> diag_count;
         for (const Anchor& an : a)
             diag_count[(an.rpos - an.qpos) / 500]++;
         for (auto& dc : diag_count) {
-            if (dc.second > best_chain) {
-                best_chain = dc.second;
-                best_key = kv.first;
-                best_diag = dc.first;
+            if (dc.second < 3) continue;
+            Candidate c;
+            c.key = kv.first;
+            c.diag = dc.first;
+            c.count = 0;
+            c.rmin = c.qmin = INT32_MAX;
+            c.rmax = c.qmax = INT32_MIN;
+            // gather anchors near this diagonal (±1 bucket); bundles on
+            // adjacent diagonals describe the same placement drifted by
+            // indels, so they merge into the candidate's span/count
+            for (const Anchor& an : a) {
+                int d = (an.rpos - an.qpos) / 500;
+                if (std::abs(d - dc.first) > 1) continue;
+                c.count++;
+                c.rmin = std::min(c.rmin, an.rpos);
+                c.rmax = std::max(c.rmax, an.rpos + K);
+                c.qmin = std::min(c.qmin, an.qpos);
+                c.qmax = std::max(c.qmax, an.qpos + K);
             }
+            cands.push_back(c);
         }
     }
-    if (best_chain < 3) return 0;  // unmapped
+    if (cands.empty()) return 0;
+    std::sort(cands.begin(), cands.end(),
+              [](const Candidate& x, const Candidate& y) {
+                  return x.count > y.count;
+              });
 
-    int rid = (int)(best_key >> 1);
-    bool orient_rev = best_key & 1;
-    const std::string& ref = idx->seqs[rid];
-
-    // gather anchors near the chosen diagonal bundle
-    std::vector<Anchor> chain;
-    for (Anchor an : buckets[best_key]) {
-        int qp = orient_rev ? qlen - K - an.qpos : an.qpos;
-        int d = (an.rpos - qp) / 500;
-        if (std::abs(d - best_diag) <= 1)
-            chain.push_back({an.rpos, qp});
+    // accept the primary, then candidates covering query intervals the
+    // accepted set does not (supplementary mappings of split reads)
+    std::vector<Candidate> accepted;
+    std::vector<int> mapqs;
+    for (const Candidate& c : cands) {
+        if ((int)accepted.size() >= max_out) break;
+        // original-read query interval (for overlap bookkeeping)
+        bool crev = c.key & 1;
+        int c0 = crev ? qlen - c.qmax : c.qmin;
+        int c1 = crev ? qlen - c.qmin : c.qmax;
+        bool same_placement_seen = false;
+        bool covers_new_query = true;
+        int runner_up = 0;
+        for (const Candidate& p : accepted) {
+            bool prev = p.key & 1;
+            int p0 = prev ? qlen - p.qmax : p.qmin;
+            int p1 = prev ? qlen - p.qmin : p.qmax;
+            int ovl = interval_overlap(c0, c1, p0, p1);
+            if (2 * ovl > (c1 - c0)) covers_new_query = false;
+            if (p.key == c.key && std::abs(p.diag - c.diag) <= 2)
+                same_placement_seen = true;
+        }
+        if (same_placement_seen) continue;
+        if (!accepted.empty() && !covers_new_query) continue;
+        // best remaining competitor over this candidate's query interval
+        for (const Candidate& o : cands) {
+            if (&o == &c) continue;
+            if (o.key == c.key && std::abs(o.diag - c.diag) <= 2) continue;
+            bool orev = o.key & 1;
+            int o0 = orev ? qlen - o.qmax : o.qmin;
+            int o1 = orev ? qlen - o.qmin : o.qmax;
+            if (2 * interval_overlap(c0, c1, o0, o1) > (c1 - c0))
+                runner_up = std::max(runner_up, o.count);
+        }
+        accepted.push_back(c);
+        mapqs.push_back(chain_mapq(c.count, runner_up));
     }
-    if (chain.empty()) return 0;
-    int rmin = chain[0].rpos, rmax = chain[0].rpos;
-    int qmin = chain[0].qpos, qmax = chain[0].qpos;
-    for (const Anchor& an : chain) {
-        rmin = std::min(rmin, an.rpos);
-        rmax = std::max(rmax, an.rpos);
-        qmin = std::min(qmin, an.qpos);
-        qmax = std::max(qmax, an.qpos);
+
+    std::string oriented_cache;
+    bool have_oriented = false;
+    int n_out = 0;
+    for (size_t ci = 0; ci < accepted.size(); ++ci) {
+        const Candidate& c = accepted[ci];
+        int rid = (int)(c.key >> 1);
+        bool orient_rev = c.key & 1;
+        const std::string& ref = idx->seqs[rid];
+
+        // expand the reference window to cover the full query with margin
+        int margin = band;
+        int rstart = std::max(0, c.rmin - c.qmin - margin);
+        int rend = std::min(
+            (int)ref.size(), c.rmax + (qlen - c.qmax) + margin);
+        if (rend <= rstart) continue;
+
+        if (orient_rev && !have_oriented) {
+            revcomp(qseq, &oriented_cache);
+            have_oriented = true;
+        }
+        const std::string& q = orient_rev ? oriented_cache : qseq;
+
+        mt_alignment aln;
+        int rv = mt_align(
+            q.c_str(), qlen, ref.c_str() + rstart, rend - rstart,
+            2, 4, 4, 2, /*mode=SW*/ 2, band, &aln);
+        if (rv != 0 || aln.cigar == nullptr) continue;
+        mt_mapping* m = &out[n_out];
+        m->ref_id = rid;
+        m->ref_start = rstart + aln.ref_start;
+        m->flag = (orient_rev ? 16 : 0) | (n_out > 0 ? 2048 : 0);
+        m->score = aln.score;
+        m->query_start = aln.query_start;
+        m->query_end = aln.query_end;
+        m->mapq = mapqs[ci];
+        m->cigar = aln.cigar;  // ownership to caller
+        n_out++;
     }
-    qmax += K;
-    rmax += K;
+    return n_out;
+}
 
-    // expand the reference window to cover the full query with margin
-    int margin = band;
-    int rstart = std::max(0, rmin - qmin - margin);
-    int rend = std::min((int)ref.size(), rmax + (qlen - qmax) + margin);
-
-    std::string oriented;
-    if (orient_rev) revcomp(qseq, &oriented);
-    const std::string& q = orient_rev ? oriented : qseq;
-
-    mt_alignment aln;
-    int rv = mt_align(
-        q.c_str(), qlen, ref.c_str() + rstart, rend - rstart,
-        2, 4, 4, 2, /*mode=SW*/ 2, band, &aln);
-    if (rv != 0 || aln.cigar == nullptr) return 1;
-    out->ref_id = rid;
-    out->ref_start = rstart + aln.ref_start;
-    out->flag = orient_rev ? 16 : 0;
-    out->score = aln.score;
-    out->query_start = aln.query_start;
-    out->query_end = aln.query_end;
-    out->cigar = aln.cigar;  // ownership to caller
-    return 0;
+// single-mapping compatibility entry (primary only)
+int mt_map(void* handle, const char* qseq_c, int qlen, int band,
+           mt_mapping* out) {
+    int n = mt_map_multi(handle, qseq_c, qlen, band, out, 1);
+    return n < 0 ? 1 : 0;
 }
 
 }  // extern "C"

@@ -61,9 +61,17 @@ class TestAlignReads:
         from medaka_tpu.io.bam import BamReader
         with BamReader(out_bam) as br:
             recs = list(br.fetch("lambda_5kb", 0, 4970))
-            assert len(recs) == stats["mapped"]
+            primaries = [r for r in recs if not r.flag & 2048]
+            assert len(primaries) == stats["mapped"]
             # qualities survive and orient with the read
             assert all(r.query_qualities is not None for r in recs[:10])
+            # mapq is a real confidence model, not a constant: values
+            # live in [0, 60] and the unique lambda placements dominate
+            mapqs = [r.mapq for r in primaries]
+            assert all(0 <= q <= 60 for q in mapqs)
+            high = sum(1 for q in mapqs if q >= 50)
+            assert high / len(mapqs) > 0.9
+            assert len(set(mapqs)) > 1
 
 
 class TestConsensusWorkflow:
@@ -118,3 +126,80 @@ class TestWorkflowGolden:
         assert len(cons) == golden["consensus_len"]
         assert hashlib.sha256(
             cons.encode()).hexdigest() == golden["consensus_sha256"]
+
+
+class TestMapqModel:
+    """MAPQ + supplementary mappings (reference src/medaka_bamiter.c:16-46
+    keys its read filters on minimap2 mapq; ours must be meaningful)."""
+
+    @pytest.fixture(scope="class")
+    def repetitive(self):
+        """Draft with two identical 2 kb copies."""
+        a, b = rand_seq(4000, 11), rand_seq(4000, 12)
+        dup = a[1000:3000]
+        ref = a[:1000] + dup + b[:500] + dup + b[500:]
+        return ref, dup, native.Mapper([("rep", ref)])
+
+    def test_unique_read_high_mapq(self, repetitive):
+        ref, _dup, m = repetitive
+        hits = m.map_all(ref[100:900])
+        assert len(hits) == 1 and hits[0].mapq >= 50
+
+    def test_repeat_read_zero_mapq(self, repetitive):
+        _ref, dup, m = repetitive
+        hits = m.map_all(dup[200:1800])
+        assert len(hits) == 1
+        assert hits[0].mapq < 5
+
+    def test_min_mapq_excludes_repeat_reads_from_counts(
+            self, repetitive, tmp_path):
+        """Repetitive-region reads are invisible to the default encoder."""
+        from medaka_tpu.common import Region
+        from medaka_tpu.features import CountsFeatureEncoder
+        from medaka_tpu.io.bam import BamRecord, write_bam
+        from medaka_tpu.io.fastx import FastaWriter
+
+        ref, dup, m = repetitive
+        records = []
+        for i in range(5):
+            read = dup[100 + 7 * i:1900]
+            hit = m.map_all(read)[0]
+            cigar = hit.cigar
+            if hit.query_start:
+                cigar = "{}S".format(hit.query_start) + cigar
+            if len(read) != hit.query_end:
+                cigar += "{}S".format(len(read) - hit.query_end)
+            records.append(BamRecord.build(
+                query_name="rep{}".format(i), ref_id=hit.ref_id,
+                pos=hit.ref_start, seq=read, qual=[20] * len(read),
+                cigar=cigar, flag=hit.flag, mapq=hit.mapq))
+        bam = str(tmp_path / "rep.bam")
+        write_bam(bam, records, [("rep", len(ref))])
+        region = Region("rep", records[0].pos,
+                        records[0].pos + 500)
+        strict = CountsFeatureEncoder(min_mapq=1)
+        for s in strict.bam_to_sample(bam, region):
+            assert s.features is None  # mapq-0 reads filtered out
+        lenient = CountsFeatureEncoder(min_mapq=0)
+        samples = lenient.bam_to_sample(bam, region)
+        assert samples and samples[0].depth.max() >= 4
+
+    def test_chimeric_read_supplementary(self):
+        a, b = rand_seq(4000, 21), rand_seq(4000, 22)
+        m = native.Mapper([("a", a), ("b", b)])
+        chimera = a[0:1500] + reverse_complement(b[2000:3500])
+        hits = m.map_all(chimera)
+        assert len(hits) == 2
+        primary = [h for h in hits if not h.is_supplementary]
+        supp = [h for h in hits if h.is_supplementary]
+        assert len(primary) == 1 and len(supp) == 1
+        placements = {
+            (h.ref_id, h.flag & 16, h.ref_start) for h in hits}
+        assert (0, 0, 0) in placements       # fwd half on contig a
+        assert (1, 16, 2000) in placements   # rev half on contig b
+        # both placements are unambiguous
+        assert all(h.mapq >= 50 for h in hits)
+        # each covers roughly half of the (oriented) query, disjointly
+        for h in hits:
+            assert (h.query_end - h.query_start) == pytest.approx(
+                1500, abs=60)
