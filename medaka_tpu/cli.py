@@ -284,6 +284,10 @@ def main(argv=None):
     p.add_argument(
         "--validate_only", action="store_true",
         help="Evaluate --model on the validation split; no training.")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="Continue a killed run from train_name's resume snapshot "
+             "(params + optimizer state + epoch), losslessly.")
     p.set_defaults(func=_cmd_train)
 
     # --- consensus (full pipeline) --------------------------------------

@@ -305,13 +305,81 @@ def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
     return params, opt_state, mean_loss, acc
 
 
+def _save_resume_state(train_name, epoch, params, opt_state, best,
+                       best_epoch):
+    """Write a lossless mid-training snapshot (optimizer state included).
+
+    Reference medaka dumps optimizer state every 5 epochs
+    (``training.py:189-191``) but cannot resume from it; here
+    ``train --resume`` continues exactly where a killed run stopped.
+    """
+    import json
+
+    p_leaves = jax.tree_util.tree_leaves(params)
+    o_leaves = jax.tree_util.tree_leaves(opt_state)
+    arrays = {
+        "p{}".format(i): np.asarray(x) for i, x in enumerate(p_leaves)}
+    arrays.update(
+        {"o{}".format(i): np.asarray(x) for i, x in enumerate(o_leaves)})
+    tmp = os.path.join(train_name, ".resume.npz.tmp")
+    final = os.path.join(train_name, "resume.npz")
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrays)
+    os.replace(tmp, final)
+    meta = {
+        "epoch": epoch, "best_val_loss": float(best["val_loss"]),
+        "best_val_acc": float(best["val_acc"]), "best_epoch": best_epoch,
+        "n_param_leaves": len(p_leaves), "n_opt_leaves": len(o_leaves)}
+    tmp = os.path.join(train_name, ".resume.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(train_name, "resume.json"))
+
+
+def _load_resume_state(train_name, params_template, opt_state_template):
+    """Load the snapshot written by :func:`_save_resume_state`.
+
+    :returns: (next_epoch, params, opt_state, best dict, best_epoch)
+        or None when no snapshot exists.
+    """
+    import json
+
+    meta_path = os.path.join(train_name, "resume.json")
+    npz_path = os.path.join(train_name, "resume.npz")
+    if not (os.path.exists(meta_path) and os.path.exists(npz_path)):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    data = np.load(npz_path)
+
+    def rebuild(template, prefix, count):
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        if len(leaves) != count:
+            raise ValueError(
+                "Resume state has {} {} leaves but the current model/"
+                "optimizer expects {}; cannot resume.".format(
+                    count, prefix, len(leaves)))
+        loaded = [
+            jnp.asarray(
+                data["{}{}".format(prefix, i)], dtype=leaves[i].dtype)
+            for i in range(count)]
+        return jax.tree_util.tree_unflatten(treedef, loaded)
+
+    params = rebuild(params_template, "p", meta["n_param_leaves"])
+    opt_state = rebuild(opt_state_template, "o", meta["n_opt_leaves"])
+    best = {"val_loss": meta["best_val_loss"],
+            "val_acc": meta["best_val_acc"]}
+    return meta["epoch"] + 1, params, opt_state, best, meta["best_epoch"]
+
+
 def run_training(
         train_name: str, batcher: TrainBatcher,
         model_dict: Optional[Dict] = None, epochs: int = 10,
         optimizer: str = "nadam", optim_args: Optional[Dict] = None,
         mesh=None, model_parallel: int = 1,
         compute_dtype=jnp.bfloat16, seed: int = 0,
-        early_stop_epochs: int = 20, initial_params=None):
+        early_stop_epochs: int = 20, initial_params=None,
+        resume: bool = False):
     """Train a consensus model (reference ``training.py:60-236``).
 
     :param train_name: output directory.
@@ -367,6 +435,16 @@ def run_training(
     csv_logger = CSVLogger(os.path.join(train_name, "training.csv"))
     best = {"val_loss": np.inf, "val_acc": -np.inf}
     best_epoch = 0
+    first_epoch = 0
+    if resume:
+        state = _load_resume_state(train_name, params, opt_state)
+        if state is None:
+            logger.info("No resume state in %s; training from scratch.",
+                        train_name)
+        else:
+            first_epoch, params, opt_state, best, best_epoch = state
+            params = parallel.shard_params(params, mesh)
+            logger.info("Resuming from epoch %d.", first_epoch)
 
     def save(name, p):
         return models_mod.save_model(
@@ -374,7 +452,7 @@ def run_training(
             jax.tree_util.tree_map(np.asarray, p),
             feature_encoder=feature_encoder, label_scheme=label_scheme)
 
-    for epoch in range(epochs):
+    for epoch in range(first_epoch, epochs):
         params, opt_state, _loss, _acc = run_epoch(
             step_fn, params, opt_state, batcher, "train", epoch,
             logger, csv_logger, is_training=True)
@@ -395,7 +473,11 @@ def run_training(
                 logger.info(
                     "Early stop: no val-loss improvement in %d epochs.",
                     early_stop_epochs)
+                _save_resume_state(
+                    train_name, epoch, params, opt_state, best, best_epoch)
                 break
+        _save_resume_state(
+            train_name, epoch, params, opt_state, best, best_epoch)
     csv_logger.close()
     return model, jax.tree_util.tree_map(np.asarray, params)
 
@@ -446,4 +528,5 @@ def train(args):
         epochs=args.epochs, optimizer=args.optimizer,
         optim_args=args.optim_args, seed=args.seed,
         model_parallel=getattr(args, "model_parallel", 1),
-        initial_params=initial_params)
+        initial_params=initial_params,
+        resume=getattr(args, "resume", False))

@@ -96,3 +96,66 @@ def test_training_reproducible(tmp_path):
             losses.append(
                 [r.split(",")[3] for r in fh.read().splitlines()[1:]])
     assert losses[0] == losses[1]
+
+
+def test_kill_and_resume_matches_uninterrupted(tmp_path):
+    """Lossless resume: 2+2 epochs (resumed) == 4 epochs straight.
+
+    The resume snapshot carries params AND optimizer state AND epoch,
+    so the resumed run reproduces the uninterrupted loss curve exactly
+    (reference medaka has no such path; its optimizer dump at
+    ``training.py:189-191`` is write-only).
+    """
+    def make_batcher():
+        return training.TrainBatcher(
+            [REF_TRAIN], validation=0.2, seed=3, batch_size=16,
+            max_samples=32, max_valid_samples=16)
+
+    model_dict = {"type": "GRUModel", "kwargs": {"gru_size": 8}}
+    kwargs = dict(
+        model_dict=model_dict, optimizer="adam",
+        optim_args={"learning_rate": 5e-3}, seed=3, compute_dtype=None)
+
+    # uninterrupted run: 4 epochs
+    full = str(tmp_path / "full")
+    training.run_training(full, make_batcher(), epochs=4, **kwargs)
+
+    # "killed" run: same 4-epoch job dies mid-epoch-2, then resumes
+    part = str(tmp_path / "part")
+    real_run_epoch = training.run_epoch
+    calls = {"n": 0}
+
+    def dying_run_epoch(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] > 4:  # epochs 0+1 = 2 train + 2 validation passes
+            raise RuntimeError("simulated kill -9")
+        return real_run_epoch(*args, **kw)
+
+    training.run_epoch = dying_run_epoch
+    try:
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            training.run_training(part, make_batcher(), epochs=4, **kwargs)
+    finally:
+        training.run_epoch = real_run_epoch
+    assert os.path.exists(os.path.join(part, "resume.npz"))
+    training.run_training(
+        part, make_batcher(), epochs=4, resume=True, **kwargs)
+
+    def curve(d):
+        with open(os.path.join(d, "training.csv")) as fh:
+            return [
+                tuple(r.split(",")[:4])
+                for r in fh.read().splitlines()[1:]]
+
+    # the resumed epochs 2-3 match the uninterrupted run bitwise
+    full_rows = [r for r in curve(full) if int(r[1]) >= 2]
+    part_rows = [r for r in curve(part) if int(r[1]) >= 2]
+    assert full_rows == part_rows
+
+    # final checkpoints identical
+    a = load_model(os.path.join(full, "model-3.tar.gz")).params
+    b = load_model(os.path.join(part, "model-3.tar.gz")).params
+    import jax
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
