@@ -40,14 +40,20 @@ def _source_hash() -> str:
 
 
 def _build() -> str:
-    tag = _source_hash()
+    # MEDAKA_TPU_SANITIZE=1 builds the library with ASan+UBSan — the
+    # analog of the reference's valgrind memcheck target
+    # (reference Makefile:237-248); tests/asan_driver.py uses it.
+    sanitize = os.environ.get("MEDAKA_TPU_SANITIZE") == "1"
+    tag = _source_hash() + ("_asan" if sanitize else "")
     out = os.path.join(_SRC_DIR, "..", "_libmt_{}.so".format(tag))
     out = os.path.abspath(out)
     if os.path.exists(out):
         return out
     srcs = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
+    opt = (["-O1", "-g", "-fsanitize=address,undefined",
+            "-fno-sanitize-recover=all"] if sanitize else ["-O3"])
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "g++", *opt, "-std=c++17", "-shared", "-fPIC",
         "-o", out + ".tmp", *srcs]
     try:
         subprocess.run(

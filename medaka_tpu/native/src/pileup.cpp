@@ -228,7 +228,9 @@ int mt_pileup_counts_raw(
     struct View {
         int64_t pos;
         bool rev;
-        const uint32_t* cigar;
+        // cigar words sit at an odd offset inside the BAM record buffer
+        // (32 + l_read_name), so they must be read unaligned
+        const uint8_t* cigar;
         int n_cigar;
         const uint8_t* seq;   // packed nt16
         const uint8_t* qual;
@@ -252,7 +254,7 @@ int mt_pileup_counts_raw(
         v.n_cigar = n_cigar;
         v.l_seq = (int)l_seq;
         const uint8_t* q = p + 32 + l_read_name;
-        v.cigar = reinterpret_cast<const uint32_t*>(q);
+        v.cigar = q;
         q += 4 * n_cigar;
         v.seq = q;
         q += (l_seq + 1) / 2;
@@ -266,7 +268,8 @@ int mt_pileup_counts_raw(
         const View& v = views[r];
         int64_t ref_end = v.pos;
         for (int ci = 0; ci < v.n_cigar; ++ci) {
-            uint32_t c = v.cigar[ci];
+            uint32_t c;
+            memcpy(&c, v.cigar + 4 * (size_t)ci, 4);
             int op = c & 0xf;
             int64_t len = c >> 4;
             if (op == 1) {
@@ -328,7 +331,8 @@ int mt_pileup_counts_raw(
         int64_t ref_pos = v.pos;
         int64_t q = 0;
         for (int ci = 0; ci < v.n_cigar; ++ci) {
-            uint32_t c = v.cigar[ci];
+            uint32_t c;
+            memcpy(&c, v.cigar + 4 * (size_t)ci, 4);
             int op = c & 0xf;
             int64_t len = c >> 4;
             if (is_aligned(op)) {
