@@ -21,6 +21,7 @@ Functional equivalent of the reference's ``medaka inference``
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -376,17 +377,19 @@ def run_prediction(
                         1e-9, total_region_mbases)),
                     n_columns / 1e6, t1 - t0)
 
-        # one batch in flight: dispatch N+1 before fetching N so the
-        # device (and the tunnel transfers) overlap featurization and
-        # HDF5 writes
-        pending = None
+        # keep max_in_flight batches dispatched ahead of the fetch so
+        # device compute and host->device transfers overlap both
+        # featurization and HDF5 writes; 2 covers a host stall without
+        # growing device memory pressure (each slot holds one batch of
+        # activations)
+        max_in_flight = 2
+        pending = collections.deque()
         for batch in loader:
-            handle = predictor.dispatch(batch)
-            if pending is not None:
-                drain(*pending)
-            pending = (batch, handle)
-        if pending is not None:
-            drain(*pending)
+            pending.append((batch, predictor.dispatch(batch)))
+            if len(pending) > max_in_flight:
+                drain(*pending.popleft())
+        while pending:
+            drain(*pending.popleft())
         mbases_done = n_columns / 1e6
         ds.write_registry()
 

@@ -1,0 +1,69 @@
+"""Host-side pipeline benchmarks: featurization scaling + HDF5 writes.
+
+Usage: python host_bench.py <synth.bam> [workers ...]
+Measures (1) DataLoader throughput (featurize+chunk+collate, no model)
+at several worker counts, and (2) DataStore write throughput per
+compression codec with realistic sample payloads.
+"""
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+from medaka_tpu import datastore
+from medaka_tpu.common import Region, Sample, POSITIONS_DTYPE
+from medaka_tpu.features import CountsFeatureEncoder
+from medaka_tpu.prediction import DataLoader
+
+
+def bench_loader(bam, workers, region):
+    enc = CountsFeatureEncoder()
+    t0 = time.perf_counter()
+    loader = DataLoader(
+        bam, [region], enc, batch_size=32, chunk_len=10000,
+        chunk_overlap=1000, bam_workers=workers)
+    cols = 0
+    for batch in loader:
+        cols += int(sum(s.size for s in batch.samples))
+    dt = time.perf_counter() - t0
+    return cols, dt
+
+
+def bench_writes(codec, n=200, t=10000):
+    rng = np.random.default_rng(0)
+    pos = np.zeros(t, dtype=POSITIONS_DTYPE)
+    pos["major"] = np.arange(t)
+    with tempfile.NamedTemporaryFile(suffix=".hdf") as fh:
+        t0 = time.perf_counter()
+        with datastore.DataStore(fh.name, "a", compression=codec) as ds:
+            for i in range(n):
+                p = pos.copy()
+                p["major"] += i * t
+                ds.write_sample(Sample(
+                    ref_name="x", features=None, labels=None,
+                    ref_seq=None, positions=p,
+                    label_probs=rng.random((t, 5), np.float32)
+                    .astype(np.float16),
+                    depth=np.full(t, 30, np.uint16)))
+            ds.write_registry()
+        dt = time.perf_counter() - t0
+    return n * t, dt
+
+
+def main():
+    bam = sys.argv[1]
+    worker_counts = [int(w) for w in sys.argv[2:]] or [1, 2, 4, 8]
+    region = Region("synth", 0, 2_000_000)
+    for w in worker_counts:
+        cols, dt = bench_loader(bam, w, region)
+        print("loader workers={:d}: {:.2f} Mcols/s ({} cols in {:.1f}s)"
+              .format(w, cols / dt / 1e6, cols, dt))
+    for codec in (None, "lzf", "gzip"):
+        cols, dt = bench_writes(codec)
+        print("write codec={}: {:.2f} Mcols/s".format(
+            codec, cols / dt / 1e6))
+
+
+if __name__ == "__main__":
+    main()
