@@ -127,7 +127,8 @@ class GRUModel:
     def apply(self, params: Dict, x: jnp.ndarray, normalise: bool = True,
               compute_dtype=None, lengths=None,
               fused: Optional[bool] = None,
-              training: bool = False) -> jnp.ndarray:
+              training: bool = False,
+              recurrent_quant: Optional[str] = None) -> jnp.ndarray:
         """Forward pass.
 
         :param x: (batch, positions, num_features) counts features.
@@ -156,7 +157,8 @@ class GRUModel:
             from medaka_tpu.ops.pallas_gru import bigru_stack_fullfused
             feats = bigru_stack_fullfused(
                 params["gru"], x, lengths=lengths,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype,
+                recurrent_quant=recurrent_quant)
         elif fused:
             from medaka_tpu.ops.pallas_gru import bigru_stack_fused
             feats = bigru_stack_fused(

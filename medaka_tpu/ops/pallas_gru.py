@@ -618,24 +618,177 @@ def bigru_pallas_fullfused(
     )(x, x, w_ih_t, b_ih_row, w_hh_t, b_hh_row, lengths2d)
 
 
+def _bigru_fullfused_int8_kernel(
+        x_f_ref, x_b_ref, w_ih_t_ref, b_ih_ref, w_hh_q_ref, hh_scale_ref,
+        b_hh_ref, lengths_ref, out_f_ref, out_b_ref, h_scratch,
+        xp_f_scratch, xp_b_scratch, *, time_block: int):
+    """Fullfused bi-GRU with int8 recurrent weights.
+
+    The per-step bottleneck is the (B, H) @ (H, 3H) recurrent matmul;
+    int8 x int8 -> int32 doubles the MXU rate over bf16. The hidden
+    state is mathematically bounded to [-1, 1] (h is a convex blend of
+    tanh outputs starting from 0), so a fixed *127 quantisation of h
+    composes with per-output-column weight scales:
+
+        h @ W ~= (round(127 h) @ round(W / s_col)) * (s_col / 127)
+
+    where s_col = max_abs(W[:, col]) / 127 is folded into hh_scale.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+
+    hidden = h_scratch.shape[-1]
+    B = h_scratch.shape[-2]
+    w_ih_f = w_ih_t_ref[0]
+    w_ih_b = w_ih_t_ref[1]
+    b_ih_f = b_ih_ref[0]
+    b_ih_b = b_ih_ref[1]
+    wq_f = w_hh_q_ref[0]        # (H, 3H) int8
+    wq_b = w_hh_q_ref[1]
+    sc_f = hh_scale_ref[0]      # (1, 3H) f32 = s_col / 127
+    sc_b = hh_scale_ref[1]
+    b_f = b_hh_ref[0]
+    b_b = b_hh_ref[1]
+    lengths = lengths_ref[...]
+
+    xf = x_f_ref[...].reshape(time_block * B, x_f_ref.shape[-1])
+    xb = x_b_ref[...].reshape(time_block * B, x_b_ref.shape[-1])
+    xp_f_scratch[...] = (
+        jnp.dot(xf, w_ih_f, preferred_element_type=jnp.float32)
+        + b_ih_f).reshape(
+            time_block, B, 3 * hidden).astype(jnp.bfloat16)
+    xp_b_scratch[...] = (
+        jnp.dot(xb, w_ih_b, preferred_element_type=jnp.float32)
+        + b_ih_b).reshape(
+            time_block, B, 3 * hidden).astype(jnp.bfloat16)
+
+    fwd_start = i * time_block
+    bwd_start = (n_blocks - 1 - i) * time_block
+
+    def cell(h, xp, wq, sc, b):
+        hq = jnp.round(h * 127.0).astype(jnp.int8)
+        hp = jnp.dot(
+            hq, wq, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * sc + b
+        r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+        z = jax.nn.sigmoid(
+            xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
+        n = jnp.tanh(
+            xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
+        return (1.0 - z) * n + z * h
+
+    def step(t, carry):
+        h_f, h_b = carry
+        t_b = time_block - 1 - t
+        nh_f = cell(
+            h_f, xp_f_scratch[t].astype(jnp.float32), wq_f, sc_f, b_f)
+        nh_b = cell(
+            h_b, xp_b_scratch[t_b].astype(jnp.float32), wq_b, sc_b, b_b)
+        h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
+        h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
+        out_f_ref[t] = h_f.astype(out_f_ref.dtype)
+        out_b_ref[t_b] = h_b.astype(out_b_ref.dtype)
+        return (h_f, h_b)
+
+    h_f, h_b = jax.lax.fori_loop(
+        0, time_block, step, (h_scratch[0], h_scratch[1]))
+    h_scratch[0] = h_f
+    h_scratch[1] = h_b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("time_block", "interpret"))
+def bigru_pallas_fullfused_int8(
+        x: jnp.ndarray, w_ih: jnp.ndarray, b_ih: jnp.ndarray,
+        w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        time_block: Optional[int] = None, interpret: bool = False):
+    """:func:`bigru_pallas_fullfused` with int8 recurrent weights."""
+    T, B, IN = x.shape
+    H = w_hh.shape[-1]
+    if time_block is None:
+        time_block = _pick_time_block(
+            T, B, H, budget_bytes=1 << 20, gates=3)
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    w_ih_t = jnp.swapaxes(w_ih, 1, 2).astype(jnp.bfloat16)
+    b_ih_row = b_ih.astype(jnp.float32).reshape(2, 1, 3 * H)
+    w_hh_t = jnp.swapaxes(w_hh, 1, 2).astype(jnp.float32)  # (2, H, 3H)
+    col_scale = jnp.max(jnp.abs(w_hh_t), axis=1, keepdims=True) / 127.0
+    col_scale = jnp.maximum(col_scale, 1e-12)
+    w_hh_q = jnp.round(w_hh_t / col_scale).astype(jnp.int8)
+    hh_scale = (col_scale / 127.0).astype(jnp.float32)  # (2, 1, 3H)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, 3 * H)
+
+    fwd_idx = lambda i: (i, 0, 0)                   # noqa: E731
+    bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)    # noqa: E731
+
+    kernel = functools.partial(
+        _bigru_fullfused_int8_kernel, time_block=time_block)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, IN), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, IN), bwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (time_block, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), bwd_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x, x, w_ih_t, b_ih_row, w_hh_q, hh_scale, b_hh_row, lengths2d)
+
+
 def bigru_stack_fullfused(layers, x: jnp.ndarray,
                           lengths: Optional[jnp.ndarray] = None,
                           compute_dtype=jnp.bfloat16,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          recurrent_quant: Optional[str] = None
+                          ) -> jnp.ndarray:
     """Bi-GRU stack with in-kernel input projections (lowest HBM).
 
     Unlike :func:`bigru_stack_fused`, no (T, B, 3H) projection
     intermediates are materialised in HBM — the peak-footprint limiter
-    at large batch.
+    at large batch. ``recurrent_quant='int8'`` switches the per-step
+    recurrent matmul to int8 weights/activations (2x MXU rate).
     """
     cd = compute_dtype or jnp.bfloat16
     out = jnp.swapaxes(x, 0, 1).astype(cd)  # (T, B, F)
+    layer_fn = (
+        bigru_pallas_fullfused_int8 if recurrent_quant == "int8"
+        else bigru_pallas_fullfused)
     for layer in layers:
         w_ih = jnp.stack([layer["fwd"]["w_ih"], layer["bwd"]["w_ih"]])
         b_ih = jnp.stack([layer["fwd"]["b_ih"], layer["bwd"]["b_ih"]])
         w_hh = jnp.stack([layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])
         b_hh = jnp.stack([layer["fwd"]["b_hh"], layer["bwd"]["b_hh"]])
-        fwd_out, bwd_out = bigru_pallas_fullfused(
+        fwd_out, bwd_out = layer_fn(
             out, w_ih, b_ih, w_hh, b_hh, lengths=lengths,
             interpret=interpret)
         out = jnp.concatenate([fwd_out, bwd_out], -1)

@@ -127,6 +127,35 @@ class TestFullFused:
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             atol=3e-2)
 
+    def test_int8_recurrent_matches_scan(self):
+        """int8 recurrent weights stay close to the f32 reference.
+
+        The quantisation error budget (h to 1/127, per-column weight
+        scales) is validated against the unquantised scan; consensus-QV
+        level validation runs on hardware in tests/perf/tpu_bench.py.
+        """
+        from medaka_tpu.ops.pallas_gru import bigru_stack_fullfused
+        model_layers = []
+        key = jax.random.PRNGKey(8)
+        for i in range(2):
+            in_size = 10 if i == 0 else 32
+            key, kf, kb = jax.random.split(key, 3)
+            model_layers.append({
+                "fwd": gru_layer_params(kf, in_size, 16),
+                "bwd": gru_layer_params(kb, in_size, 16)})
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.random((4, 32, 10)).astype(np.float32))
+        lengths = jnp.asarray(np.array([32, 20, 5, 32], np.int32))
+        ref = bigru_stack(
+            model_layers, x, compute_dtype=None, lengths=lengths)
+        got = bigru_stack_fullfused(
+            model_layers, x, lengths=lengths, interpret=True,
+            recurrent_quant="int8")
+        err = np.abs(np.asarray(got, np.float32)
+                     - np.asarray(ref, np.float32))
+        assert err.max() < 8e-2, err.max()
+        assert err.mean() < 1e-2, err.mean()
+
 
 class TestTrainableKernel:
     """The custom-VJP kernel pair must match XLA autodiff gradients."""
