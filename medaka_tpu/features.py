@@ -778,6 +778,66 @@ def calculate_dwells(rec: BamRecord) -> Optional[np.ndarray]:
     return np.minimum(out, np.iinfo(np.int8).max).astype(np.int8)
 
 
+def _read_matrix_native(reads, start, end, dtype_index, num_dtypes,
+                        include_dwells, include_haplotype, row_per_read,
+                        max_reads):
+    """Native read-level matrix; None when the library is unavailable.
+
+    Tag-derived per-read values (DT, HP, dwells from ``mv``) are parsed
+    here; the C kernel (``native/src/read_matrix.cpp``) does the
+    O(reads x bases) fill over raw BAM record bytes.
+    """
+    try:
+        from medaka_tpu import native
+    except Exception:  # pragma: no cover
+        return None
+    n = len(reads)
+    read_dtype = np.zeros(n, dtype=np.int32)
+    if num_dtypes > 1:
+        for i, rec in enumerate(reads):
+            dt_tag = rec.tags.get("DT")
+            if dt_tag is None or dt_tag not in dtype_index:
+                raise ValueError(
+                    "Datatype not found for {}.".format(rec.query_name))
+            read_dtype[i] = dtype_index[dt_tag]
+    read_hap = np.zeros(n, dtype=np.int8)
+    if include_haplotype:
+        for i, rec in enumerate(reads):
+            read_hap[i] = int(rec.tags.get("HP", 0))
+    dwell_off = np.full(n, -1, dtype=np.int64)
+    dwell_parts = []
+    if include_dwells:
+        total = 0
+        for i, rec in enumerate(reads):
+            dw = calculate_dwells(rec)
+            if dw is not None:
+                dwell_off[i] = total
+                dwell_parts.append(dw)
+                total += len(dw)
+    dwells = (np.concatenate(dwell_parts) if dwell_parts
+              else np.empty(0, np.int8))
+    raw = [r.raw for r in reads]
+    rec_off = np.zeros(n + 1, dtype=np.int64)
+    rec_off[1:] = np.cumsum([len(b) for b in raw])
+    try:
+        matrix, majors, minors, _left, _right = native.read_matrix_raw(
+            b"".join(raw), rec_off, read_dtype, read_hap, dwells,
+            dwell_off, start, end, num_dtypes, include_dwells,
+            include_haplotype, row_per_read, max_reads)
+    except native.NativeBuildError:  # pragma: no cover
+        return None
+    positions = make_positions(majors, minors)
+    if len(majors) == 0:
+        return [(matrix, positions)]
+    block_bounds = np.flatnonzero(np.diff(majors) > 1) + 1
+    if len(block_bounds) == 0:
+        return [(matrix, positions)]
+    out = []
+    for piece in np.split(np.arange(len(majors)), block_bounds):
+        out.append((matrix[piece], positions[piece]))
+    return out
+
+
 def read_alignment_matrix(
         region: Region, bam, dtype_prefixes=None, tag_name=None,
         tag_value=None, keep_missing=False, read_group=None, min_mapq=1,
@@ -831,6 +891,12 @@ def read_alignment_matrix(
 
     if not reads:
         return empty()
+
+    native_result = _read_matrix_native(
+        reads, start, end, dtype_index, num_dtypes, include_dwells,
+        include_haplotype, row_per_read, max_reads)
+    if native_result is not None:
+        return native_result
 
     events = [ReadEvents(rec, start, end) for rec in reads]
     events = [ev for ev in events if ev.cover_end > ev.cover_start]

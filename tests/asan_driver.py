@@ -67,6 +67,14 @@ def main():
     enc2 = CountsFeatureEncoder(read_group="nogroup")
     enc2.bam_to_sample(bam, Region("lambda_5kb", 0, 500))
 
+    # --- read_matrix.cpp: real reads, row reuse, caps, edges
+    from medaka_tpu.features import read_alignment_matrix
+    for mat, positions in read_alignment_matrix(region, bam):
+        assert len(mat) == len(positions)
+    read_alignment_matrix(
+        Region("lambda_5kb", 4900, 4970), bam, max_reads=5,
+        row_per_read=True, include_haplotype=True)
+
     print("ASAN_DRIVER_OK")
 
 

@@ -356,3 +356,52 @@ class TestReversibleLSTMVariant:
         assert set(state2) == set(
             k for k in tm.state_dict()
             if "num_batches" not in k)
+
+
+class TestNativeParity:
+    """The C kernel (native/src/read_matrix.cpp) must match the
+    vectorised Python fallback bit for bit on real-shaped data."""
+
+    @pytest.mark.parametrize(
+        "kwargs", [
+            {},
+            {"row_per_read": True},
+            {"include_dwells": False},
+            {"include_haplotype": True},
+            {"max_reads": 3},
+        ])
+    def test_native_matches_python(self, tmp_path, kwargs, monkeypatch):
+        import medaka_tpu.features as feat_mod
+        from medaka_tpu.io.bam import BamRecord, write_bam
+
+        rng = np.random.default_rng(33)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        ref = bases[rng.integers(0, 4, 6000)].tobytes().decode()
+        records = []
+        for i in range(40):
+            start = int(rng.integers(0, 4000))
+            ln = int(rng.integers(800, 2000))
+            piece = list(ref[start:start + ln])
+            # a few substitutions plus an insertion and a deletion
+            cigar = "{}=1X{}=2I{}=2D{}=".format(
+                100, 200, 150, ln - 100 - 1 - 200 - 150 - 2)
+            seq = "".join(piece[:451]) + "GG" + "".join(piece[451:ln - 2])
+            tags = {"HP": int(rng.integers(0, 3))}
+            records.append(BamRecord.build(
+                query_name="r{}".format(i), ref_id=0, pos=start,
+                seq=seq, qual=list(rng.integers(5, 40, len(seq))),
+                cigar=cigar, flag=16 if i % 3 == 0 else 0, mapq=60,
+                tags=tags))
+        records.sort(key=lambda r: r.pos)
+        bam = str(tmp_path / "parity.bam")
+        write_bam(bam, records, [("ref", len(ref))])
+
+        region = Region("ref", 100, 5800)
+        native_out = read_alignment_matrix(region, bam, **kwargs)
+        monkeypatch.setattr(
+            feat_mod, "_read_matrix_native", lambda *a, **k: None)
+        python_out = read_alignment_matrix(region, bam, **kwargs)
+        assert len(native_out) == len(python_out)
+        for (m_n, p_n), (m_p, p_p) in zip(native_out, python_out):
+            np.testing.assert_array_equal(p_n, p_p)
+            np.testing.assert_array_equal(m_n, m_p)
