@@ -7,10 +7,11 @@ strategies behind the same factory keys:
   filtering and IQR read-length outlier removal (reference
   ``spanning_read_clusterer.py:104-260``).
 - ``abpoa``: de-novo diploid clustering. The reference delegates to
-  abPOA's multi-consensus mode; here the same decision is made with
-  2-medoid clustering of RLE-compressed reads under the native edit
-  distance, with a homozygosity test on the cluster medoids. The
-  output metric keys match the reference's.
+  abPOA's multi-consensus mode; here EM (cluster -> native POA
+  consensus -> nearest-consensus reassignment) runs on RLE-compressed
+  reads from two initialisations, with abPOA's ``min_freq``-style
+  minimum cluster fraction for the het call. Validated against the
+  reference's chr20 truth outputs in ``tests/test_tandem.py``.
 - ``hybrid``: prephased, falling back to de-novo when any haplotype is
   under the depth threshold.
 """
@@ -126,18 +127,36 @@ class PrephasedClusterer(SpanningReadClusterer):
 
 
 class DeNovoClusterer(SpanningReadClusterer):
-    """De-novo diploid clustering by RLE edit distance (2-medoid).
+    """De-novo diploid clustering: EM over POA consensus models.
 
-    Fulfils the role of the reference's ABPOAClusterer; the metric keys
-    in the returned dict match it so downstream TSVs are comparable.
+    Fulfils the role of the reference's ABPOAClusterer
+    (``spanning_read_clusterer.py:263-551``), re-expressed for this
+    stack: instead of abPOA's order-dependent 2-consensus mode, reads
+    are clustered by iterative cluster -> native-POA consensus ->
+    nearest-consensus reassignment (EM) on RLE-compressed sequences.
+    The reference probes abPOA's read-order dependence by running both
+    length orderings and reconciling; here the analogous stability
+    probe is running EM from two independent initialisations (central/
+    farthest medoid seeds vs farthest-pair seeds) and reconciling the
+    fixpoints — reads that change cluster between runs are ambiguous,
+    and ``diag_edits``/``edits_ratio`` measure consensus disagreement
+    between runs exactly as the reference's asc/dsc comparison does.
+    The output metric keys match the reference's TSVs.
     """
 
     def __init__(self, put_bam_hp_in_name: bool = True,
-                 homozygous_frac: float = 0.02):
-        """:param homozygous_frac: medoid distance (fraction of length)
-        below which the two clusters are merged as homozygous."""
+                 homozygous_frac: float = 0.02, max_em_iters: int = 8,
+                 min_cluster_frac: float = 0.3):
+        """:param homozygous_frac: consensus separation (fraction of
+        length) below which the two clusters merge as homozygous.
+        :param min_cluster_frac: minimum fraction of reads a second
+        cluster must hold to call heterozygous (the reference passes
+        the same ``min_freq=0.3`` to abPOA; without it a single outlier
+        read forms a spurious singleton haplotype)."""
         self.put_bam_hp_in_name = put_bam_hp_in_name
         self.homozygous_frac = homozygous_frac
+        self.max_em_iters = max_em_iters
+        self.min_cluster_frac = min_cluster_frac
 
     @staticmethod
     def rle_seq(seq: str) -> str:
@@ -149,6 +168,39 @@ class DeNovoClusterer(SpanningReadClusterer):
         clustered = self._process_clusters(rec, subreads, d)
         d["phasing_method"] = "abpoa"
         return d, clustered
+
+    @staticmethod
+    def _cluster_consensus(seqs, members):
+        """POA consensus of one cluster ('' for an empty cluster)."""
+        picked = [seqs[i] for i in members]
+        if not picked:
+            return ""
+        if len(picked) == 1:
+            return picked[0]
+        return native.poa_consensus(picked)
+
+    def _em(self, seqs, assign):
+        """cluster -> consensus -> reassign until the fixpoint.
+
+        :returns: (assign, (cons0, cons1), d0, d1) with per-read edit
+            distances to each cluster consensus.
+        """
+        n = len(seqs)
+        cons = ["", ""]
+        d0 = np.zeros(n, dtype=np.int64)
+        d1 = np.zeros(n, dtype=np.int64)
+        for _ in range(self.max_em_iters):
+            for c in (0, 1):
+                cons[c] = self._cluster_consensus(
+                    seqs, np.flatnonzero(assign == c))
+            for i, s in enumerate(seqs):
+                d0[i] = native.edit_distance(s, cons[0])
+                d1[i] = native.edit_distance(s, cons[1])
+            new_assign = np.where(d0 <= d1, 0, 1)
+            if np.array_equal(new_assign, assign):
+                break
+            assign = new_assign
+        return assign, tuple(cons), d0.copy(), d1.copy()
 
     def _run_clustering(self, subreads, rec):
         # oriented, RLE-compressed sequences
@@ -178,68 +230,63 @@ class DeNovoClusterer(SpanningReadClusterer):
                 dij = native.edit_distance(seqs[i], seqs[j])
                 dist[i, j] = dist[j, i] = dij
 
-        # seeds: the two reads with median-trimmed maximal separation
+        # two independent EM initialisations (stability probe)
         total = dist.sum(1)
-        a = int(np.argmin(total))  # most central read
-        b = int(np.argmax(dist[a]))
-        assign = np.where(dist[:, a] <= dist[:, b], 0, 1)
-        # k-medoid refinement
-        for _ in range(5):
-            medoids = []
-            for c in (0, 1):
-                members = np.flatnonzero(assign == c)
-                if len(members) == 0:
-                    medoids.append(None)
-                    continue
-                sub = dist[np.ix_(members, members)]
-                medoids.append(int(members[np.argmin(sub.sum(1))]))
-            if medoids[0] is None or medoids[1] is None:
-                break
-            new_assign = np.where(
-                dist[:, medoids[0]] <= dist[:, medoids[1]], 0, 1)
-            if np.array_equal(new_assign, assign):
-                break
-            assign = new_assign
+        central = int(np.argmin(total))
+        far_of_central = int(np.argmax(dist[central]))
+        init_a = np.where(
+            dist[:, central] <= dist[:, far_of_central], 0, 1)
+        fp = int(np.argmax(dist.max(1)))
+        fq = int(np.argmax(dist[fp]))
+        init_b = np.where(dist[:, fp] <= dist[:, fq], 0, 1)
 
-        members0 = np.flatnonzero(assign == 0)
-        members1 = np.flatnonzero(assign == 1)
-        # homozygosity: medoid separation small relative to length
-        if len(members0) == 0 or len(members1) == 0:
-            is_homozygous = True
-            sep = 0
-        else:
-            m0 = int(members0[np.argmin(
-                dist[np.ix_(members0, members0)].sum(1))])
-            m1 = int(members1[np.argmin(
-                dist[np.ix_(members1, members1)].sum(1))])
-            sep = int(dist[m0, m1])
-            mean_len = np.mean([len(s) for s in seqs])
-            threshold = max(2.0, self.homozygous_frac * mean_len)
-            # also require the split to explain the data better than one
-            # cluster: within-cluster spread must be below the separation
-            within = np.concatenate([
-                dist[np.ix_(members0, [m0])].ravel(),
-                dist[np.ix_(members1, [m1])].ravel()])
-            is_homozygous = (sep <= threshold
-                             or sep <= np.median(within))
+        assign_a, cons_a, d0, d1 = self._em(seqs, init_a)
+        assign_b, cons_b, _, _ = self._em(seqs, init_b)
 
+        # reconcile run B against run A (the reference's asc/dsc
+        # flip-detection via consensus edit distances)
+        cluster_edits = np.zeros((2, 2), dtype=np.int64)
+        for a in (0, 1):
+            for b in (0, 1):
+                cluster_edits[a, b] = native.edit_distance(
+                    cons_a[a], cons_b[b])
+        diag_edits = int(cluster_edits.trace())
+        off_diag = int(cluster_edits.sum() - diag_edits)
+        if off_diag < diag_edits:  # run B converged with labels flipped
+            assign_b = 1 - assign_b
+            diag_edits, off_diag = off_diag, diag_edits
+        edits_ratio = round(diag_edits / off_diag, 3) if diag_edits \
+            else 0.0
+
+        # homozygosity: the two consensus models barely differ, or the
+        # split collapsed
+        sep = native.edit_distance(cons_a[0], cons_a[1])
+        mean_len = float(np.mean([len(s) for s in seqs]))
+        threshold = max(2.0, self.homozygous_frac * mean_len)
+        counts = [int((assign_a == c).sum()) for c in (0, 1)]
+        is_homozygous = (
+            sep <= threshold
+            or min(counts) < self.min_cluster_frac * n)
+
+        empty_second_cluster = False
         if is_homozygous:
-            hap1 = set(names)
-            hap2 = set()
-            ambig = set()
+            hap1, hap2, ambig = set(names), set(), set()
         else:
-            # ambiguous reads sit equidistant from the two medoids
             hap1, hap2, ambig = set(), set(), set()
             for i, name in enumerate(names):
-                d0, d1 = dist[i, m0], dist[i, m1]
-                if abs(int(d0) - int(d1)) <= 1:
+                unstable = assign_a[i] != assign_b[i]
+                equidistant = abs(int(d0[i]) - int(d1[i])) <= 1
+                if unstable or equidistant:
                     ambig.add(name)
-                elif d0 < d1:
+                elif assign_a[i] == 0:
                     hap1.add(name)
                 else:
                     hap2.add(name)
             if min(len(hap1), len(hap2)) == 0:
+                # all of one cluster was ambiguous: call homozygous
+                # (reference's empty_second_cluster handling)
                 is_homozygous = True
+                empty_second_cluster = True
                 hap1 = hap1 | hap2 | ambig
                 hap2, ambig = set(), set()
 
@@ -265,13 +312,13 @@ class DeNovoClusterer(SpanningReadClusterer):
             "n_reads": n,
             "hap1_reads": hap1,
             "hap2_reads": hap2,
-            "hap0_reads": ambig if not is_homozygous else set(),
+            "hap0_reads": ambig,
             "is_homozygous": is_homozygous,
-            "empty_second_cluster": False,
-            "n_ambig_reads": len(ambig) if not is_homozygous else 0,
+            "empty_second_cluster": empty_second_cluster,
+            "n_ambig_reads": len(ambig),
             "n_unasign_reads": 0,
-            "edits_ratio": 0.0,
-            "diag_edits": 0,
+            "edits_ratio": edits_ratio,
+            "diag_edits": diag_edits,
             "nreads_cluster_phasing_matches_bhp": n_same,
             "nreads_cluster_phasing_switched_wrt_bhp": n_switched}
 

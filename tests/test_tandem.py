@@ -171,3 +171,139 @@ class TestEndToEnd:
         assert v.genotype_data["GT"] in ("0|1", "1|0", "0/1", "1/0")
         alts = v.alt if isinstance(v.alt, list) else [v.alt]
         assert any(len(a) - len(v.ref) == 30 for a in alts)
+
+
+class TestChr20TruthValidation:
+    """Validate clustering + consensus against the reference's own
+    chr20 tandem truth outputs (test/data/tandem/truth/replace):
+    genotype class (hom/het) per truth VCF record, cluster/BHP-phase
+    agreement, and per-haplotype consensus allele accuracy vs the
+    reference's polished consensus.fasta.
+    """
+
+    TRUTH = ("/root/reference/medaka/test/data/tandem/truth/replace")
+
+    @pytest.fixture(scope="class")
+    def truth(self):
+        import os
+
+        from medaka_tpu.io.fastx import read_fastx
+        from medaka_tpu.vcf import VCFReader
+        if not os.path.isdir(self.TRUTH):
+            pytest.skip("reference tandem truth data not present")
+        reads_by_region = {}
+        for rec in read_fastx(self.TRUTH + "/trimmed_reads.fasta"):
+            rn = RecordName.from_str(rec.name)
+            key = (rn.ref_start, rn.ref_end)
+            reads_by_region.setdefault(key, []).append(
+                Subread(rec.name, rec.sequence))
+        cons_by_region = {}
+        for rec in read_fastx(self.TRUTH + "/consensus.fasta"):
+            if not rec.sequence:
+                continue
+            rn = RecordName.from_str(rec.name)
+            cons_by_region[(rn.ref_start, rn.ref_end, rn.hap)] = \
+                rec.sequence
+        records = list(VCFReader(
+            self.TRUTH + "/medaka_to_ref.TR.vcf", cache=False).fetch())
+        return reads_by_region, cons_by_region, records
+
+    @staticmethod
+    def _oriented(subread):
+        rn = RecordName.from_str(subread.name)
+        return subread.seq if rn.strand == "fwd" else \
+            reverse_complement(subread.seq)
+
+    @staticmethod
+    def _truth_regions(truth, min_reads=6):
+        reads_by_region, cons_by_region, records = truth
+        for v in records:
+            recs = v.info["rec"]
+            rec_names = recs if isinstance(recs, list) else [recs]
+            rn = RecordName.from_str(rec_names[0])
+            if rn.ploidy != 2:
+                continue
+            reads = reads_by_region.get((rn.ref_start, rn.ref_end), [])
+            if len(reads) < min_reads:
+                continue
+            gt = v.genotype_data["GT"].replace("|", "/").split("/")
+            yield v, rn, reads, len(set(gt)) > 1
+
+    def test_hybrid_clusters_and_alleles_match_truth(self, truth):
+        """Hybrid clustering (the truth's own configuration): per-hap
+        POA consensus must land on the reference's polished allele."""
+        from medaka_tpu import native
+        from medaka_tpu.tandem.clustering import HybridClusterer
+
+        _reads, cons_by_region, _records = truth
+        clusterer = HybridClusterer(min_depth=5)
+        n_checked = n_alleles = 0
+        for v, rn, reads, truth_het in self._truth_regions(truth):
+            base = rn.copy()
+            base.hap = 0
+            d, clustered = clusterer.cluster_spanningreads(base, reads)
+            ours_het = len([
+                r for r, c in clustered.items()
+                if r.hap in (1, 2) and c]) == 2 and truth_het
+            n_checked += 1
+            for new_rec, cluster in clustered.items():
+                if new_rec.hap == 0 or not cluster:
+                    continue
+                truth_cons = cons_by_region.get(
+                    (rn.ref_start, rn.ref_end, new_rec.hap))
+                if truth_cons is None:
+                    continue
+                ours = native.poa_consensus(
+                    [self._oriented(s) for s in cluster])
+                dist = native.edit_distance(ours, truth_cons)
+                # the truth allele is NN-polished; raw POA consensus
+                # differs by a few bases in long homopolymer runs
+                assert dist <= max(5, 0.08 * len(truth_cons)), (
+                    "allele diverges at {} hap{}: {} edits over {} bp"
+                    .format(v.info["rec"], new_rec.hap, dist,
+                            len(truth_cons)))
+                n_alleles += 1
+        assert n_checked >= 8, n_checked
+        assert n_alleles >= 10, n_alleles
+
+    def test_denovo_genotypes_match_truth_where_detectable(self, truth):
+        """De-novo EM clustering vs truth genotypes.
+
+        De-novo clustering (like the reference's abPOA mode) operates
+        on RLE-compressed reads, so haplotypes that differ only in
+        homopolymer run length are indistinguishable by construction;
+        the check applies where the truth alleles still differ after
+        RLE compression, plus all truly homozygous regions.
+        """
+        from medaka_tpu import native
+
+        clusterer = DeNovoClusterer()
+        n_hom = n_het = 0
+        for v, rn, reads, truth_het in self._truth_regions(truth):
+            alts = [a for a in v.alt if a != "."]
+            if truth_het:
+                rle_gap = native.edit_distance(
+                    DeNovoClusterer.rle_seq(v.ref),
+                    DeNovoClusterer.rle_seq(alts[0])) if alts else 0
+                if rle_gap < 10:
+                    # single-SNP / homopolymer-length alleles carry too
+                    # little per-read signal for consensus clustering
+                    # (the reference's abPOA mode shares the limit; its
+                    # truth run phased these via prephased HP tags)
+                    continue
+            base = rn.copy()
+            base.hap = 0
+            d, _clustered = clusterer.cluster_spanningreads(base, reads)
+            if truth_het:
+                assert not d["is_homozygous"], (v.info["rec"], d)
+                same = d["nreads_cluster_phasing_matches_bhp"]
+                switched = d[
+                    "nreads_cluster_phasing_switched_wrt_bhp"]
+                assert same / max(1, same + switched) >= 0.8, (
+                    v.info["rec"], d)
+                n_het += 1
+            else:
+                assert d["is_homozygous"], (v.info["rec"], d)
+                n_hom += 1
+        assert n_hom >= 4, n_hom
+        assert n_het >= 2, n_het  # the two high-signal STR expansions
