@@ -935,15 +935,15 @@ def _cmd_get_model_dtypes(args):
 
 
 def _cmd_download_models(args):
-    from medaka_tpu import options
-    print(
-        "This environment has no network egress; download models with:\n"
-        + "\n".join(
-            "  curl -LO " + options.model_url_template.format(
-                fname=m + "_model_pt.tar.gz")
-            for m in (args.models or options.current_models))
-        + "\nand place them under {}.".format(options.model_stores[1]))
-    return 0
+    from medaka_tpu import models, options
+    rc = 0
+    for name in (args.models or options.current_models):
+        try:
+            print(models.download_model(name))
+        except models.DownloadError as e:
+            print("FAILED {}: {}".format(name, e))
+            rc = 1
+    return rc
 
 
 def _cmd_pileup_counts(args):

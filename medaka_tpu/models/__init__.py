@@ -165,26 +165,92 @@ def open_model(path: str) -> ModelBundle:
     return load_model(path)
 
 
-def resolve_model(model: str) -> str:
+def _default_fetcher(url: str) -> bytes:
+    """Fetch a URL's bytes (supports http(s):// and file://)."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=120) as resp:
+        return resp.read()
+
+
+def download_model(name: str, fetcher=None, cache_dir: Optional[str] = None,
+                   url_template: Optional[str] = None) -> str:
+    """Download-and-cache a named model (reference ``models.py:39-139``).
+
+    The tarball is fetched (default: urllib over the reference's GitHub
+    URL template, which also accepts ``file://`` URLs), validated by
+    loading it, then moved into the cache. ``fetcher`` is injectable so
+    deployments can route through mirrors/artifact stores — and so the
+    path is testable without egress.
+
+    :param name: model name, e.g. ``r1041_e82_400bps_sup_v5.0.0``.
+    :param fetcher: callable url -> bytes (default urllib).
+    :param cache_dir: target directory (default the user model store).
+    :returns: path of the cached model file.
+    """
+    import tempfile
+
+    from medaka_tpu import options
+
+    logger = common.get_named_logger("ModelFetch")
+    if fetcher is None:
+        fetcher = _default_fetcher
+    if cache_dir is None:
+        cache_dir = options.model_stores[-1]
+    template = url_template or options.model_url_template
+    fname = name + "_model_pt.tar.gz"
+    url = template.format(fname=fname)
+    logger.info("Fetching %s", url)
+    try:
+        blob = fetcher(url)
+    except Exception as e:
+        raise DownloadError(
+            "Could not fetch model {!r} from {} ({}). This environment "
+            "may lack network egress; place the file under {} "
+            "manually.".format(name, url, e, cache_dir)) from e
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = tempfile.NamedTemporaryFile(
+        dir=cache_dir, suffix=".part", delete=False)
+    try:
+        tmp.write(blob)
+        tmp.close()
+        load_model(tmp.name)  # validation: must be a loadable bundle
+        target = os.path.join(cache_dir, fname)
+        os.replace(tmp.name, target)
+    except Exception:
+        os.unlink(tmp.name)
+        raise
+    logger.info("Cached %s", target)
+    return target
+
+
+class DownloadError(RuntimeError):
+    """Raised when a model cannot be fetched or validated."""
+
+
+def resolve_model(model: str, fetcher=None) -> str:
     """Resolve a model name or path to a loadable file path.
 
-    Unlike the reference there is no model download here (the execution
-    environment has no network egress); a model must exist on disk or in the
-    package data directory.
+    Search order mirrors the reference (``models.py:39-139``): explicit
+    path, package data dir, user cache, then download-and-cache for
+    known model names (requires egress, or an injected ``fetcher``).
     """
+    from medaka_tpu import options
+
     if os.path.exists(model):
         return model
     data_dir = os.path.join(os.path.dirname(__file__), "..", "data")
-    for suffix in ("_model_pt.tar.gz", ".tar.gz", ""):
-        candidate = os.path.join(data_dir, model + suffix)
-        if os.path.exists(candidate):
-            return candidate
-    home = os.path.join(
-        os.path.expanduser("~"), ".medaka_tpu", "data")
-    for suffix in ("_model_pt.tar.gz", ".tar.gz", ""):
-        candidate = os.path.join(home, model + suffix)
-        if os.path.exists(candidate):
-            return candidate
+    home = os.path.join(os.path.expanduser("~"), ".medaka_tpu", "data")
+    for base in (data_dir, home):
+        for suffix in ("_model_pt.tar.gz", ".tar.gz", ""):
+            candidate = os.path.join(base, model + suffix)
+            if os.path.exists(candidate):
+                return candidate
+    if model in getattr(options, "known_models", ()):
+        try:
+            return download_model(model, fetcher=fetcher)
+        except DownloadError as e:
+            raise FileNotFoundError(str(e)) from e
     raise FileNotFoundError(
         "Could not resolve model {!r}; provide a model file path.".format(
             model))

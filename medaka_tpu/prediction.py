@@ -299,21 +299,40 @@ class Predictor:
         return self.fetch(self.dispatch(batch), batch.n_valid)
 
 
-def auto_batch_size(model, backend=None) -> int:
-    """TPU-first default inference batch size.
+def auto_batch_size(model, backend=None, chunk_len: int = 10000,
+                    hbm_bytes: Optional[int] = None) -> int:
+    """TPU-first default inference batch size, scaled to fit HBM.
 
     Large batches keep the fused recurrence kernels MXU-bound: on a
     v5e chip B=512 measures ~1.6x the columns/s of B=128 for the
-    counts bi-GRU. CPU backends stay at 128; read-level (4D feature)
-    models use 128 too (measured 3x the throughput of B=8, and the
-    conv activations at larger batches approach the memory budget).
+    2x256 counts bi-GRU. The batch is sized from an HBM model of the
+    fullfused kernel's live buffers (~two (T, B, 2H) bf16 layer
+    concatenations; calibrated so the default 2x256/T=10000 geometry
+    on 16 GB HBM lands exactly on the measured-good B=512, with B=1024
+    known to fail compilation), so wider models or longer chunks
+    degrade gracefully instead of hitting a compile-time wall. CPU
+    backends and read-level (4D-feature) models use 128 (measured 3x
+    the throughput of B=8; conv activations bound larger batches).
     """
     if backend is None:
         backend = jax.default_backend()
-    if backend != "cpu" and \
-            getattr(model, "input_kind", "counts") == "counts":
-        return 512
-    return 128
+    if backend == "cpu" or \
+            getattr(model, "input_kind", "counts") != "counts":
+        return 128
+    if hbm_bytes is None:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm_bytes = stats.get("bytes_limit")
+        except Exception:
+            hbm_bytes = None
+        if not hbm_bytes:
+            hbm_bytes = 16 << 30
+    hidden = getattr(model, "gru_size", 256)
+    width = 2 * hidden if getattr(model, "bidirectional", True) else hidden
+    per_row = 2 * chunk_len * width * 2  # two live bf16 buffers
+    budget = int(0.62 * hbm_bytes)
+    batch = (budget // per_row) // 64 * 64
+    return int(max(32, min(512, batch)))
 
 
 def run_prediction(
@@ -336,7 +355,7 @@ def run_prediction(
     if full_precision:
         compute_dtype = None
     if batch_size is None:
-        batch_size = auto_batch_size(model)
+        batch_size = auto_batch_size(model, chunk_len=chunk_len)
         logger.info("Auto batch size: %d.", batch_size)
     predictor = Predictor(
         model, params, mesh=mesh, compute_dtype=compute_dtype)
@@ -501,7 +520,7 @@ def predict_from_features(
     if model is None:
         raise ValueError("Provide model_path or model/params.")
     if batch_size is None:
-        batch_size = auto_batch_size(model)
+        batch_size = auto_batch_size(model, chunk_len=chunk_len)
         logger.info("Auto batch size: %d.", batch_size)
     compute_dtype = None if full_precision else jnp.bfloat16
     predictor = Predictor(

@@ -270,3 +270,64 @@ class TestExportAndScrape:
                "bc_model_scrape_minknow.fastq.gz")
         # the minknow-format file carries a sup model
         assert model_from_basecaller(fq2) == "r1041_e82_400bps_sup_v4.2.0"
+
+
+class TestModelDownload:
+    """Download-and-cache with an injectable fetcher (file:// URLs)."""
+
+    def _bundle(self, path):
+        import jax
+
+        from medaka_tpu import models
+        from medaka_tpu.models.gru import GRUModel
+        model = GRUModel(gru_size=8)
+        models.save_model(
+            str(path), model, model.init_params(jax.random.PRNGKey(0)))
+        return str(path)
+
+    def test_download_model_file_url(self, tmp_path):
+        from medaka_tpu import models
+        src = self._bundle(tmp_path / "src.tar.gz")
+        cache = tmp_path / "cache"
+        template = "file://" + str(tmp_path / "{fname}")
+        import shutil
+        shutil.copyfile(
+            src, str(tmp_path / "mymodel_model_pt.tar.gz"))
+        out = models.download_model(
+            "mymodel", cache_dir=str(cache), url_template=template)
+        assert out.endswith("mymodel_model_pt.tar.gz")
+        bundle = models.load_model(out)
+        assert bundle.model.gru_size == 8
+
+    def test_download_validates_garbage(self, tmp_path):
+        from medaka_tpu import models
+        (tmp_path / "bad_model_pt.tar.gz").write_bytes(b"not a tarball")
+        with pytest.raises(Exception):
+            models.download_model(
+                "bad", cache_dir=str(tmp_path / "cache"),
+                url_template="file://" + str(tmp_path / "{fname}"))
+        assert not (tmp_path / "cache" / "bad_model_pt.tar.gz").exists()
+
+    def test_resolve_known_model_downloads(self, tmp_path, monkeypatch):
+        from medaka_tpu import models, options
+        src = self._bundle(tmp_path / "src.tar.gz")
+        name = options.current_models[0]
+        import shutil
+        shutil.copyfile(
+            src, str(tmp_path / (name + "_model_pt.tar.gz")))
+        monkeypatch.setattr(
+            options, "model_url_template",
+            "file://" + str(tmp_path / "{fname}"))
+        monkeypatch.setattr(
+            options, "model_stores",
+            (str(tmp_path / "pkg"), str(tmp_path / "home")))
+        out = models.resolve_model(name)
+        assert (tmp_path / "home" / (name + "_model_pt.tar.gz")).exists()
+        assert models.load_model(out).model is not None
+
+    def test_download_error_without_egress(self, tmp_path):
+        from medaka_tpu import models
+        with pytest.raises(models.DownloadError, match="egress"):
+            models.download_model(
+                "nonexistent", cache_dir=str(tmp_path),
+                url_template="file:///does/not/exist/{fname}")
