@@ -232,3 +232,149 @@ class TestRLEDecoding:
         s = Sample("chr1", None, None, None,
                    make_positions(range(4), [0] * 4), probs)
         assert scheme.decode_consensus(s) == "AACGGG"
+
+
+class TestDiploidProbToSnp:
+    """Per-case diploid genotype decoding (reference
+    ``test_labels.py:548-588``)."""
+
+    def _call(self, pair, ref_symbol, return_all=False):
+        scheme = DiploidLabelScheme()
+        key = tuple(sorted(pair, key="*ACGT".index))
+        probs = np.zeros((1, scheme.num_classes), dtype=np.float32)
+        probs[0, scheme._encoding[key]] = 1.0
+        s = Sample("chr1", None, None, None,
+                   make_positions([10], [0]), probs)
+        scheme.ref_seq = "N" * 10 + ref_symbol
+        scheme.secondary_threshold = 0.04
+        scheme.ref_vcf = None
+        return scheme._prob_to_snp(
+            probs, np.array([10]), "chr1", [ref_symbol],
+            return_all=return_all)
+
+    def test_homozygous_ref_gvcf(self):
+        [v] = self._call(("C", "C"), "C", return_all=True)
+        assert (v.alt, v.genotype_data["GT"]) == (["."], "0/0")
+
+    def test_homozygous_ref_skipped(self):
+        assert self._call(("C", "C"), "C") == []
+
+    def test_homozygous_alt(self):
+        [v] = self._call(("A", "A"), "C")
+        assert (v.ref, v.alt, v.genotype_data["GT"]) == ("C", ["A"], "1/1")
+
+    def test_heterozygous_double(self):
+        [v] = self._call(("A", "T"), "C")
+        assert (v.alt, v.genotype_data["GT"]) == (["A", "T"], "1/2")
+
+    def test_heterozygous_single(self):
+        [v] = self._call(("C", "T"), "C")
+        assert (v.alt, v.genotype_data["GT"]) == (["T"], "0/1")
+
+    def test_homozygous_deletion_ignored(self):
+        assert self._call(("*", "*"), "C") == []
+
+    def test_het_ref_deletion_ignored(self):
+        assert self._call(("C", "*"), "C") == []
+
+    def test_het_alt_deletion_becomes_hom_alt(self):
+        [v] = self._call(("T", "*"), "C")
+        assert (v.alt, v.genotype_data["GT"]) == (["T"], "1/1")
+
+
+class TestDiploidDecodeSnpsGolden:
+    def test_pair_label_table(self):
+        """Mirror of the reference's diploid decode_snps golden
+        (``test_labels.py:590-629``): two haplotype strings over a
+        gapped reference decode to an exact variant table."""
+        ref = "CATGCGTCGATGCAT*G"
+        hp1 = "gAgGTGatacT*CATCG".upper()
+        hp2 = "Cca***T*c**a**c**".upper()
+
+        scheme = DiploidLabelScheme()
+        majors, minors = [], []
+        major = -1
+        for r in ref:
+            if r == "*":
+                minors.append(minors[-1] + 1 if ref else 1)
+            else:
+                major += 1
+                minors.append(0)
+            majors.append(major)
+        probs = np.zeros(
+            (len(ref), scheme.num_classes), dtype=np.float32)
+        for i, (a, b) in enumerate(zip(hp1, hp2)):
+            key = tuple(sorted((a, b), key="*ACGT".index))
+            probs[i, scheme._encoding[key]] = 1.0
+        s = Sample("chr1", None, None, None,
+                   make_positions(majors, minors), probs)
+        variants = sorted(
+            scheme.decode_snps(s, ref.replace("*", "")),
+            key=lambda v: v.pos)
+        expected = [
+            (0, "C", ["G"], "0/1"),
+            (1, "A", ["C"], "0/1"),
+            (2, "T", ["A", "G"], "1/2"),
+            (4, "C", ["T"], "1/1"),
+            (6, "T", ["A"], "0/1"),
+            (7, "C", ["T"], "1/1"),
+            (8, "G", ["A", "C"], "1/2"),
+            (9, "A", ["C"], "1/1"),
+            (11, "G", ["A"], "1/1"),
+            (14, "T", ["C"], "0/1"),
+        ]
+        got = [
+            (v.pos, v.ref, v.alt, v.genotype_data["GT"])
+            for v in variants]
+        assert got == expected
+
+
+class TestRLEGolden:
+    """RLE scheme goldens (reference ``test_labels.py:635-705``)."""
+
+    def test_encoding_table(self):
+        scheme = RLELabelScheme(max_run=3)
+        expected = {
+            (("*", 1),): 0, (("A", 1),): 1, (("A", 2),): 2,
+            (("A", 3),): 3, (("C", 1),): 4, (("C", 2),): 5,
+            (("C", 3),): 6, (("G", 1),): 7, (("G", 2),): 8,
+            (("G", 3),): 9, (("T", 1),): 10, (("T", 2),): 11,
+            (("T", 3),): 12}
+        assert dict(scheme._encoding) == expected
+        assert scheme.num_classes == 13
+        assert scheme.padding_vector == 0
+
+    def test_alignment_to_pairs_caps_runs(self):
+        """Insertions, deletions and a run above max_run (capped)."""
+        from medaka_tpu.io.bam import BamRecord
+        scheme = RLELabelScheme(max_run=3)
+        aln = BamRecord.build(
+            query_name="query", ref_id=1, pos=10,
+            seq="ACATGATGTAC", cigar="3=1I2=1D5=", flag=0, mapq=60,
+            qual=[2, 1, 4, 5, 1, 1, 2, 16, 2, 3, 4])
+        expected = (
+            (10, ("A", 2)), (11, ("C", 1)), (12, ("A", 3)),
+            (None, ("T", 3)), (13, ("G", 1)), (14, ("A", 1)),
+            (15, ("*", 1)), (16, ("T", 2)), (17, ("G", 3)),
+            (18, ("T", 2)), (19, ("A", 3)), (20, ("C", 3)))
+        assert tuple(scheme._alignment_to_pairs(aln)) == expected
+
+    def test_decode_consensus_expansion_golden(self):
+        scheme = RLELabelScheme(max_run=3)
+        probs = np.zeros((6, 13), dtype=np.float32)
+        for i, cls in enumerate((10, 5, 0, 3, 8, 5)):
+            probs[i, cls] = 0.9
+        s = Sample("chr1", None, None, None,
+                   make_positions(range(6), [0] * 6), probs)
+        assert scheme.decode_consensus(s) == "TCCAAAGGCC"
+
+    def test_max_run_boundary_rounds(self):
+        """Runs exactly at and above max_run clip to max_run."""
+        scheme = RLELabelScheme(max_run=3)
+        from medaka_tpu.io.bam import BamRecord
+        aln = BamRecord.build(
+            query_name="q", ref_id=0, pos=0, seq="AC",
+            cigar="2=", flag=0, mapq=60, qual=[3, 200 - 33])
+        pairs = tuple(scheme._alignment_to_pairs(aln))
+        assert pairs[0][1] == ("A", 3)
+        assert pairs[1][1] == ("C", 3)
