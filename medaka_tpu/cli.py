@@ -117,6 +117,10 @@ def main(argv=None):
         "--batch_size", type=int, default=None,
         help="Batch size (default: auto — 512 for counts models on TPU, 128 otherwise).")
     p.add_argument("--bam_workers", type=int, default=2)
+    p.add_argument(
+        "--feature_processes", type=int, default=0,
+        help="Featurize regions in this many worker processes instead "
+             "of threads (threads win on few-core hosts; see PARITY.md).")
     p.add_argument("--bam_chunk", type=int, default=1_000_000)
     p.add_argument(
         "--full_precision", action="store_true",
@@ -653,6 +657,7 @@ def _cmd_inference(args):
             chunk_len=args.chunk_len, chunk_overlap=args.chunk_ovlp,
             bam_workers=args.bam_workers, bam_chunk=args.bam_chunk,
             full_precision=args.full_precision,
+            feature_processes=args.feature_processes,
             encoder_overrides=overrides or None,
             save_features=args.save_features)
     if args.check_output:

@@ -154,6 +154,10 @@ class Region(tuple):
     def __new__(cls, ref_name: str, start: Optional[int], end: Optional[int]):
         return tuple.__new__(cls, (ref_name, start, end))
 
+    def __getnewargs__(self):
+        """Pickle support (tuple subclass with a custom __new__)."""
+        return tuple(self)
+
     @property
     def ref_name(self):  # noqa: D102
         return self[0]

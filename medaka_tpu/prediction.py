@@ -90,6 +90,26 @@ class Batch:
         return cls(feats, lengths, list(samples))
 
 
+def _featurize_region_task(bam, region, encoder, chunk_len, chunk_overlap):
+    """Featurize one region in a worker process.
+
+    Runs in a spawned child (no JAX/device state); returns picklable
+    Samples plus the quarantined short sub-regions' samples.
+    """
+    from medaka_tpu import features as F
+
+    gen = F.SampleGenerator(
+        bam, region, encoder, chunk_len=chunk_len,
+        chunk_overlap=chunk_overlap)
+    samples = list(gen.samples)
+    quarantined = []
+    for qregion, _size in gen._quarantined:
+        sub = F.SampleGenerator(
+            bam, qregion, encoder, enable_chunking=False)
+        quarantined.append((qregion, list(sub.samples)))
+    return samples, quarantined
+
+
 class DataLoader:
     """Threaded region → sample → batch pipeline.
 
@@ -98,12 +118,22 @@ class DataLoader:
     remainder/quarantine accounting the reference tracks, though with the
     masked-scan design quarantined short regions are simply featurized
     with chunking disabled and ride in normal batches.
+
+    ``feature_processes`` moves featurization into worker *processes*
+    (spawned, JAX-free). Measured on the 4-core dev host the THREAD
+    path wins (~4 Mcols/s at 2-4 workers; the native pileup kernel
+    releases the GIL) while processes pay sample pickling/IPC
+    (~1.8 Mcols/s); the flag exists for many-core hosts where thread
+    marshalling may saturate. Workers are spawned, so programmatic
+    callers need the standard ``if __name__ == "__main__"`` guard (the
+    CLI always satisfies this).
     """
 
     def __init__(self, bam, regions: Iterable[Region], feature_encoder,
                  batch_size: int = 128, chunk_len: int = 10000,
                  chunk_overlap: int = 1000, bam_workers: int = 2,
-                 sample_cache_size: int = 8, batch_cache_size: int = 8):
+                 sample_cache_size: int = 8, batch_cache_size: int = 8,
+                 feature_processes: int = 0):
         self.logger = common.get_named_logger("DataLoader")
         self.bam = bam
         self.regions = list(regions)
@@ -121,17 +151,61 @@ class DataLoader:
         self._errors: List[BaseException] = []
         self.n_samples = 0
         self.remainder_regions: List[Region] = []
+        self.feature_processes = feature_processes
 
-        self._workers = [
-            threading.Thread(
-                target=self._region_worker, daemon=True,
-                name="bam_worker_{}".format(i))
-            for i in range(self.bam_workers)]
+        if feature_processes > 0:
+            self._workers = [threading.Thread(
+                target=self._process_pool_feeder, daemon=True,
+                name="feature_proc_feeder")]
+        else:
+            self._workers = [
+                threading.Thread(
+                    target=self._region_worker, daemon=True,
+                    name="bam_worker_{}".format(i))
+                for i in range(self.bam_workers)]
         self._batcher = threading.Thread(
             target=self._batch_worker, daemon=True, name="batcher")
         for t in self._workers:
             t.start()
         self._batcher.start()
+
+    def _process_pool_feeder(self):
+        import concurrent.futures
+        import multiprocessing
+
+        try:
+            ctx = multiprocessing.get_context("spawn")
+            with concurrent.futures.ProcessPoolExecutor(
+                    self.feature_processes, mp_context=ctx) as ex:
+                in_flight = collections.deque()
+                region_iter = iter(self.regions)
+                exhausted = False
+                while in_flight or not exhausted:
+                    while not exhausted and \
+                            len(in_flight) < 2 * self.feature_processes:
+                        try:
+                            region = next(region_iter)
+                        except StopIteration:
+                            exhausted = True
+                            break
+                        in_flight.append(ex.submit(
+                            _featurize_region_task, self.bam, region,
+                            self.fencoder, self.chunk_len,
+                            self.chunk_overlap))
+                    if not in_flight:
+                        break
+                    samples, quarantined = in_flight.popleft().result()
+                    for sample in samples:
+                        self._sample_q.put(sample)
+                    for qregion, qsamples in quarantined:
+                        self.remainder_regions.append(qregion)
+                        for sample in qsamples:
+                            self._sample_q.put(sample)
+        except BaseException as e:  # pragma: no cover
+            self.logger.exception("Featurization process pool failed.")
+            self._errors.append(e)
+        finally:
+            self._sample_q.put(None)
 
     def _region_worker(self):
         try:
@@ -342,7 +416,7 @@ def run_prediction(
         chunk_len: int = 10000, chunk_overlap: int = 1000,
         bam_workers: int = 2, compute_dtype=jnp.bfloat16,
         mesh=None, full_precision: bool = False,
-        save_features: bool = False):
+        save_features: bool = False, feature_processes: int = 0):
     """Run inference and write probability samples to ``output``.
 
     Reference: ``medaka/prediction.py:14-81``.
@@ -362,7 +436,7 @@ def run_prediction(
     loader = DataLoader(
         bam, regions, feature_encoder, batch_size=batch_size,
         chunk_len=chunk_len, chunk_overlap=chunk_overlap,
-        bam_workers=bam_workers)
+        bam_workers=bam_workers, feature_processes=feature_processes)
 
     total_region_mbases = sum(r.size for r in regions) / 1e6
     t0 = now()
@@ -428,7 +502,7 @@ def predict(
         chunk_overlap: int = 1000, bam_workers: int = 2,
         bam_chunk: int = 1_000_000, full_precision: bool = False,
         mesh=None, encoder_overrides: Optional[Dict] = None,
-        save_features: bool = False):
+        save_features: bool = False, feature_processes: int = 0):
     """Top-level inference entry (reference ``prediction.py:84-222``).
 
     Either ``model_path`` (native tarball or reference ``.tar.gz``) or an
@@ -490,7 +564,8 @@ def predict(
         label_scheme=label_scheme, batch_size=batch_size,
         chunk_len=chunk_len, chunk_overlap=chunk_overlap,
         bam_workers=bam_workers, full_precision=full_precision,
-        mesh=mesh, save_features=save_features)
+        mesh=mesh, save_features=save_features,
+        feature_processes=feature_processes)
 
 
 def predict_from_features(

@@ -286,3 +286,23 @@ def test_save_features(tmp_path):
         assert names
         grp = f["samples/data"][names[0]]
         assert "features" in grp and "label_probs" in grp
+
+
+def test_feature_processes_match_threads(tmp_path):
+    """Process-pool featurization produces the same batches as threads."""
+    path, _ = make_single_read_bam(str(tmp_path / "p.bam"), ref_len=4000)
+    regions = [Region("ref", 0, 4000)]
+
+    def collect(**kw):
+        loader = prediction.DataLoader(
+            path, regions, CountsFeatureEncoder(), batch_size=4,
+            chunk_len=1000, chunk_overlap=100, **kw)
+        out = []
+        for batch in loader:
+            for s in batch.samples:
+                out.append((s.name, s.features.tobytes()))
+        return sorted(out)
+
+    threads = collect(bam_workers=2)
+    procs = collect(feature_processes=2)
+    assert threads == procs
