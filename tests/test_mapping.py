@@ -203,3 +203,48 @@ class TestMapqModel:
         for h in hits:
             assert (h.query_end - h.query_start) == pytest.approx(
                 1500, abs=60)
+
+
+class TestUnmappedReadsAreUnalignable:
+    def test_unmapped_reads_fail_direct_sw(self, tmp_path):
+        """The ~46% unmapped fraction is real, not mapper misses.
+
+        A sample of reads the mapper rejects is aligned directly with
+        Smith-Waterman against the full draft (both strands); their
+        best identity must be far below what any true lambda read
+        achieves, while a sample of mapped reads scores high.
+        """
+        from medaka_tpu.io.fastx import FastaReader, read_fastx
+
+        draft = FastaReader(
+            WORKFLOW + "/reference.fasta").fetch("lambda_5kb")
+        m = native.Mapper([("lambda_5kb", draft)])
+
+        def sw_identity(seq):
+            best = 0
+            for s in (seq, reverse_complement(seq)):
+                aln = native.align(s, draft, mode="sw")
+                # matches=2, mismatch=-4 scoring: score/2 bounds matches
+                best = max(best, aln.score / 2.0 / max(1, len(s)))
+            return best
+
+        mapped_ids, unmapped_ids = [], []
+        reads = {}
+        for rec in read_fastx(WORKFLOW + "/reads.fq.gz"):
+            if len(mapped_ids) >= 15 and len(unmapped_ids) >= 15:
+                break
+            if not (200 < len(rec.sequence) < 3000):
+                continue
+            hit = m.map(rec.sequence)
+            reads[rec.name] = rec.sequence
+            (mapped_ids if hit else unmapped_ids).append(rec.name)
+        assert len(unmapped_ids) >= 15  # the unmappable fraction exists
+
+        unmapped_scores = [
+            sw_identity(reads[n]) for n in unmapped_ids[:15]]
+        mapped_scores = [sw_identity(reads[n]) for n in mapped_ids[:15]]
+        # measured separation: mapped reads' score/len is >= 0.41 on
+        # this data; unmapped reads have essentially no alignment at
+        # all (<= 0.04) — they are foreign sequence, not mapper misses
+        assert min(mapped_scores) > 0.3, mapped_scores
+        assert max(unmapped_scores) < 0.1, unmapped_scores
