@@ -368,3 +368,29 @@ def test_truncated_hdf5_clear_error(tmp_path):
         f.truncate(96)
     with pytest.raises(OSError, match="truncated HDF5"):
         DataStore(p, "a")
+
+
+class TestTrainedModelFullLoop:
+    """The bundled trained GRU (Q28.5 validation on the reference's
+    training features) polishes the real workflow reads to the same
+    6-edit consensus as the majority-vote golden — the framework's
+    train -> infer -> decode loop is self-consistent end to end."""
+
+    def test_bundled_model_polishes_workflow(self, tmp_path):
+        from medaka_tpu import mapping, models, native
+        from medaka_tpu.io.fastx import FastaReader
+
+        WORKFLOW = "/root/reference/medaka/test/data/workflow"
+        bundle = models.load_model(
+            models.resolve_model("gru256_lambda_demo"))
+        out = mapping.consensus_workflow(
+            WORKFLOW + "/reads.fq.gz", WORKFLOW + "/reference.fasta",
+            str(tmp_path / "wf"), model=bundle.model,
+            params=bundle.params,
+            feature_encoder=bundle.feature_encoder,
+            label_scheme=bundle.label_scheme,
+            threads=4, batch_size=8, chunk_len=2000, chunk_ovlp=200)
+        cons = FastaReader(out).fetch("lambda_5kb")
+        draft = FastaReader(
+            WORKFLOW + "/reference.fasta").fetch("lambda_5kb")
+        assert native.edit_distance(cons, draft) <= 8
