@@ -63,7 +63,7 @@ def bench_qv(model_path, bam):
     scheme = bundle.label_scheme or HaploidLabelScheme()
     samples = enc.bam_to_sample(bam, Region("lambda_5kb", 0, 4970))
     outs = {}
-    for quant in (None, "int8"):
+    for quant in (None, "int8", "bf16_gates"):
         seqs, quals = [], []
         for s in samples:
             probs = np.asarray(bundle.model.apply(
@@ -77,22 +77,24 @@ def bench_qv(model_path, bam):
                 qual.encode(), np.uint8).astype(np.int32) - 33)
         outs[quant] = ("".join(seqs), np.concatenate(quals))
     bf_seq, bf_q = outs[None]
-    i8_seq, i8_q = outs["int8"]
-    same = bf_seq == i8_seq
-    print("consensus identical:", same, flush=True)
-    if same:
-        dq = np.abs(bf_q - i8_q)
-        print("mean QV {:.2f} -> {:.2f}; mean|dQ| {:.3f} max|dQ| {}"
-              .format(bf_q.mean(), i8_q.mean(), dq.mean(), dq.max()),
-              flush=True)
-    else:
-        from medaka_tpu import native
-        print("edit distance bf16 vs int8:",
-              native.edit_distance(bf_seq, i8_seq), flush=True)
+    for quant in ("int8", "bf16_gates"):
+        q_seq, q_q = outs[quant]
+        same = bf_seq == q_seq
+        print(quant, "consensus identical:", same, flush=True)
+        if same:
+            dq = np.abs(bf_q - q_q)
+            print("  mean QV {:.2f} -> {:.2f}; mean|dQ| {:.3f} "
+                  "max|dQ| {}".format(
+                      bf_q.mean(), q_q.mean(), dq.mean(), dq.max()),
+                  flush=True)
+        else:
+            from medaka_tpu import native
+            print("  edit distance vs bf16:",
+                  native.edit_distance(bf_seq, q_seq), flush=True)
 
 
 def main():
-    for quant in (None, "int8"):
+    for quant in (None, "int8", "bf16_gates"):
         bench_forward(quant)
     if "--qv" in sys.argv:
         i = sys.argv.index("--qv")

@@ -162,7 +162,9 @@ def test_small_tools(workspace, tmp_path, monkeypatch):
         "tools", "get_alignment_params", workspace["model"]]) == 0
     assert run_cli([
         "tools", "get_model_dtypes", workspace["model"]]) == 0
-    assert run_cli(["tools", "download_models"]) == 0
+    # real downloads now: fails cleanly (rc 1) without network egress
+    assert run_cli([
+        "tools", "download_models", "--models", "somemodel"]) == 1
 
     # pileup_counts bench tool
     assert run_cli([
