@@ -480,7 +480,7 @@ def bilstm_stack_fused(layers, x: jnp.ndarray,
 def _bigru_fullfused_kernel(
         x_f_ref, x_b_ref, w_ih_t_ref, b_ih_ref, w_hh_t_ref, b_hh_ref,
         lengths_ref, out_f_ref, out_b_ref, h_scratch, xp_f_scratch,
-        xp_b_scratch, *, time_block: int):
+        xp_b_scratch, *, time_block: int, gates_bf16: bool = False):
     """Both directions with in-kernel input projections.
 
     Eliminates the (T, B, 3H) HBM intermediates the two-stage variant
@@ -522,23 +522,37 @@ def _bigru_fullfused_kernel(
     fwd_start = i * time_block
     bwd_start = (n_blocks - 1 - i) * time_block
 
+    gd = jnp.bfloat16 if gates_bf16 else jnp.float32
+    one = jnp.asarray(1.0, gd)
+    if gates_bf16:
+        # Mosaic's logistic/tanh lowerings broadcast f32 scalar
+        # constants into bf16 vectors (verifier error); spell the
+        # nonlinearities out with explicitly-typed constants instead.
+        def _sig(v):
+            return one / (one + jnp.exp(-v))
+
+        def _tanh(v):
+            e = jnp.exp(jnp.asarray(-2.0, gd) * v)
+            return (one - e) / (one + e)
+    else:
+        _sig, _tanh = jax.nn.sigmoid, jnp.tanh
+
     def cell(h, xp, w, b):
-        hp = jnp.dot(
+        hp = (jnp.dot(
             h.astype(w.dtype), w,
-            preferred_element_type=jnp.float32) + b
-        r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
-        z = jax.nn.sigmoid(
+            preferred_element_type=jnp.float32) + b).astype(gd)
+        r = _sig(xp[:, :hidden] + hp[:, :hidden])
+        z = _sig(
             xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
-        n = jnp.tanh(
+        n = _tanh(
             xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
-        return (1.0 - z) * n + z * h
+        return ((one - z) * n + z * h.astype(gd)).astype(jnp.float32)
 
     def step(t, carry):
         h_f, h_b = carry
         t_b = time_block - 1 - t
-        nh_f = cell(h_f, xp_f_scratch[t].astype(jnp.float32), w_f, b_f)
-        nh_b = cell(
-            h_b, xp_b_scratch[t_b].astype(jnp.float32), w_b, b_b)
+        nh_f = cell(h_f, xp_f_scratch[t].astype(gd), w_f, b_f)
+        nh_b = cell(h_b, xp_b_scratch[t_b].astype(gd), w_b, b_b)
         h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
         h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
         out_f_ref[t] = h_f.astype(out_f_ref.dtype)
@@ -552,12 +566,13 @@ def _bigru_fullfused_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("time_block", "interpret"))
+    jax.jit, static_argnames=("time_block", "interpret", "gates_bf16"))
 def bigru_pallas_fullfused(
         x: jnp.ndarray, w_ih: jnp.ndarray, b_ih: jnp.ndarray,
         w_hh: jnp.ndarray, b_hh: jnp.ndarray,
         lengths: Optional[jnp.ndarray] = None,
-        time_block: Optional[int] = None, interpret: bool = False):
+        time_block: Optional[int] = None, interpret: bool = False,
+        gates_bf16: bool = False):
     """One bi-GRU layer with in-kernel input projection.
 
     :param x: (T, B, IN) time-major layer input (bf16 recommended).
@@ -584,7 +599,8 @@ def bigru_pallas_fullfused(
     bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)    # noqa: E731
 
     kernel = functools.partial(
-        _bigru_fullfused_kernel, time_block=time_block)
+        _bigru_fullfused_kernel, time_block=time_block,
+        gates_bf16=gates_bf16)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -780,9 +796,13 @@ def bigru_stack_fullfused(layers, x: jnp.ndarray,
     """
     cd = compute_dtype or jnp.bfloat16
     out = jnp.swapaxes(x, 0, 1).astype(cd)  # (T, B, F)
-    layer_fn = (
-        bigru_pallas_fullfused_int8 if recurrent_quant == "int8"
-        else bigru_pallas_fullfused)
+    if recurrent_quant == "int8":
+        layer_fn = bigru_pallas_fullfused_int8
+    elif recurrent_quant == "bf16_gates":
+        layer_fn = functools.partial(
+            bigru_pallas_fullfused, gates_bf16=True)
+    else:
+        layer_fn = bigru_pallas_fullfused
     for layer in layers:
         w_ih = jnp.stack([layer["fwd"]["w_ih"], layer["bwd"]["w_ih"]])
         b_ih = jnp.stack([layer["fwd"]["b_ih"], layer["bwd"]["b_ih"]])
