@@ -1,10 +1,16 @@
 """Worker for the jax.distributed localhost-coordinator test.
 
-Usage: python multihost_worker.py <coordinator> <num_processes> <pid>
+Usage: python multihost_worker.py <coordinator> <num_processes> <pid> \
+    [result_file]
 
 Each process joins the cluster, then performs a cross-process
 allgather so the test exercises a real collective over the
 coordinator-established grpc channels (not just the handshake).
+
+The result is written to ``result_file`` (when given) rather than
+stdout: gloo writes its connection banners straight to fd 1 and can
+interleave mid-line with Python's buffered stdout, which made
+stdout-matching flaky.
 """
 import sys
 
@@ -27,7 +33,11 @@ def main():
     gathered = multihost_utils.process_allgather(jnp.array([pid]))
     vals = sorted(int(v) for v in gathered.ravel())
     assert vals == list(range(n)), vals
-    print("DIST_OK", pid, vals)
+    msg = "DIST_OK {} {}".format(pid, vals)
+    if len(sys.argv) > 4:
+        with open(sys.argv[4], "w") as fh:
+            fh.write(msg + "\n")
+    print(msg)
 
 
 if __name__ == "__main__":

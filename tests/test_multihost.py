@@ -130,7 +130,7 @@ class TestMultiProcessInference:
 
 
 class TestDistributedCoordinator:
-    def test_localhost_cluster_allgather(self):
+    def test_localhost_cluster_allgather(self, tmp_path):
         """jax.distributed.initialize + a real cross-process collective."""
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
@@ -139,17 +139,19 @@ class TestDistributedCoordinator:
         env = dict(os.environ)
         env["PYTHONPATH"] = str(HERE.parent) + ":" + env.get(
             "PYTHONPATH", "")
+        results = [tmp_path / "dist{}.txt".format(pid) for pid in range(2)]
         procs = [
             subprocess.Popen(
                 [sys.executable, str(HERE / "multihost_worker.py"),
-                 coord, "2", str(pid)],
+                 coord, "2", str(pid), str(results[pid])],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True, cwd=str(HERE.parent), env=env)
             for pid in range(2)]
-        outs = []
         for p in procs:
             stdout, _ = p.communicate(timeout=300)
-            outs.append(stdout)
             assert p.returncode == 0, stdout
-        for pid, out in enumerate(outs):
-            assert "DIST_OK {}".format(pid) in out, out
+        for pid, res in enumerate(results):
+            # results go through files: gloo banners interleave
+            # mid-line with buffered stdout (observed flake).
+            out = res.read_text()
+            assert "DIST_OK {} [0, 1]".format(pid) in out, out
