@@ -370,6 +370,11 @@ def main(argv=None):
     p.add_argument("ref_fname")
     p.add_argument("--regions", nargs="+", default=None)
     p.add_argument("--threads", type=int, default=1)
+    p.add_argument(
+        "--use_fast5_info", nargs=2, default=None,
+        metavar=("FAST5_DIR", "SUMMARY"),
+        help="Root directory of fast5 files and a summary TSV with "
+             "read_id and filename columns; adds WL/WK Weibull tags.")
     p.set_defaults(func=_cmd_compress_bam)
 
     # --- smolecule -------------------------------------------------------
@@ -446,6 +451,15 @@ def main(argv=None):
     tp = toolsub.add_parser(
         "list_models", help="List models bundled or cached locally.")
     tp.set_defaults(func=_cmd_list_models)
+
+    tp = toolsub.add_parser(
+        "rlebam",
+        help="Add run-length (WL/WK) tags to a SAM stream from fast5s.")
+    tp.add_argument(
+        "read_index",
+        help="Two-column TSV mapping read_ids to fast5 filepaths.")
+    tp.add_argument("--workers", type=int, default=4)
+    tp.set_defaults(func=_cmd_rlebam)
 
     tp = toolsub.add_parser(
         "resolve_model", help="Resolve a model name to a file path.")
@@ -860,7 +874,14 @@ def _cmd_compress_bam(args):
     regions = _regions_arg(args.regions) if args.regions else None
     rle.compress_bam(
         args.bam_input, args.bam_output, args.ref_fname,
-        regions=regions, threads=args.threads)
+        regions=regions, threads=args.threads,
+        use_fast5_info=args.use_fast5_info)
+    return 0
+
+
+def _cmd_rlebam(args):
+    from medaka_tpu import rle
+    rle.rlebam(args.read_index, workers=args.workers)
     return 0
 
 

@@ -65,6 +65,24 @@ def reverse_complement(seq: str) -> str:
     return seq.translate(_COMPLEMENT)[::-1]
 
 
+def read_key_value_tsv(fname: str) -> dict:
+    """Read a two-column TSV into a key -> value dict.
+
+    Equivalent of the reference's C-backed ``read_key_value``
+    (``common.py:991-1011`` / ``src/medaka_common.c``); used by the
+    ``rlebam`` read index.
+    """
+    result = {}
+    with open(fname) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            key, value = line.split("\t", 1)
+            result[key] = value
+    return result
+
+
 def rle(array) -> np.ndarray:
     """Run-length encode a 1-D array.
 

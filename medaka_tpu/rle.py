@@ -5,13 +5,15 @@ Functional equivalent of the reference's ``medaka/rle.py`` and the
 sequences with run lengths carried in phred qualities, plus
 re-alignment of reads in RLE space (``compress_bam``).
 
-The fast5 Weibull-parameter path (``WL``/``WK`` tags from
-``ont_fast5_api``) is gated: the execution environment has no fast5
-stack, so requesting it raises with a clear message.
+The fast5 Weibull-parameter path (``WL``/``WK`` tags) is implemented
+directly on h5py (`medaka_tpu.io.fast5`) rather than through
+``ont_fast5_api``; fast5 files are plain HDF5.
 """
 from __future__ import annotations
 
+import concurrent.futures
 import os
+import sys
 from typing import List, Optional
 
 import numpy as np
@@ -120,8 +122,15 @@ def add_extra_clipping(cigar: str, start_clip: int, end_clip: int) -> str:
     return merge(merge(cigar, start_clip, True), end_clip, False)
 
 
-def _compress_alignment(rec, ref_rle: RLEConverter):
-    """Re-align one read in RLE space (reference ``rle.py:94-188``)."""
+def _compress_alignment(rec, ref_rle: RLEConverter, fast5_index=None):
+    """Re-align one read in RLE space (reference ``rle.py:94-188``).
+
+    When ``fast5_index`` (a `medaka_tpu.io.fast5.Fast5Index`) is given,
+    per-base Weibull parameters are looked up in the read's fast5 file
+    and attached as ``WL``/``WK`` float-array tags. Following the
+    reference's ``get_rl_params`` (``rle.py:78-91``), ``WL`` carries
+    the table's ``shape`` column and ``WK`` its ``scale`` column.
+    """
     logger = common.get_named_logger("Compress_bam")
     if rec.flag & (4 | 256):
         logger.info(
@@ -154,10 +163,37 @@ def _compress_alignment(rec, ref_rle: RLEConverter):
         len(query_rle.compact_basecall) - qc_end)
     rstart += rc_start
 
+    tags = {}
+    if fast5_index is not None:
+        if rec.query_name not in fast5_index:
+            logger.warning(
+                "Not found in summary file: %s", rec.query_name)
+            return None
+        try:
+            fast5_call, wl, wk = fast5_index.get_rl_params(rec.query_name)
+        except (KeyError, FileNotFoundError) as exc:
+            logger.info(
+                "RLE table not found for read %s: %s",
+                rec.query_name, exc)
+            return None
+        # fast5 tables are in read orientation; flip for reverse hits
+        if rec.flag & 16:
+            wl = wl[::-1]
+            wk = wk[::-1]
+            fast5_call = common.reverse_complement(fast5_call)
+        if fast5_call != query_rle.compact_basecall:
+            logger.warning(
+                "RLE table within fast5 file is inconsistent with "
+                "compressed basecall for read %s. %s != %s",
+                rec.query_name, fast5_call, query_rle.compact_basecall)
+            return None
+        tags = {"WL": np.asarray(wl, np.float32),
+                "WK": np.asarray(wk, np.float32)}
+
     quals = np.minimum(query_rle.homop_length, 255).astype(int).tolist()
     return align_mod.initialise_alignment(
         rec.query_name, rec.ref_id, rstart, query_rle.compact_basecall,
-        cigar, rec.flag, query_qualities=quals)
+        cigar, rec.flag, query_qualities=quals, tags=tags)
 
 
 def compress_bam(
@@ -172,10 +208,11 @@ def compress_bam(
     """
     from medaka_tpu.io.fastx import FastaReader
 
+    fast5_index = None
     if use_fast5_info:
-        raise NotImplementedError(
-            "fast5 Weibull parameters (WL/WK tags) require ont_fast5_api "
-            "which is not available in this environment.")
+        from medaka_tpu.io.fast5 import Fast5Index
+        fast5_dir, summary = use_fast5_info
+        fast5_index = Fast5Index(fast5_dir, summary)
     regions = common.get_bam_regions(bam_input, regions)
     ref_fasta = FastaReader(ref_fname)
     records = []
@@ -190,7 +227,8 @@ def compress_bam(
             ref_rle = ref_rles[region.ref_name]
             for rec in reader.fetch(
                     region.ref_name, region.start, region.end):
-                out = _compress_alignment(rec, ref_rle)
+                out = _compress_alignment(
+                    rec, ref_rle, fast5_index=fast5_index)
                 if out is not None:
                     records.append(out)
     compressed_refs = [
@@ -200,3 +238,67 @@ def compress_bam(
         for name, length in references]
     write_bam(bam_output, records, compressed_refs)
     return bam_output
+
+
+def _decorate_sam_line(line: str, read_id, is_rev, fname):
+    """Append WL/WK tags from a fast5 file to one SAM line.
+
+    Reference worker: ``rle.py:296-337``. Header lines (``read_id`` is
+    None) and reads whose run-length table is invalid (adjacent equal
+    bases — not a valid RLE sequence) pass through unchanged. Note the
+    reference's rlebam tag assignment (``WL`` <- ``scale``,
+    ``WK`` <- ``shape``) is the transpose of its ``compress_bam`` path;
+    we mirror each path's behaviour for output parity.
+    """
+    logger = common.get_named_logger("BAMDecor")
+    if read_id is None:
+        return line
+    from medaka_tpu.io import fast5 as fast5_mod
+    call, shape, scale = fast5_mod.get_runlength_basecall(fname, read_id)
+    if any(a == b for a, b in zip(call[1:], call[:-1])):
+        logger.info(
+            "Invalid RLE/basecall dataset for %s in file %s.",
+            read_id, fname)
+        return line
+    w_scale, w_shape = scale, shape
+    if is_rev:
+        w_scale = w_scale[::-1]
+        w_shape = w_shape[::-1]
+    return "{}\t{}\t{}".format(
+        line,
+        "WL:B:f," + ",".join(str(float(x)) for x in w_scale),
+        "WK:B:f," + ",".join(str(float(x)) for x in w_shape))
+
+
+def rlebam(read_index: str, workers: int = 4, input_sam=None, output=None):
+    """Decorate a SAM stream with WL/WK run-length tags from fast5s.
+
+    The ``medaka tools rlebam`` entry (reference ``rle.py:340-363``):
+    reads SAM from stdin, appends Weibull parameter tags looked up via
+    a two-column read_id -> fast5-path index, writes SAM to stdout.
+    """
+    logger = common.get_named_logger("BAMDecor")
+    index = common.read_key_value_tsv(read_index)
+    logger.info("Found %d reads in index", len(index))
+    input_sam = input_sam if input_sam is not None else sys.stdin
+    output = output if output is not None else sys.stdout
+
+    def _ingress():
+        for line in input_sam:
+            if line.startswith("@"):
+                yield line.rstrip(), None, None, None
+            else:
+                read_id, flag, _ = line.split("\t", 2)
+                is_rev = bool(int(flag) & 16)
+                yield line.rstrip(), read_id, bool(is_rev), index[read_id]
+
+    with concurrent.futures.ProcessPoolExecutor(
+            max_workers=workers) as executor:
+        for decorated in executor.map(
+                _decorate_sam_line_star, _ingress(), chunksize=10):
+            output.write(decorated + "\n")
+
+
+def _decorate_sam_line_star(args):
+    """Tuple-unpacking shim for executor.map."""
+    return _decorate_sam_line(*args)

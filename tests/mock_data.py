@@ -68,3 +68,40 @@ def create_simple_bam(path, calls=None):
 def create_truth_bam(path):
     """Write the truth alignment BAM."""
     return write_bam(path, [_to_record(TRUTH)], [(REF_NAME, len(REF_SEQ))])
+
+
+def create_mock_fast5(path, analysis="Basecall_1D_000"):
+    """Write a multi-read fast5 (plain HDF5) with RunlengthBasecall data.
+
+    Mirrors the reference's ``mock_fast5_file`` (``mock_data.py:133-159``):
+    each basecall's compact sequence with its WL (shape) / WK (scale)
+    values, stored in read orientation (reverse-complemented for
+    flag-16 reads).
+    """
+    import h5py
+
+    from medaka_tpu.common import reverse_complement
+
+    data_path = "read_{}/Analyses/" + analysis + \
+        "/BaseCalled_template/RunlengthBasecall"
+    with h5py.File(path, "w") as h5:
+        for name, seq, _quals, _cigar, _mapq, flag, tags in CALLS:
+            bases, shapes, scales = seq, tags["WL"], tags["WK"]
+            if flag & 16:
+                bases = reverse_complement(bases)
+                shapes = shapes[::-1]
+                scales = scales[::-1]
+            arr = np.fromiter(
+                zip((c.encode() for c in bases), shapes, scales),
+                dtype=[("base", "S1"), ("shape", ">f4"), ("scale", ">f4")])
+            h5.create_dataset(data_path.format(name), data=arr)
+    return path
+
+
+def create_mock_summary(path, fast5_fname):
+    """Write a summary TSV linking each mock read to a fast5 file."""
+    with open(path, "w") as fh:
+        fh.write("read_id\tfilename\n")
+        for name, *_ in CALLS:
+            fh.write("{}\t{}\n".format(name, fast5_fname))
+    return path

@@ -24,7 +24,11 @@ import time
 import numpy as np
 
 B, T, H, IN = 512, 10000, 256, 256
-TIME_BLOCK = 32
+# 16, not the production 32: this harness feeds PRE-projected
+# (T, B, 3H) inputs (the production kernel projects in-kernel from
+# (T, B, IN)), so its input windows are 3x larger and time_block=32
+# overflows the 128M vmem budget.
+TIME_BLOCK = 16
 
 
 def make_kernel(mode):
