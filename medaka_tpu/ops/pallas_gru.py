@@ -44,6 +44,42 @@ def _pick_time_block(T: int, B: int, H: int, budget_bytes: int = 4 << 20,
     return best
 
 
+def _fullfused_vmem_bytes(bt: int, B: int, H: int, IN: int) -> int:
+    """VMEM footprint estimate of the fullfused kernel at time_block bt.
+
+    Counts the double-buffered input/output windows, the two projection
+    scratches, the f32 hidden-state scratch, and the resident weights.
+    """
+    inputs = 2 * 2 * bt * B * IN * 2          # 2 dirs, double-buffered
+    outputs = 2 * 2 * bt * B * H * 2
+    xp_scratch = 2 * bt * B * 3 * H * 2
+    h_scratch = 2 * B * H * 4
+    weights = 2 * (IN + H) * 3 * H * 2 + 2 * 2 * 3 * H * 4
+    return inputs + outputs + xp_scratch + h_scratch + weights
+
+
+# Scoped-VMEM ceiling requested for the fullfused kernels.  The
+# compiler's default scoped limit is 16 MB, which forces time_block=1
+# at the production geometry (B=512) — one grid step, two input DMAs
+# and a degenerate (B, IN) projection matmul per time step.  v5e cores
+# have 128 MB of VMEM; raising the limit lets the chooser below pick
+# time blocks that amortise grid overhead and batch the projections.
+_FULLFUSED_VMEM_LIMIT = 100 << 20
+_FULLFUSED_VMEM_TARGET = 56 << 20
+
+
+def _fullfused_time_block(T: int, B: int, H: int, IN: int) -> int:
+    """Largest divisor of T whose full buffer set fits the target."""
+    best = 1
+    for bt in range(1, T + 1):
+        if T % bt:
+            continue
+        if _fullfused_vmem_bytes(bt, B, H, IN) > _FULLFUSED_VMEM_TARGET:
+            break
+        best = bt
+    return best
+
+
 def _gru_kernel(x_proj_ref, w_hh_t_ref, b_hh_ref, lengths_ref, out_ref,
                 h_scratch, *, time_block: int, reverse: bool):
     """One time-block of the recurrence. Grid walks blocks sequentially."""
@@ -565,14 +601,99 @@ def _bigru_fullfused_kernel(
     h_scratch[1] = h_b
 
 
+def _bigru_fullfused_kernel_staggered(
+        x_f_ref, x_b_ref, w_ih_t_ref, b_ih_ref, w_hh_t_ref, b_hh_ref,
+        lengths_ref, out_f_ref, out_b_ref, h_scratch, hp_scratch,
+        xp_f_scratch, xp_b_scratch, *, time_block: int):
+    """Fullfused kernel with software-pipelined direction chains.
+
+    Same math as ``_bigru_fullfused_kernel``, different instruction
+    order: the backward chain runs half a step behind the forward one,
+    so every serial (B, H) x (H, 3H) recurrence matmul on the MXU is
+    immediately followed by the *other* direction's (independent) VPU
+    gate block — the units overlap instead of idling in turn.  The
+    pending backward pre-activation rides the loop carry and persists
+    across grid blocks in ``hp_scratch``.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    hidden = h_scratch.shape[-1]
+    B = h_scratch.shape[-2]
+    w_ih_f = w_ih_t_ref[0]   # (IN, 3H) bf16
+    w_ih_b = w_ih_t_ref[1]
+    b_ih_f = b_ih_ref[0]     # (1, 3H)
+    b_ih_b = b_ih_ref[1]
+    w_f = w_hh_t_ref[0]      # (H, 3H) bf16
+    w_b = w_hh_t_ref[1]
+    b_f = b_hh_ref[0]
+    b_b = b_hh_ref[1]
+
+    @pl.when(i == 0)
+    def _init():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+        # pending pre-activation of h_b = 0: 0 @ w_b + b_b
+        hp_scratch[...] = jnp.broadcast_to(
+            b_b, hp_scratch.shape).astype(jnp.float32)
+
+    xf = x_f_ref[...].reshape(time_block * B, x_f_ref.shape[-1])
+    xb = x_b_ref[...].reshape(time_block * B, x_b_ref.shape[-1])
+    xp_f_scratch[...] = (
+        jnp.dot(xf, w_ih_f, preferred_element_type=jnp.float32)
+        + b_ih_f).reshape(
+            time_block, B, 3 * hidden).astype(jnp.bfloat16)
+    xp_b_scratch[...] = (
+        jnp.dot(xb, w_ih_b, preferred_element_type=jnp.float32)
+        + b_ih_b).reshape(
+            time_block, B, 3 * hidden).astype(jnp.bfloat16)
+
+    lengths = lengths_ref[...]
+    fwd_start = i * time_block
+    bwd_start = (n_blocks - 1 - i) * time_block
+
+    def gates(h, xp, hp):
+        r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+        z = jax.nn.sigmoid(
+            xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
+        n = jnp.tanh(xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
+        return (1.0 - z) * n + z * h
+
+    def step(t, carry):
+        h_f, h_b, hp_b = carry
+        t_b = time_block - 1 - t
+        # MXU: fwd matmul, while the VPU runs the bwd gate block on
+        # the pre-activation carried from the previous half-step.
+        hp_f = jnp.dot(h_f.astype(w_f.dtype), w_f,
+                       preferred_element_type=jnp.float32) + b_f
+        nh_b = gates(h_b, xp_b_scratch[t_b].astype(jnp.float32), hp_b)
+        h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
+        out_b_ref[t_b] = h_b.astype(out_b_ref.dtype)
+        # MXU: bwd matmul (feeds the NEXT step), while the VPU runs
+        # the fwd gate block.
+        hp_b = jnp.dot(h_b.astype(w_b.dtype), w_b,
+                       preferred_element_type=jnp.float32) + b_b
+        nh_f = gates(h_f, xp_f_scratch[t].astype(jnp.float32), hp_f)
+        h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
+        out_f_ref[t] = h_f.astype(out_f_ref.dtype)
+        return (h_f, h_b, hp_b)
+
+    h_f, h_b, hp_b = jax.lax.fori_loop(
+        0, time_block, step,
+        (h_scratch[0], h_scratch[1], hp_scratch[...]))
+    h_scratch[0] = h_f
+    h_scratch[1] = h_b
+    hp_scratch[...] = hp_b
+
+
 @functools.partial(
-    jax.jit, static_argnames=("time_block", "interpret", "gates_bf16"))
+    jax.jit, static_argnames=(
+        "time_block", "interpret", "gates_bf16", "schedule"))
 def bigru_pallas_fullfused(
         x: jnp.ndarray, w_ih: jnp.ndarray, b_ih: jnp.ndarray,
         w_hh: jnp.ndarray, b_hh: jnp.ndarray,
         lengths: Optional[jnp.ndarray] = None,
         time_block: Optional[int] = None, interpret: bool = False,
-        gates_bf16: bool = False):
+        gates_bf16: bool = False, schedule: str = "sequential"):
     """One bi-GRU layer with in-kernel input projection.
 
     :param x: (T, B, IN) time-major layer input (bf16 recommended).
@@ -584,6 +705,12 @@ def bigru_pallas_fullfused(
     T, B, IN = x.shape
     H = w_hh.shape[-1]
     if time_block is None:
+        # Measured (PARITY.md round-2 ablations): time_block=1 beats
+        # 10/20 at B=512 (31.5 vs 29-30M cols/s) — the per-step block
+        # DMAs pipeline better than block-batched projections, so the
+        # small default budget (which forces tb=1 at production batch)
+        # is kept deliberately. _fullfused_time_block + the raised
+        # vmem limit remain available via explicit time_block.
         time_block = _pick_time_block(
             T, B, H, budget_bytes=1 << 20, gates=3)
     n_blocks = T // time_block
@@ -598,9 +725,20 @@ def bigru_pallas_fullfused(
     fwd_idx = lambda i: (i, 0, 0)                   # noqa: E731
     bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)    # noqa: E731
 
-    kernel = functools.partial(
-        _bigru_fullfused_kernel, time_block=time_block,
-        gates_bf16=gates_bf16)
+    scratch_shapes = [
+        pltpu.VMEM((2, B, H), jnp.float32),
+        pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+        pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+    ]
+    if schedule == "staggered":
+        kernel = functools.partial(
+            _bigru_fullfused_kernel_staggered, time_block=time_block)
+        # pending bwd pre-activation persists across grid blocks
+        scratch_shapes.insert(1, pltpu.VMEM((B, 3 * H), jnp.float32))
+    else:
+        kernel = functools.partial(
+            _bigru_fullfused_kernel, time_block=time_block,
+            gates_bf16=gates_bf16)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -625,11 +763,9 @@ def bigru_pallas_fullfused(
             jax.ShapeDtypeStruct((T, B, H), x.dtype),
             jax.ShapeDtypeStruct((T, B, H), x.dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, B, H), jnp.float32),
-            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
-            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
-        ],
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
         interpret=interpret,
     )(x, x, w_ih_t, b_ih_row, w_hh_t, b_hh_row, lengths2d)
 
@@ -727,6 +863,12 @@ def bigru_pallas_fullfused_int8(
     T, B, IN = x.shape
     H = w_hh.shape[-1]
     if time_block is None:
+        # Measured (PARITY.md round-2 ablations): time_block=1 beats
+        # 10/20 at B=512 (31.5 vs 29-30M cols/s) — the per-step block
+        # DMAs pipeline better than block-batched projections, so the
+        # small default budget (which forces tb=1 at production batch)
+        # is kept deliberately. _fullfused_time_block + the raised
+        # vmem limit remain available via explicit time_block.
         time_block = _pick_time_block(
             T, B, H, budget_bytes=1 << 20, gates=3)
     n_blocks = T // time_block
@@ -777,6 +919,8 @@ def bigru_pallas_fullfused_int8(
             pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
             pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
         interpret=interpret,
     )(x, x, w_ih_t, b_ih_row, w_hh_q, hh_scale, b_hh_row, lengths2d)
 
@@ -801,6 +945,11 @@ def bigru_stack_fullfused(layers, x: jnp.ndarray,
     elif recurrent_quant == "bf16_gates":
         layer_fn = functools.partial(
             bigru_pallas_fullfused, gates_bf16=True)
+    elif recurrent_quant == "staggered":
+        # scheduling variant, not a quantisation: software-pipelined
+        # direction chains (see _bigru_fullfused_kernel_staggered)
+        layer_fn = functools.partial(
+            bigru_pallas_fullfused, schedule="staggered")
     else:
         layer_fn = bigru_pallas_fullfused
     for layer in layers:

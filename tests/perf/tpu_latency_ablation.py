@@ -24,11 +24,11 @@ import time
 import numpy as np
 
 B, T, H, IN = 512, 10000, 256, 256
-# 16, not the production 32: this harness feeds PRE-projected
+# 4, not the production 32: this harness feeds PRE-projected
 # (T, B, 3H) inputs (the production kernel projects in-kernel from
-# (T, B, IN)), so its input windows are 3x larger and time_block=32
-# overflows the 128M vmem budget.
-TIME_BLOCK = 16
+# (T, B, IN)), so its double-buffered input windows are 3x larger and
+# anything above time_block=2 overflows the 16M scoped vmem limit.
+TIME_BLOCK = 2
 
 
 def make_kernel(mode):
@@ -65,11 +65,29 @@ def make_kernel(mode):
             n = jnp.tanh(xp[:, 2 * H:] + r * hp[:, 2 * H:])
             return (1.0 - z) * n + z * h
 
+        def gates(h, xp, hp):
+            r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+            z = jax.nn.sigmoid(xp[:, H:2 * H] + hp[:, H:2 * H])
+            n = jnp.tanh(xp[:, 2 * H:] + r * hp[:, 2 * H:])
+            return (1.0 - z) * n + z * h
+
         def step(t, carry):
             h_f, h_b = carry
             t_b = time_block - 1 - t
-            h_f = cell(h_f, x_f_ref[t].astype(jnp.float32), w_f, b_f)
-            h_b = cell(h_b, x_b_ref[t_b].astype(jnp.float32), w_b, b_b)
+            if mode == "full_il":
+                # both MXU matmuls issued before any VPU gate work, so
+                # the second matmul can overlap the first gate block
+                xp_f = x_f_ref[t].astype(jnp.float32)
+                xp_b = x_b_ref[t_b].astype(jnp.float32)
+                hp_f = jnp.dot(h_f.astype(w_f.dtype), w_f,
+                               preferred_element_type=jnp.float32) + b_f
+                hp_b = jnp.dot(h_b.astype(w_b.dtype), w_b,
+                               preferred_element_type=jnp.float32) + b_b
+                h_f = gates(h_f, xp_f, hp_f)
+                h_b = gates(h_b, xp_b, hp_b)
+            else:
+                h_f = cell(h_f, x_f_ref[t].astype(jnp.float32), w_f, b_f)
+                h_b = cell(h_b, x_b_ref[t_b].astype(jnp.float32), w_b, b_b)
             out_f_ref[t] = h_f.astype(out_f_ref.dtype)
             out_b_ref[t_b] = h_b.astype(out_b_ref.dtype)
             return (h_f, h_b)
@@ -125,7 +143,8 @@ def main():
         dtype=jnp.bfloat16)
     b = jnp.asarray(np.zeros((2, 1, 3 * H), np.float32))
 
-    modes = sys.argv[1:] or ["nocell", "gates_only", "matmul_only", "full"]
+    modes = sys.argv[1:] or [
+        "nocell", "gates_only", "matmul_only", "full", "full_il"]
     for mode in modes:
         run = make_kernel(mode)
         t0 = time.perf_counter()

@@ -127,6 +127,37 @@ class TestFullFused:
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             atol=3e-2)
 
+    def test_staggered_schedule_bitwise_matches_sequential(self):
+        """The software-pipelined schedule reorders ops, not math.
+
+        Measured slower on hardware (negative result, PARITY.md) but
+        kept as an ablation point; its outputs must stay bitwise equal
+        to the default schedule.
+        """
+        from medaka_tpu.ops.pallas_gru import bigru_pallas_fullfused
+        rng = np.random.default_rng(3)
+        T, B, IN, H = 24, 8, 16, 16
+        x = jnp.asarray(
+            rng.standard_normal((T, B, IN)) * 0.3, jnp.bfloat16)
+        w_ih = jnp.asarray(
+            rng.standard_normal((2, 3 * H, IN)) * 0.2, jnp.float32)
+        b_ih = jnp.asarray(
+            rng.standard_normal((2, 3 * H)) * 0.1, jnp.float32)
+        w_hh = jnp.asarray(
+            rng.standard_normal((2, 3 * H, H)) * 0.2, jnp.float32)
+        b_hh = jnp.asarray(
+            rng.standard_normal((2, 3 * H)) * 0.1, jnp.float32)
+        lengths = jnp.asarray(rng.integers(5, T + 1, B), jnp.int32)
+        seq = bigru_pallas_fullfused(
+            x, w_ih, b_ih, w_hh, b_hh, lengths=lengths,
+            time_block=4, interpret=True)
+        stag = bigru_pallas_fullfused(
+            x, w_ih, b_ih, w_hh, b_hh, lengths=lengths,
+            time_block=4, interpret=True, schedule="staggered")
+        for a, b in zip(seq, stag):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32))
+
     def test_int8_recurrent_matches_scan(self):
         """int8 recurrent weights stay close to the f32 reference.
 
