@@ -1095,5 +1095,17 @@ def version_report(argv=None):
     return 0
 
 
+def data_path(argv=None):
+    """`medaka_tpu_data_path` console script.
+
+    Print the package model-store directory (reference
+    `medaka_data_path` console script, `medaka/common.py:print_data_path`).
+    """
+    del argv
+    from medaka_tpu import options
+    print(options.model_stores[0])
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -292,7 +292,17 @@ class LatentSpaceLSTM:
         # epilogue) measured *slower* than XLA's conv here (188 ms vs
         # 172 ms at B=128): the 17 non-8-aligned tap slices cost more
         # in sublane rotations than the epilogue fusion saves. XLA's
-        # conv is the right tool for this geometry.
+        # conv is the right tool for this geometry. Further measured
+        # dead ends at the same geometry (B=128, P=1000, R=100): bf16
+        # accumulation (preferred_element_type=bf16) is *slower* than
+        # f32 (74.8 vs 69.2 ms — the MXU accumulates f32 either way,
+        # the cast just adds work); the k=17 conv at f32 accumulation
+        # is already at the MXU speed of light (~72 ms of FLOPs);
+        # replacing the k=1 conv with an 18-entry (base,strand)-LUT
+        # gather + qual outer product (66.7 ms) or a one-hot matmul
+        # (46.0 ms) both lose to the native conv (42.5 ms incl. its
+        # relu/bn epilogue); NHWC (B,P,R,C) vs NWC (B*R,P,C) layouts
+        # time identically (69.7 vs 69.2 ms).
         for layer in params["convs"]:
             bn = layer["bn"]
             w = layer["conv"]["w"].astype(cd)  # (out, in, k)

@@ -59,6 +59,20 @@ def test_version(capsys):
     assert e.value.code == 0
 
 
+def test_console_entries(capsys):
+    """`medaka_tpu_data_path` / `_version_report` console scripts.
+
+    Reference console scripts `medaka_data_path` and
+    `medaka_version_report` (`setup.py:136-141`).
+    """
+    from medaka_tpu import cli, options
+    assert cli.data_path() == 0
+    assert capsys.readouterr().out.strip() == options.model_stores[0]
+    assert cli.version_report() == 0
+    out = capsys.readouterr().out
+    assert "medaka_tpu" in out and "native library: ok" in out
+
+
 def test_store_dict_parsing():
     import argparse
     p = argparse.ArgumentParser()
