@@ -643,13 +643,17 @@ def _cmd_inference(args):
     from medaka_tpu import parallel, prediction
     regions = _regions_arg(args.regions) if args.regions else None
     if args.num_processes and args.num_processes > 1:
-        # multi-host: init the runtime and take this host's region share
+        # multi-host: init the runtime and take this host's work share.
+        # Work is divided at bam_chunk granularity (the predictor's own
+        # work unit), not whole contigs: a single-contig genome — the
+        # common polishing case — must still divide across hosts.
         parallel.initialize_distributed(
             args.coordinator, args.num_processes, args.process_id)
-        if regions is None:
-            regions = common.get_bam_regions(args.bam)
         regions = parallel.shard_regions(
-            regions, args.num_processes, args.process_id)
+            prediction.plan_work(
+                regions, args.bam, bam_chunk=args.bam_chunk,
+                chunk_overlap=args.chunk_ovlp),
+            args.num_processes, args.process_id)
         base, ext = os.path.splitext(args.output)
         args.output = "{}_host{}{}".format(base, args.process_id, ext)
     ctx = contextlib.nullcontext()

@@ -494,6 +494,37 @@ def run_prediction(
     return loader.n_samples, n_columns
 
 
+def plan_work(regions, bam, bam_chunk: int = 1_000_000,
+              chunk_overlap: int = 1000) -> List[Region]:
+    """The deterministic per-run work list of sub-regions.
+
+    Large regions are split into ``bam_chunk`` pieces overlapping by
+    ``chunk_overlap`` columns so chunk joins can be overlap-trimmed
+    at stitch time (reference splits identically,
+    ``medaka/prediction.py:102-110``). With ``regions=None`` the
+    whole-contig regions come from the BAM header.
+
+    This is also the unit of multi-host work division
+    (``parallel.shard_regions``): every host computes this same list,
+    so striding it divides even a single-contig genome evenly and the
+    union over hosts is exactly the single-host work list.
+    """
+    if bam is not None:
+        # fills whole-BAM regions and resolves open-ended user regions
+        # (e.g. "ctg0") against the BAM header lengths
+        regions = common.get_bam_regions(bam, regions)
+    elif regions is None:
+        raise ValueError("plan_work needs regions when no BAM is given.")
+    work: List[Region] = []
+    for region in regions:
+        if region.size > bam_chunk:
+            work.extend(region.split(
+                bam_chunk, overlap=chunk_overlap, fixed_size=False))
+        else:
+            work.append(region)
+    return work
+
+
 def predict(
         bam, output: str, model_path: Optional[str] = None,
         model=None, params=None, feature_encoder=None, label_scheme=None,
@@ -540,21 +571,7 @@ def predict(
             "(batch, %d, reads, features) device tensors; consider "
             "--chunk_len 1000.", chunk_len, chunk_len)
 
-    if regions is None:
-        from medaka_tpu.io.bam import BamReader
-        with BamReader(bam) as br:
-            regions = [
-                Region(name, 0, length)
-                for name, length in zip(br.references, br.lengths)]
-    # large regions are split into bam_chunk pieces overlapping by
-    # chunk_overlap columns so chunk joins can be overlap-trimmed
-    work: List[Region] = []
-    for region in regions:
-        if region.size > bam_chunk:
-            work.extend(region.split(
-                bam_chunk, overlap=chunk_overlap, fixed_size=False))
-        else:
-            work.append(region)
+    work = plan_work(regions, bam, bam_chunk, chunk_overlap)
     logger.info(
         "Processing %d region chunk(s) over %d device(s).",
         len(work), len(jax.devices()) if mesh is None

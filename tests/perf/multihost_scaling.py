@@ -1,23 +1,31 @@
 """Measured N-process scale-out rows for the BASELINE.md scaling report.
 
 Runs ``medaka_tpu inference --num_processes N --process_id i`` as N real
-host processes over a synthetic 2 Mb / 30x BAM on the CPU backend (the
-virtual-mesh stand-in for N hosts — no second TPU host exists in this
-environment), DataIndex-merges + stitches the per-host HDF5s, checks the
-consensus is identical to N=1, and reports aggregate pileup columns/s.
+host processes over a synthetic BAM on the CPU backend (the stand-in for
+N hosts — no second TPU host exists in this environment), DataIndex-
+merges + stitches the per-host HDF5s, checks the consensus is identical
+to N=1, and reports aggregate pileup columns/s.
 
-The CPU rows measure the *host pipeline's* scale-out efficiency
-(featurization, batching, HDF5, merge); single-chip device throughput is
-benchmarked separately by ``bench.py``.
+Each process is pinned to its own core (``taskset``), so N processes
+model N one-core hosts: without pinning, N>1 merely oversubscribes this
+machine's 4 cores and measures contention, not scale-out. The rows
+measure the *host pipeline's* scale-out efficiency (featurization,
+batching, HDF5, merge); single-chip device throughput is benchmarked
+separately by ``bench.py``.
 
-Usage: python tests/perf/multihost_scaling.py [bam] [ref] [out_dir]
+Usage: python tests/perf/multihost_scaling.py [bam] [ref] [out_dir] [region]
 """
 import json
+import os
 import pathlib
+import re
 import subprocess
 import sys
 import tempfile
 import time
+
+_SUMMARY = re.compile(
+    r"Processed \d+ samples \((\d+) columns\) in ([0-9.]+)s")
 
 HERE = pathlib.Path(__file__).resolve().parent
 REPO = HERE.parent.parent
@@ -29,10 +37,15 @@ def make_model(path):
     from medaka_tpu import models
     from medaka_tpu.features import CountsFeatureEncoder
     from medaka_tpu.labels import HaploidLabelScheme
-    from medaka_tpu.models.gru import GRUModel
-
-    model = GRUModel(num_features=10, num_classes=5, gru_size=16)
-    params = model.init_params(jax.random.PRNGKey(7))
+    
+    # MajorityVote: no device compute, so each process's cost is the
+    # host pipeline (featurization, batching, HDF5) — the per-host work
+    # that scales out in a real multi-host TPU deployment, where model
+    # compute is each host's own chip (benched by bench.py).
+    from medaka_tpu.models.majority import MajorityVoteModel
+    model = MajorityVoteModel()
+    params = model.init_params(jax.random.PRNGKey(7)) if hasattr(
+        model, "init_params") else {}
     models.save_model(
         str(path), model, params,
         feature_encoder=CountsFeatureEncoder(),
@@ -55,30 +68,51 @@ def run_shards(bam, model, out, n_procs, bam_chunk=250000,
         sys.executable, "-m", "medaka_tpu", "inference", str(bam),
         str(out), "--model", str(model), "--cpu",
         "--bam_chunk", str(bam_chunk), "--batch_size", "64",
-        "--bam_workers", "2"]
+        "--bam_workers", "1"]
     if region:
         cmd_base += ["--regions", region]
+
+    def pinned(cmd, pid):
+        core = pid % os.cpu_count()
+        return ["taskset", "-c", str(core)] + cmd
+
+    def pipeline_stats(text):
+        """Per-process (columns, seconds) from the run summary line.
+
+        Excludes interpreter/jax/model startup, which is a fixed
+        ~25-35 s here and amortises away on real genome sizes but
+        would otherwise drown the ~15 s of measured work per shard.
+        """
+        m = _SUMMARY.search(text)
+        assert m, "no run summary in process output:\n" + text[-2000:]
+        return int(m.group(1)), float(m.group(2))
+
     t0 = time.perf_counter()
+    shard_stats = []
     if n_procs == 1:
-        subprocess.run(cmd_base, check=True, cwd=str(REPO),
-                       capture_output=True)
+        res = subprocess.run(
+            pinned(cmd_base, 0), check=True, cwd=str(REPO),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        shard_stats.append(pipeline_stats(res.stdout))
         files = [out]
     else:
         procs = [
             subprocess.Popen(
-                cmd_base + ["--num_processes", str(n_procs),
-                            "--process_id", str(pid)],
+                pinned(cmd_base, pid)
+                + ["--num_processes", str(n_procs),
+                   "--process_id", str(pid)],
                 cwd=str(REPO), stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT, text=True)
             for pid in range(n_procs)]
         for p in procs:
             stdout, _ = p.communicate(timeout=1800)
             assert p.returncode == 0, stdout
+            shard_stats.append(pipeline_stats(stdout))
         files = [
             out.parent / "{}_host{}.hdf".format(out.stem, pid)
             for pid in range(n_procs)]
     wall = time.perf_counter() - t0
-    return files, wall
+    return files, wall, shard_stats
 
 
 def stitch(files, ref, out):
@@ -107,18 +141,27 @@ def main():
     region = sys.argv[4] if len(sys.argv) > 4 else None
     for n in (1, 2, 4):
         out = out_dir / "n{}.hdf".format(n)
-        files, wall = run_shards(bam, model, out, n, region=region)
+        files, wall, shards = run_shards(bam, model, out, n, region=region)
         cols = n_columns(files)
         fasta = stitch(files, ref, out_dir / "n{}.fasta".format(n))
         if golden is None:
             golden = fasta
         else:
             assert fasta == golden, "consensus diverged at N={}".format(n)
-        results[n] = {"wall_s": round(wall, 2), "cols": cols,
-                      "cols_per_s": round(cols / wall)}
-        print("N={} : {:.1f}s, {} cols, {:.2f} Mcols/s (identical: {})"
-              .format(n, wall, cols, cols / wall / 1e6,
-                      golden == fasta), flush=True)
+        # aggregate pipeline rate: total columns over the slowest
+        # shard's in-process time (the makespan once startup is paid)
+        pipe_cols = sum(c for c, _ in shards)
+        pipe_s = max(s for _, s in shards)
+        results[n] = {
+            "wall_s": round(wall, 2), "cols": cols,
+            "cols_per_s": round(cols / wall),
+            "pipeline_s": round(pipe_s, 2),
+            "pipeline_cols_per_s": round(pipe_cols / pipe_s)}
+        print("N={} : wall {:.1f}s ({:.2f} Mcols/s) | pipeline {:.1f}s "
+              "({:.2f} Mcols/s) (identical: {})"
+              .format(n, wall, cols / wall / 1e6, pipe_s,
+                      pipe_cols / pipe_s / 1e6, golden == fasta),
+              flush=True)
     print(json.dumps(results))
 
 

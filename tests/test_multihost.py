@@ -129,6 +129,66 @@ class TestMultiProcessInference:
         assert merged == single
 
 
+class TestSingleContigDivision:
+    """A one-contig genome (the common polishing case) must divide.
+
+    Work is sharded at bam_chunk granularity via ``prediction.plan_work``
+    — striding whole contigs would give host 0 everything and hosts
+    1..N-1 nothing.
+    """
+
+    def test_plan_work_shards_single_contig(self):
+        from medaka_tpu import parallel
+        from medaka_tpu.common import Region
+        from medaka_tpu.prediction import plan_work
+
+        region = [Region("ctg", 0, 5_000_000)]
+        work = plan_work(region, bam=None, bam_chunk=1_000_000,
+                         chunk_overlap=1000)
+        assert len(work) >= 5
+        shards = [
+            parallel.shard_regions(work, 2, pid) for pid in range(2)]
+        assert all(len(s) >= 2 for s in shards)
+        assert sorted(
+            shards[0] + shards[1],
+            key=lambda r: (r.ref_name, r.start)) == sorted(
+            work, key=lambda r: (r.ref_name, r.start))
+
+    def test_sharded_single_contig_matches_single(self, genome):
+        """2 processes each do part of one contig; merge == 1-process."""
+        from medaka_tpu.datastore import DataStore
+
+        # restrict to ctg0 and force sub-contig work units
+        extra = ["--regions", "ctg0", "--bam_chunk", "1500"]
+        out = genome["base"] / "one_ctg.hdf"
+        _run(_inference_cmd(genome, out, extra=extra))
+        single = _stitch(
+            [out], genome["draft"], genome["base"] / "one_ctg.fasta")
+
+        out2 = genome["base"] / "one_ctg_n2.hdf"
+        procs = [
+            subprocess.Popen(
+                _inference_cmd(genome, out2, extra=extra + [
+                    "--num_processes", "2", "--process_id", str(pid)]),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, cwd=str(HERE.parent))
+            for pid in range(2)]
+        for p in procs:
+            stdout, _ = p.communicate(timeout=600)
+            assert p.returncode == 0, stdout
+        host_files = [
+            genome["base"] / "one_ctg_n2_host{}.hdf".format(pid)
+            for pid in range(2)]
+        for f in host_files:
+            # every host got a non-empty share of the single contig
+            with DataStore(str(f)) as ds:
+                assert len(ds.sample_registry) > 0, f
+        merged = _stitch(
+            host_files, genome["draft"],
+            genome["base"] / "one_ctg_n2.fasta")
+        assert merged == single
+
+
 class TestDistributedCoordinator:
     def test_localhost_cluster_allgather(self, tmp_path):
         """jax.distributed.initialize + a real cross-process collective."""
