@@ -311,7 +311,8 @@ def pileup_counts(
 
     :returns: list of (counts, positions) tuples, one per contiguous block
         of covered reference positions. ``counts`` has shape
-        (n_cols, featlen * num_dtypes * num_qstrat), int64; ``positions`` is
+        (n_cols, featlen * num_dtypes * num_qstrat), int32 from the
+        native kernel (int64 from the numpy fallback); ``positions`` is
         a structured (major, minor) array.
 
     Matches ``calculate_pileup`` (``src/medaka_counts.c:199-372``) composed

@@ -233,8 +233,12 @@ class BamRecord:
     @functools.cached_property
     def reference_length(self) -> int:
         """Number of reference bases consumed by the alignment."""
-        ca = self.cigar_array
-        return int(np.sum(_CONSUMES_REF[ca[:, 0]] * ca[:, 1]))
+        # straight off the packed words — cigar_array's (n, 2) copy
+        # costs more than this whole reduction on typical reads
+        enc = np.frombuffer(
+            self.raw, dtype="<u4", count=self._n_cigar,
+            offset=self._cigar_off)
+        return int(np.sum((enc >> 4) * _CONSUMES_REF[enc & 0xF]))
 
     @property
     def reference_start(self) -> int:
@@ -516,7 +520,10 @@ class BamReader:
                         continue
                     if rec.pos >= stop:
                         break
-                    if rec.reference_end > beg:
+                    # reference_end > pos always, so pos >= beg implies
+                    # overlap; the cigar walk is only needed for reads
+                    # starting left of the window
+                    if rec.pos >= beg or rec.reference_end > beg:
                         yield rec
         else:
             # full scan fallback
@@ -526,7 +533,7 @@ class BamReader:
                 if rec.pos >= stop:
                     # sorted inputs only benefit; keep scanning for safety
                     continue
-                if rec.reference_end > beg:
+                if rec.pos >= beg or rec.reference_end > beg:
                     yield rec
 
     def close(self):

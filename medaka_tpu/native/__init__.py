@@ -329,7 +329,8 @@ def _load_pileup_symbols(lib):
         ctypes.POINTER(ctypes.c_uint8),       # quals
         ctypes.c_int64, ctypes.c_int64,       # start, end
         ctypes.c_int, ctypes.c_int,           # num_dtypes, num_qstrat
-        ctypes.POINTER(i64p), ctypes.POINTER(i64p), ctypes.POINTER(i64p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),   # counts
+        ctypes.POINTER(i64p), ctypes.POINTER(i64p),       # majors, minors
         i64p,
     ]
     lib._pileup_ready = True
@@ -340,7 +341,7 @@ def pileup_counts_native(read_pos, read_rev, read_dtype, cigar_off,
                          num_dtypes, num_qstrat):
     """Run the native pileup kernel over flat read arrays.
 
-    :returns: (counts int64 (n_cols, featlen*dtypes*qstrat),
+    :returns: (counts int32 (n_cols, featlen*dtypes*qstrat),
         majors int64, minors int64).
     """
     import numpy as np
@@ -348,7 +349,7 @@ def pileup_counts_native(read_pos, read_rev, read_dtype, cigar_off,
     lib = _load()
     _load_pileup_symbols(lib)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    counts_p = i64p()
+    counts_p = ctypes.POINTER(ctypes.c_int32)()
     majors_p = i64p()
     minors_p = i64p()
     n_cols = ctypes.c_int64()
@@ -375,7 +376,7 @@ def pileup_counts_native(read_pos, read_rev, read_dtype, cigar_off,
     n = n_cols.value
     col_feat = 10 * num_dtypes * num_qstrat
     if n == 0:
-        return (np.empty((0, col_feat), np.int64),
+        return (np.empty((0, col_feat), np.int32),
                 np.empty(0, np.int64), np.empty(0, np.int64))
 
     def adopt(ptr, shape):
@@ -405,7 +406,8 @@ def _load_pileup_raw_symbols(lib):
         ctypes.POINTER(ctypes.c_int32),      # read_dtype
         ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(i64p), ctypes.POINTER(i64p), ctypes.POINTER(i64p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),   # counts
+        ctypes.POINTER(i64p), ctypes.POINTER(i64p),       # majors, minors
         i64p,
     ]
     lib._pileup_raw_ready = True
@@ -509,7 +511,8 @@ def pileup_counts_raw(records: bytes, rec_off, read_dtype, start, end,
     lib = _load()
     _load_pileup_raw_symbols(lib)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    counts_p, majors_p, minors_p = i64p(), i64p(), i64p()
+    counts_p = ctypes.POINTER(ctypes.c_int32)()
+    majors_p, minors_p = i64p(), i64p()
     n_cols = ctypes.c_int64()
     rec_off = np.ascontiguousarray(rec_off, dtype=np.int64)
     read_dtype = np.ascontiguousarray(read_dtype, dtype=np.int32)
@@ -525,7 +528,7 @@ def pileup_counts_raw(records: bytes, rec_off, read_dtype, start, end,
     n = n_cols.value
     col_feat = 10 * num_dtypes * num_qstrat
     if n == 0:
-        return (np.empty((0, col_feat), np.int64),
+        return (np.empty((0, col_feat), np.int32),
                 np.empty(0, np.int64), np.empty(0, np.int64))
 
     def adopt(ptr, shape):

@@ -53,7 +53,9 @@ extern "C" {
 
 // Phase 1+2 in one call. Inputs are flat, concatenated per-read arrays.
 // Returns 0 on success. Outputs (malloc'd; free with mt_free):
-//   *counts_out: int64 [n_cols * featlen*num_dtypes*num_qstrat]
+//   *counts_out: int32 [n_cols * featlen*num_dtypes*num_qstrat]
+//     (int32 halves the count-row cache traffic in the hot loop;
+//     a channel count is bounded by region depth, far below 2^31)
 //   *majors_out, *minors_out: int64 [n_cols]
 //   *n_cols_out: number of pileup columns
 int mt_pileup_counts(
@@ -68,7 +70,7 @@ int mt_pileup_counts(
         const uint8_t* quals,          // per-base quals (same offsets)
         int64_t start, int64_t end,
         int num_dtypes, int num_qstrat,
-        int64_t** counts_out, int64_t** majors_out, int64_t** minors_out,
+        int32_t** counts_out, int64_t** majors_out, int64_t** minors_out,
         int64_t* n_cols_out) {
     const int64_t span = end - start;
     if (span <= 0) return 1;
@@ -122,7 +124,7 @@ int mt_pileup_counts(
         return 0;
     }
 
-    int64_t* counts = (int64_t*)calloc(n_cols * col_feat, sizeof(int64_t));
+    int32_t* counts = (int32_t*)calloc(n_cols * col_feat, sizeof(int32_t));
     int64_t* majors = (int64_t*)malloc(n_cols * sizeof(int64_t));
     int64_t* minors = (int64_t*)malloc(n_cols * sizeof(int64_t));
     if (!counts || !majors || !minors) {
@@ -219,7 +221,7 @@ int mt_pileup_counts_raw(
         const int32_t* read_dtype,  // datatype index per read
         int64_t start, int64_t end,
         int num_dtypes, int num_qstrat,
-        int64_t** counts_out, int64_t** majors_out, int64_t** minors_out,
+        int32_t** counts_out, int64_t** majors_out, int64_t** minors_out,
         int64_t* n_cols_out) {
     const int64_t span = end - start;
     if (span <= 0) return 1;
@@ -303,7 +305,7 @@ int mt_pileup_counts_raw(
         *minors_out = nullptr; *n_cols_out = 0;
         return 0;
     }
-    int64_t* counts = (int64_t*)calloc(n_cols * col_feat, sizeof(int64_t));
+    int32_t* counts = (int32_t*)calloc(n_cols * col_feat, sizeof(int32_t));
     int64_t* majors = (int64_t*)malloc(n_cols * sizeof(int64_t));
     int64_t* minors = (int64_t*)malloc(n_cols * sizeof(int64_t));
     if (!counts || !majors || !minors) {
