@@ -18,10 +18,14 @@ from medaka_tpu.prediction import DataLoader
 
 
 def bench_loader(bam, workers, region):
+    from medaka_tpu.prediction import plan_work
     enc = CountsFeatureEncoder()
+    # the predictor hands the loader bam_chunk-sized work units; a
+    # whole-contig region would pin everything on one worker
+    work = plan_work([region], bam)
     t0 = time.perf_counter()
     loader = DataLoader(
-        bam, [region], enc, batch_size=32, chunk_len=10000,
+        bam, work, enc, batch_size=32, chunk_len=10000,
         chunk_overlap=1000, bam_workers=workers)
     cols = 0
     for batch in loader:
@@ -54,9 +58,17 @@ def bench_writes(codec, n=200, t=10000):
 def main():
     bam = sys.argv[1]
     worker_counts = [int(w) for w in sys.argv[2:]] or [1, 2, 4, 8]
-    region = Region("synth", 0, 2_000_000)
+    from medaka_tpu.io.bam import BamReader
+    with BamReader(bam) as br:
+        region = Region(br.references[0], 0, br.lengths[0])
     for w in worker_counts:
-        cols, dt = bench_loader(bam, w, region)
+        # best of 3: the dev box carries unpredictable background load
+        best = (0, 1.0)
+        for _ in range(3):
+            cols, dt = bench_loader(bam, w, region)
+            if cols / dt > best[0] / best[1]:
+                best = (cols, dt)
+        cols, dt = best
         print("loader workers={:d}: {:.2f} Mcols/s ({} cols in {:.1f}s)"
               .format(w, cols / dt / 1e6, cols, dt))
     for codec in (None, "lzf", "gzip"):
