@@ -284,6 +284,22 @@ def main(argv=None):
         metavar="KEY=VAL")
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--max_valid_samples", type=int, default=None)
+    p.add_argument(
+        "--samples_per_training_epoch", type=int, default=None,
+        help="Truncate each training epoch at this many samples "
+             "(reference medaka.py:551).")
+    p.add_argument(
+        "--use_lr_schedule", action=argparse.BooleanOptionalAction,
+        default=True,
+        help="Warmup+cosine LR schedule (constant LR when disabled; "
+             "reference medaka.py:560).")
+    p.add_argument(
+        "--amp", action="store_true", default=True,
+        help="Mixed precision (bf16 compute). Already the default; "
+             "accepted for reference CLI parity (medaka.py:561).")
+    p.add_argument(
+        "--full_precision", action="store_true",
+        help="Train in float32 throughout (disables bf16 compute).")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument(
         "--validate_only", action="store_true",

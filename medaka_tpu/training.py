@@ -260,14 +260,22 @@ class CSVLogger:
 
 
 def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
-              logger, csv_logger=None, is_training=True, eval_fn=None):
-    """One pass over a split; returns (params, opt_state, loss, acc)."""
+              logger, csv_logger=None, is_training=True, eval_fn=None,
+              max_batches=None):
+    """One pass over a split; returns (params, opt_state, loss, acc).
+
+    :param max_batches: truncate the epoch after this many batches
+        (reference ``--samples_per_training_epoch``,
+        ``torch_ext.py:run_epoch total_num_samples``).
+    """
     total_loss, total_correct, total_count, n_batches = 0.0, 0.0, 0.0, 0
     base_correct = 0.0
     baseline_fn = jax.jit(parallel.majority_baseline_accuracy)
     is_counts = batcher.feat_dim == 10
     t0 = now()
     for batch in batcher.batches(split, shuffle=is_training, seed=epoch):
+        if max_batches is not None and n_batches >= max_batches:
+            break
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         if is_training:
             params, opt_state, loss, n_c, n_t = step_fn(
@@ -379,7 +387,8 @@ def run_training(
         mesh=None, model_parallel: int = 1,
         compute_dtype=jnp.bfloat16, seed: int = 0,
         early_stop_epochs: int = 20, initial_params=None,
-        resume: bool = False):
+        resume: bool = False, samples_per_epoch: Optional[int] = None,
+        use_lr_schedule: bool = True):
     """Train a consensus model (reference ``training.py:60-236``).
 
     :param train_name: output directory.
@@ -388,6 +397,10 @@ def run_training(
         GRUModel geometry, scaled to the batcher's feature width).
     :param initial_params: warm-start params (e.g. from a checkpoint
         tarball); random init when None.
+    :param samples_per_epoch: truncate each training epoch at this many
+        samples (reference ``--samples_per_training_epoch``).
+    :param use_lr_schedule: warmup+cosine when True (reference
+        default), constant learning rate otherwise.
     :returns: (model, params) of the final epoch.
     """
     logger = common.get_named_logger("Training")
@@ -416,12 +429,18 @@ def run_training(
         params = model.init_params(jax.random.PRNGKey(seed))
     params = parallel.shard_params(params, mesh)
 
+    max_batches = None
     steps_per_epoch = batcher.n_batches("train")
-    schedule = cosine_schedule(
+    if samples_per_epoch is not None:
+        max_batches = max(1, samples_per_epoch // batcher.batch_size)
+        steps_per_epoch = min(steps_per_epoch, max_batches)
+    peak_lr = (
         _OPTIMIZERS[optimizer][1]["learning_rate"]
         if not (optim_args or {}).get("learning_rate")
-        else optim_args["learning_rate"],
-        total_steps=epochs * steps_per_epoch)
+        else optim_args["learning_rate"])
+    schedule = cosine_schedule(
+        peak_lr, total_steps=epochs * steps_per_epoch) \
+        if use_lr_schedule else peak_lr
     opt = build_optimizer(optimizer, schedule, optim_args)
     opt_state = opt.init(params)
 
@@ -455,7 +474,8 @@ def run_training(
     for epoch in range(first_epoch, epochs):
         params, opt_state, _loss, _acc = run_epoch(
             step_fn, params, opt_state, batcher, "train", epoch,
-            logger, csv_logger, is_training=True)
+            logger, csv_logger, is_training=True,
+            max_batches=max_batches)
         save("model-{}".format(epoch), params)
         if batcher.valid_samples:
             _, _, val_loss, val_acc = run_epoch(
@@ -523,10 +543,19 @@ def train(args):
         bundle = models_mod.open_model(models_mod.resolve_model(args.model))
         model_dict = bundle.model.to_dict()
         initial_params = bundle.params
+    # bf16 mixed precision is the default (the reference's --amp
+    # equivalent); --full_precision forces float32 throughout
+    compute_dtype = (
+        jnp.float32 if getattr(args, "full_precision", False)
+        else jnp.bfloat16)
     run_training(
         args.train_name, batcher, model_dict=model_dict,
         epochs=args.epochs, optimizer=args.optimizer,
         optim_args=args.optim_args, seed=args.seed,
         model_parallel=getattr(args, "model_parallel", 1),
         initial_params=initial_params,
-        resume=getattr(args, "resume", False))
+        resume=getattr(args, "resume", False),
+        samples_per_epoch=getattr(
+            args, "samples_per_training_epoch", None),
+        use_lr_schedule=getattr(args, "use_lr_schedule", True),
+        compute_dtype=compute_dtype)

@@ -80,6 +80,25 @@ class TestOnReferenceData:
         assert probs.shape == (1, 32, 5)
 
 
+def test_samples_per_epoch_and_constant_lr(tmp_path):
+    """Reference --samples_per_training_epoch / --use_lr_schedule flags.
+
+    The epoch truncates at samples_per_epoch // batch_size batches and
+    a constant-LR run still trains (reference ``medaka.py:551,560``).
+    """
+    b = training.TrainBatcher(
+        [REF_TRAIN], validation=0.2, batch_size=16, max_samples=64)
+    assert b.n_batches("train") > 2  # something to truncate
+    out = str(tmp_path / "capped")
+    training.run_training(
+        out, b, epochs=1,
+        model_dict={"type": "GRUModel", "kwargs": {"gru_size": 8}},
+        samples_per_epoch=2 * 16, use_lr_schedule=False)
+    rows = open(os.path.join(out, "training.csv")).read().splitlines()
+    train_rows = [r for r in rows if r.startswith("train,")]
+    assert len(train_rows) == 2
+
+
 def test_training_reproducible(tmp_path):
     """Same seed -> bitwise-identical training curve."""
     losses = []
