@@ -263,3 +263,29 @@ class TestRealBamConsistency:
         mask = positions["minor"] == 0
         majors = positions["major"][mask]
         assert np.all(np.diff(majors) == 1)
+
+    def test_extreme_depth_counts_exact(self, tmp_path):
+        """40k-deep pileup: int32 channel counters stay exact.
+
+        Counters are int32 (a channel count is bounded by region
+        depth); this pins correctness far beyond any practical ONT
+        depth and well past the int16 range.
+        """
+        from medaka_tpu.io.bam import BamRecord, write_bam
+        depth = 40000
+        seq = "ACGTACGTACGTACGTACGT"
+        recs = [
+            BamRecord.build(
+                query_name="r{}".format(i), ref_id=0, pos=0, seq=seq,
+                qual=[20] * len(seq), cigar="{}=".format(len(seq)),
+                flag=0, mapq=60)
+            for i in range(depth)]
+        path = str(tmp_path / "deep.bam")
+        write_bam(path, recs, [("deep", len(seq))])
+        [(counts, positions)] = pileup_counts(
+            Region("deep", 0, len(seq)), path)
+        assert counts.shape == (len(seq), 10)
+        # every column holds exactly `depth` forward-strand base counts
+        np.testing.assert_array_equal(counts.sum(axis=1),
+                                      np.full(len(seq), depth))
+        assert counts.max() == depth
