@@ -38,15 +38,17 @@ all_info_fields = dict(reserved_info_fields, **own_info_fields)
 
 def parse_tags_to_string(tags: Dict) -> str:
     """Serialise an INFO dict to its VCF column representation."""
-    str_tags = []
-    for key, value in sorted(tags.items()):
-        if value is True:
-            str_tags.append(key)
-        else:
-            if isinstance(value, (tuple, list)):
-                value = ','.join(str(x) for x in value)
-            str_tags.append('{}={}'.format(key, value))
-    return ';'.join(str_tags) if tags else '.'
+    if not tags:
+        return '.'
+
+    def one(key, value):
+        if value is True:  # flag field: bare key
+            return key
+        if isinstance(value, (tuple, list)):
+            value = ','.join(map(str, value))
+        return '{}={}'.format(key, value)
+
+    return ';'.join(one(k, v) for k, v in sorted(tags.items()))
 
 
 def parse_string_to_tags(string: str, splitter: str = ',') -> Dict:
@@ -55,15 +57,18 @@ def parse_string_to_tags(string: str, splitter: str = ',') -> Dict:
     for field in string.split(';'):
         if field in ('', '.'):
             continue
-        try:
-            tag, value = field.split('=')
-            if tag in all_info_fields:
-                _type = all_info_fields[tag][1]
-                value = [_type(x) for x in value.split(splitter)]
-                if len(value) == 1:
-                    value = value[0]
-        except ValueError:
-            tag, value = field, True
+        tag, eq, payload = field.partition('=')
+        if not eq:
+            tags[tag] = True  # flag field
+            continue
+        value = payload
+        caster = all_info_fields.get(tag, (None, None))[1]
+        if caster is not None:
+            try:
+                parts = [caster(x) for x in payload.split(splitter)]
+                value = parts[0] if len(parts) == 1 else parts
+            except ValueError:
+                value = payload
         tags[tag] = value
     return tags
 
@@ -78,18 +83,21 @@ class MetaInfo:
 
     def __init__(self, group, ident, number, typ, descr):
         """Validate and store the header entry fields."""
-        if group not in self.__valid_groups__:
-            raise ValueError('Group {} is not one of {}'.format(
-                group, self.__valid_groups__))
-        if (not isinstance(number, int)
-                and not (isinstance(number, str) and number.isdigit())
-                and number not in self.__valid_non_int_nums__):
-            raise ValueError(
-                'Number {} is not an int, digit str or one of {}'.format(
-                    number, self.__valid_non_int_nums__))
-        if typ not in self.__valid_types__:
-            raise ValueError(
-                'typ {} is not one of {}'.format(typ, self.__valid_types__))
+        number_ok = (
+            isinstance(number, int)
+            or (isinstance(number, str) and number.isdigit())
+            or number in self.__valid_non_int_nums__)
+        for ok, what, got, allowed in (
+                (group in self.__valid_groups__, 'header group', group,
+                 self.__valid_groups__),
+                (number_ok, 'Number', number,
+                 'an integer or ' + str(self.__valid_non_int_nums__)),
+                (typ in self.__valid_types__, 'Type', typ,
+                 self.__valid_types__)):
+            if not ok:
+                raise ValueError(
+                    'Invalid VCF meta {} {!r}; expected {}.'.format(
+                        what, got, allowed))
         self.group = group
         self.ident = ident
         self.number = number
@@ -120,12 +128,15 @@ class Variant:
         self.chrom = chrom
         self.pos = int(pos)
         self.ref = ref.upper()
-        self.alt = alt.split(',') if isinstance(alt, str) else alt
+        if isinstance(alt, str):
+            alt = alt.split(',')
+        self.alt = alt
         self.ident = str(ident)
-        self.qual = float(qual) if qual != '.' else qual
-        self.filt = filt.split(';') if ';' in filt else filt
-        self.info = info if isinstance(info, dict) else \
-            parse_string_to_tags(info)
+        self.qual = qual if qual == '.' else float(qual)
+        self.filt = filt if ';' not in filt else filt.split(';')
+        if not isinstance(info, dict):
+            info = parse_string_to_tags(info)
+        self.info = info
         if genotype_data is None:
             self.genotype_data = collections.OrderedDict()
         elif isinstance(genotype_data, GenotypeData):
@@ -240,53 +251,51 @@ class Variant:
 
     def trim(self, reference: Optional[str] = None) -> 'Variant':
         """Return a parsimonious (and, given a reference, left-aligned) copy."""
+        alleles = [self.ref, *self.alt]
+        pos = self.pos
 
-        def trim_start(var, rev=False):
-            seqs = [var.ref] + list(var.alt)
-            if rev:
-                seqs = [s[::-1] for s in seqs]
-            min_len = min(len(s) for s in seqs)
-            cut = 0
-            for bases in zip(*seqs):
-                if len(set(bases)) != 1 or cut == min_len - 1:
-                    break
-                cut += 1
-            seqs = [s[cut:] for s in seqs]
-            if rev:
-                seqs = [s[::-1] for s in seqs]
-                cut = 0
-            var.pos += cut
-            var.ref = seqs[0]
-            var.alt = seqs[1:]
-            return var
+        def matched_prefix(seqs):
+            # longest run of identical leading bases, always leaving at
+            # least one base of the shortest allele in place
+            cap = min(map(len, seqs)) - 1
+            n = 0
+            while n < cap and len({s[n] for s in seqs}) == 1:
+                n += 1
+            return n
 
-        def trim_end_and_align(var, ref):
-            seqs = [var.ref] + list(var.alt)
-            changed = True
-            while changed:
-                changed = False
-                if (all(len(s) > 0 for s in seqs) and
-                        len({s[-1] for s in seqs}) == 1):
-                    seqs = [s[:-1] for s in seqs]
-                    changed = True
-                if any(len(s) == 0 for s in seqs):
-                    if var.pos == 0:
-                        # multibase deletion at the reference start
-                        seqs = [s + ref[len(seqs[0])] for s in seqs]
-                        break
-                    var.pos -= 1
-                    seqs = [ref[var.pos] + s for s in seqs]
-                    changed = True
-            var.ref = seqs[0]
-            var.alt = seqs[1:]
-            return var
-
-        trimmed = self.deep_copy()
         if reference is None:
-            trimmed = trim_start(trimmed, rev=True)
+            # parsimony only: shave the shared tail (computed as the
+            # shared head of the reversed alleles)
+            k = matched_prefix([s[::-1] for s in alleles])
+            if k:
+                alleles = [s[:-k] for s in alleles]
         else:
-            trimmed = trim_end_and_align(trimmed, reference)
-        return trim_start(trimmed)
+            # left-align: keep shaving shared final bases, pulling in
+            # reference context whenever an allele would run empty
+            while True:
+                if min(map(len, alleles)) == 0:
+                    if pos == 0:
+                        # deletion butting the contig start: borrow the
+                        # base to the right instead
+                        nxt = reference[len(alleles[0])]
+                        alleles = [s + nxt for s in alleles]
+                        break
+                    pos -= 1
+                    alleles = [reference[pos] + s for s in alleles]
+                elif len({s[-1] for s in alleles}) == 1:
+                    alleles = [s[:-1] for s in alleles]
+                else:
+                    break
+
+        k = matched_prefix(alleles)
+        if k:
+            pos += k
+            alleles = [s[k:] for s in alleles]
+        out = self.deep_copy()
+        out.pos = pos
+        out.ref = alleles[0]
+        out.alt = alleles[1:]
+        return out
 
     def normalize(self, reference: str) -> 'Variant':
         """Trim and left-align against the full chrom reference sequence."""
@@ -360,22 +369,23 @@ class VCFWriter:
         if sort:
             variants = common.loose_version_sort(
                 variants, key=lambda v: '{}-{}'.format(v.chrom, v.pos))
-        for variant in variants:
-            self.write_variant(variant)
+        self.handle.writelines(self._format_row(v) for v in variants)
 
     def write_variant(self, variant: Variant):
         """Write one record (POS converted to 1-based)."""
-        variant = variant.deep_copy()
-        for attribute in ('alt', 'filt'):
-            value = getattr(variant, attribute)
-            if isinstance(value, (tuple, list)):
-                setattr(variant, attribute, ','.join(str(x) for x in value))
-        variant.info = variant.info_string
-        fields = ('chrom', 'pos', 'ident', 'ref', 'alt', 'qual', 'filt',
-                  'info', 'genotype_keys', 'genotype_values')
-        elements = [getattr(variant, field) for field in fields]
-        elements[self.header.index('POS')] += 1
-        self.handle.write('\t'.join(str(x) for x in elements) + '\n')
+        self.handle.write(self._format_row(variant))
+
+    @staticmethod
+    def _format_row(v: Variant) -> str:
+        """One tab-separated VCF line (no mutation of ``v``)."""
+        def csv(x):
+            return (','.join(map(str, x))
+                    if isinstance(x, (tuple, list)) else x)
+
+        cols = (v.chrom, v.pos + 1, v.ident, v.ref, csv(v.alt), v.qual,
+                csv(v.filt), v.info_string, v.genotype_keys,
+                v.genotype_values)
+        return '\t'.join(str(c) for c in cols) + '\n'
 
 
 class VCFReader:
@@ -401,27 +411,32 @@ class VCFReader:
                     break
 
     def _parse(self):
-        last_pos = [None, None]
+        """Stream records, tracking per-chrom position order."""
+        highest = {}  # chrom -> last position seen
+        known = set(self.chroms)
         with open(self.filename, encoding='utf-8') as handle:
-            for index, line in enumerate(handle):
-                line = line.rstrip('\n')
-                if line.startswith('#') or not line:
+            for lineno, raw in enumerate(handle, 1):
+                raw = raw.rstrip('\n')
+                if not raw or raw[0] == '#':
                     continue
                 try:
-                    variant = Variant.from_text(line)
+                    variant = Variant.from_text(raw)
                 except Exception as e:
                     raise IOError(
-                        'Exception while reading variant #{}.\n'
-                        'Line: {}'.format(index, line)) from e
-                if variant.chrom != last_pos[0]:
-                    last_pos = [variant.chrom, None]
-                elif last_pos[1] is not None and last_pos[1] > variant.pos:
+                        'Malformed VCF record at line {} of {}: '
+                        '{!r}'.format(lineno, self.filename, raw)) from e
+                prev = highest.get(variant.chrom)
+                if prev is not None and variant.pos < prev:
                     raise IOError(
-                        '.vcf is unsorted at index #{}.'.format(index))
-                if variant.chrom not in self.chroms:
+                        '{} is not position-sorted at line {} '
+                        '({}:{} after position {}).'.format(
+                            self.filename, lineno, variant.chrom,
+                            variant.pos + 1, prev + 1))
+                highest[variant.chrom] = variant.pos
+                if variant.chrom not in known:
+                    known.add(variant.chrom)
                     self.chroms.append(variant.chrom)
                 yield variant
-                last_pos[1] = variant.pos
 
     def index(self):
         """Build the interval index (idempotent)."""
@@ -440,34 +455,24 @@ class VCFReader:
         With ``strict`` any overlapping variant is returned, otherwise only
         variants fully contained in the region.
         """
-        if start is None:
-            start = float('-inf')
-        if end is None:
-            end = float('inf')
+        lo = float('-inf') if start is None else start
+        hi = float('inf') if end is None else end
         if not self.cache:
-            for variant in self._parse():
-                keep = all([
-                    ref_name is None or variant.chrom == ref_name,
-                    variant.pos > start,
-                    variant.pos + len(variant.ref) < end])
-                if keep:
-                    yield variant
+            # stream without an index: contained-in-region semantics
+            yield from (
+                v for v in self._parse()
+                if (ref_name is None or v.chrom == ref_name)
+                and lo < v.pos and v.pos + len(v.ref) < hi)
             return
         self.index()
-
-        def search(tree):
-            lo = int(start) if start != float('-inf') else -(1 << 60)
-            hi = int(end) if end != float('inf') else (1 << 60)
-            ivs = tree.overlap(lo, hi) if strict else tree.envelop(lo, hi)
-            return sorted(ivs, key=lambda iv: (iv[0], iv[1]))
-
-        if ref_name is not None:
-            results = search(self._tree[ref_name])
-        else:
-            results = itertools.chain(
-                *(search(self._tree[chrom]) for chrom in self.chroms))
-        for iv in results:
-            yield iv[2]
+        lo_i = int(lo) if lo != float('-inf') else -(1 << 60)
+        hi_i = int(hi) if hi != float('inf') else (1 << 60)
+        for chrom in ([ref_name] if ref_name is not None else self.chroms):
+            tree = self._tree[chrom]
+            hits = (tree.overlap(lo_i, hi_i) if strict
+                    else tree.envelop(lo_i, hi_i))
+            for iv in sorted(hits, key=lambda iv: (iv[0], iv[1])):
+                yield iv[2]
 
 
 # ---------------------------------------------------------------------------
