@@ -41,69 +41,59 @@ class TruthAlignment:
         self.is_kept = True
         self.logger = common.get_named_logger("TruthAlign")
 
-    def _overlap_with(self, other):
-        first, second = sorted(
-            (self, other), key=lambda t: t.aln.reference_start)
-        if first.aln.reference_end > second.aln.reference_start:
-            return second.aln.reference_start, first.aln.reference_end
-        return None
-
     @staticmethod
     def _filter_alignments(
             alignments, region, min_length=1000, length_ratio=2.0,
             overlap_fraction=0.5):
         """Resolve overlapping truth segments and drop unusable ones.
 
-        Mirrors the reference's four-case overlap policy
-        (``labels.py:53-136``).
+        Same four-case overlap policy as the reference
+        (``labels.py:53-136``): for each overlapping pair, segments of
+        comparable length split the disputed window (or are both
+        dropped when one is mostly engulfed), while a much longer
+        segment wins the window outright (the engulfed shorter one is
+        dropped).
         """
-        filtered = [copy(a) for a in alignments]
+        ACGT = frozenset("ACGT")
 
-        def only_valid_symbols(al):
-            symbols = set("ACGT")
-            ref = al.aln.get_reference_sequence().upper()
-            query = al.aln.query_sequence.upper()
-            return set(ref).issubset(symbols) and \
-                set(query).issubset(symbols)
+        def clean(al):
+            return (
+                ACGT.issuperset(al.aln.get_reference_sequence().upper())
+                and ACGT.issuperset(al.aln.query_sequence.upper()))
 
-        filtered = [al for al in filtered if only_valid_symbols(al)]
+        kept = [copy(a) for a in alignments if clean(a)]
 
-        for al_i, al_j in itertools.combinations(filtered, 2):
-            first, second = sorted(
-                (al_i, al_j), key=lambda t: t.aln.reference_start)
-            overlap = first._overlap_with(second)
-            if overlap is None:
+        for a, b in itertools.combinations(kept, 2):
+            left, right = sorted(
+                (a, b), key=lambda t: t.aln.reference_start)
+            disputed = (left.aln.reference_end
+                        - right.aln.reference_start)
+            if disputed <= 0:
                 continue
-            ovlp_start, ovlp_end = overlap
-            shorter, longer = sorted(
-                (al_i, al_j), key=lambda t: t.aln.reference_length)
-            ratio = (longer.aln.reference_length /
-                     shorter.aln.reference_length)
-            frac = (ovlp_end - ovlp_start) / shorter.aln.reference_length
-            if ratio < length_ratio:  # neither more trustworthy
-                if frac >= overlap_fraction:
-                    shorter.is_kept = False
-                    longer.is_kept = False
-                else:
-                    first.end = ovlp_start
-                    second.start = ovlp_end
-            else:  # trust the longer
-                if frac >= overlap_fraction:
-                    shorter.is_kept = False
-                else:
-                    second.start = ovlp_end
+            small, big = sorted(
+                (a, b), key=lambda t: t.aln.reference_length)
+            engulfed = (disputed / small.aln.reference_length
+                        >= overlap_fraction)
+            comparable = (big.aln.reference_length
+                          < length_ratio * small.aln.reference_length)
+            if engulfed:
+                small.is_kept = False
+                if comparable:
+                    big.is_kept = False
+            else:
+                right.start = left.aln.reference_end
+                if comparable:
+                    left.end = right.aln.reference_start
 
-        if region.start > 0 or region.end is not None:
-            for al in filtered:
-                if region.start > 0:
-                    al.start = max(region.start, al.start)
-                if region.end is not None:
-                    al.end = min(region.end, al.end)
-        filtered = [
-            al for al in filtered
-            if al.is_kept and al.end - al.start >= min_length]
-        filtered.sort(key=lambda t: t.start)
-        return filtered
+        for al in kept:
+            if region.start > 0:
+                al.start = max(region.start, al.start)
+            if region.end is not None:
+                al.end = min(region.end, al.end)
+        return sorted(
+            (al for al in kept
+             if al.is_kept and al.end - al.start >= min_length),
+            key=lambda t: t.start)
 
     @staticmethod
     def _load_alignments(truth_bam, region, haplotag=None):
@@ -120,47 +110,44 @@ class TruthAlignment:
 
     @staticmethod
     def _group_and_trim_by_haplotype(alignments):
-        """Group per-haplotype segments to common windows.
+        """Group per-haplotype segments to their common window.
 
-        Mirrors ``labels.py:170-234``.
+        Same grouping as the reference (``labels.py:170-234``): each
+        anchor-haplotype segment collects, per other haplotype, the
+        overlapping segment that covers most of the running window;
+        every member is then trimmed to the window intersection.
         """
         logger = common.get_named_logger("Group_and_trim")
-        haplotypes = sorted(alignments.keys(), key=lambda h: (h is None, h))
-        if len(haplotypes) == 1:
-            return [(a,) for a in alignments[haplotypes[0]]]
-        trees = {}
-        for h in haplotypes[1:]:
-            trees[h] = IntervalSet(
-                (a.start, a.end, a) for a in alignments[h])
-        grouped = []
-        for a in alignments[haplotypes[0]]:
-            group = [a]
-            common_start, common_end = a.start, a.end
-            for h, tree in trees.items():
-                h_algns = tree.overlap(common_start, common_end)
-                if len(h_algns) == 0:
+        haps = sorted(alignments, key=lambda h: (h is None, h))
+        anchor, others = haps[0], haps[1:]
+        if not others:
+            return [(a,) for a in alignments[anchor]]
+        index = {
+            h: IntervalSet((a.start, a.end, a) for a in alignments[h])
+            for h in others}
+        groups = []
+        for a in alignments[anchor]:
+            lo, hi = a.start, a.end
+            members = [a]
+            for h in others:
+                hits = index[h].overlap(lo, hi)
+                if not hits:
+                    logger.info(
+                        "No haplotype-%s truth segment overlaps "
+                        "%s:%d-%d; skipping the group.",
+                        h, a.aln.ref_id, a.start, a.end)
                     break
-                if len(h_algns) > 1:
-                    ovlps = [
-                        min(common_end, o[1]) - max(common_start, o[0])
-                        for o in h_algns]
-                    h_algn = h_algns[int(np.argmax(ovlps))][2]
-                else:
-                    h_algn = h_algns[0][2]
-                common_start = max(common_start, h_algn.start)
-                common_end = min(common_end, h_algn.end)
-                group.append(h_algn)
-            if len(group) != len(haplotypes):
-                logger.info(
-                    "Skipping {}:{}-{}; missing alignment for "
-                    "haplotype".format(
-                        a.aln.ref_id, a.start, a.end))
-                continue
-            for i in group:
-                i.start = common_start
-                i.end = common_end
-            grouped.append(tuple(group))
-        return grouped
+                best = max(
+                    hits,
+                    key=lambda iv: min(hi, iv[1]) - max(lo, iv[0]))[2]
+                lo = max(lo, best.start)
+                hi = min(hi, best.end)
+                members.append(best)
+            else:
+                for m in members:
+                    m.start, m.end = lo, hi
+                groups.append(tuple(members))
+        return groups
 
     @staticmethod
     def bam_to_alignments(truth_bam, region, haplotag=None, min_length=1000):
@@ -243,34 +230,33 @@ class BaseLabelScheme(metaclass=_SchemeMeta):
             raise ValueError(
                 "{} alignments were passed to {}, requires {}".format(
                     len(truth_alns), type(self), self.n_elements))
-        if not (self._singleton(a.start for a in truth_alns) and
-                self._singleton(a.end for a in truth_alns)):
+        spans = {(a.start, a.end) for a in truth_alns}
+        if len(spans) != 1:
             raise ValueError(
                 "Alignments must have identical genomic start and end.")
+        lo, hi = spans.pop()
 
-        pos_maps = []
-        for aln in truth_alns:
-            pos_to_symbol = collections.defaultdict(lambda: "*")
-            ins_count = 0
-            current_pos = None
-            pairs = self._alignment_to_pairs(aln.aln)
-            pairs = itertools.dropwhile(
-                lambda x: (x[0] is None) or (x[0] < aln.start), pairs)
-            for rpos, label in pairs:
-                if rpos is not None and rpos >= aln.end:
-                    break
+        def keyed_symbols(aln):
+            # ((major, minor), symbol) stream clipped to [lo, hi);
+            # minor counts insertions after their anchoring major
+            major, minor = None, 0
+            for rpos, symbol in self._alignment_to_pairs(aln):
                 if rpos is None:
-                    ins_count += 1
+                    if major is None:  # insertion before the window
+                        continue
+                    minor += 1
+                elif rpos < lo:
+                    continue
+                elif rpos >= hi:
+                    return
                 else:
-                    ins_count = 0
-                    current_pos = rpos
-                pos_to_symbol[(current_pos, ins_count)] = label
-            pos_maps.append(pos_to_symbol)
+                    major, minor = rpos, 0
+                yield (major, minor), symbol
 
-        positions = sorted(set(itertools.chain.from_iterable(
-            m.keys() for m in pos_maps)))
-        labels = [tuple(m[pos] for m in pos_maps) for pos in positions]
-        positions = np.array(positions, dtype=common.POSITIONS_DTYPE)
+        per_hap = [dict(keyed_symbols(a.aln)) for a in truth_alns]
+        keys = sorted(set().union(*per_hap))
+        labels = [tuple(h.get(k, "*") for h in per_hap) for k in keys]
+        positions = np.array(keys, dtype=common.POSITIONS_DTYPE)
         return positions, labels
 
     @abc.abstractmethod
