@@ -372,9 +372,11 @@ def test_truncated_hdf5_clear_error(tmp_path):
 
 class TestTrainedModelFullLoop:
     """The bundled trained GRU (Q28.5 validation on the reference's
-    training features) polishes the real workflow reads to the same
-    6-edit consensus as the majority-vote golden — the framework's
-    train -> infer -> decode loop is self-consistent end to end."""
+    training features) polishes the real workflow reads to within a
+    handful of edits of the high-quality draft (7 at the current
+    mapper; 6 before it emitted MAPQ/supplementary records) — the
+    framework's train -> infer -> decode loop is self-consistent end
+    to end."""
 
     def test_bundled_model_polishes_workflow(self, tmp_path):
         from medaka_tpu import mapping, models, native
