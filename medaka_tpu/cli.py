@@ -294,9 +294,10 @@ def main(argv=None):
         help="Warmup+cosine LR schedule (constant LR when disabled; "
              "reference medaka.py:560).")
     p.add_argument(
-        "--amp", action="store_true", default=True,
-        help="Mixed precision (bf16 compute). Already the default; "
-             "accepted for reference CLI parity (medaka.py:561).")
+        "--amp", action=argparse.BooleanOptionalAction, default=None,
+        help="Mixed precision (bf16 compute) — already the default; "
+             "accepted for reference CLI parity (medaka.py:561). "
+             "--no-amp is equivalent to --full_precision.")
     p.add_argument(
         "--full_precision", action="store_true",
         help="Train in float32 throughout (disables bf16 compute).")

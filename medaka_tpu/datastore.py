@@ -242,6 +242,14 @@ class DataStore:
         datasets a sample holds (measured 2.6x on a 22M-column file;
         this path feeds stitch, variant decode and training epochs).
         """
+        def convert(field, value):
+            if isinstance(value, bytes):
+                return value.decode()
+            if field == "positions" and isinstance(value, np.ndarray) \
+                    and value.dtype != common.POSITIONS_DTYPE:
+                return value.astype(common.POSITIONS_DTYPE)
+            return value
+
         fields = {k: None for k in Sample._fields}
         try:
             import h5py.h5d
@@ -260,30 +268,24 @@ class DataStore:
                     () if scalar else space.get_simple_extent_dims(),
                     dtype=did.dtype)
                 did.read(h5py.h5s.ALL, h5py.h5s.ALL, value)
-                if scalar:
-                    value = value[()]
-                if isinstance(value, bytes):
-                    value = value.decode()
-                if field == "positions" \
-                        and isinstance(value, np.ndarray) \
-                        and value.dtype != common.POSITIONS_DTYPE:
-                    value = value.astype(common.POSITIONS_DTYPE)
                 if field in fields:
-                    fields[field] = value
+                    fields[field] = convert(
+                        field, value[()] if scalar else value)
             return Sample(**fields)
         except Exception:
-            # odd layouts (links, unusual dtypes): high-level fallback
-            pass
+            # odd layouts (soft links, compressed-scalar quirks, or a
+            # corrupt file, which the re-read below will then report
+            # properly); log the degradation once per file
+            if not getattr(self, "_slow_load_logged", False):
+                self._slow_load_logged = True
+                self.logger.warning(
+                    "Low-level sample read failed for %r in %s; using "
+                    "the slower high-level h5py path.",
+                    name, self.filename, exc_info=True)
         grp = self.fh["{}/{}".format(self._data_path_, name)]
         fields = {k: None for k in Sample._fields}
         for field in grp:
-            value = grp[field][()]
-            if isinstance(value, bytes):
-                value = value.decode()
-            if field == "positions" and isinstance(value, np.ndarray) \
-                    and value.dtype != common.POSITIONS_DTYPE:
-                value = value.astype(common.POSITIONS_DTYPE)
-            fields[field] = value
+            fields[field] = convert(field, grp[field][()])
         return Sample(**fields)
 
     @property

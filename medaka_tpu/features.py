@@ -340,8 +340,9 @@ def pileup_counts(
             reader.close()
 
     if not reads:
+        # dtype matches the native kernel's (the default path)
         return [(
-            np.empty((0, col_feat), dtype=np.int64),
+            np.empty((0, col_feat), dtype=np.int32),
             make_positions([], []))]
 
     if not weibull_summation:

@@ -520,10 +520,12 @@ class BamReader:
                         continue
                     if rec.pos >= stop:
                         break
-                    # reference_end > pos always, so pos >= beg implies
-                    # overlap; the cigar walk is only needed for reads
-                    # starting left of the window
-                    if rec.pos >= beg or rec.reference_end > beg:
+                    # reference_end >= pos always, so pos > beg implies
+                    # reference_end > beg; the cigar walk is only
+                    # needed for reads starting at or left of the
+                    # window start (bit-exact with the plain check,
+                    # including zero-reference-length records)
+                    if rec.pos > beg or rec.reference_end > beg:
                         yield rec
         else:
             # full scan fallback
@@ -533,7 +535,12 @@ class BamReader:
                 if rec.pos >= stop:
                     # sorted inputs only benefit; keep scanning for safety
                     continue
-                if rec.pos >= beg or rec.reference_end > beg:
+                # reference_end >= pos always, so pos > beg implies
+                # reference_end > beg; the cigar walk is only
+                # needed for reads starting at or left of the
+                # window start (bit-exact with the plain check,
+                # including zero-reference-length records)
+                if rec.pos > beg or rec.reference_end > beg:
                     yield rec
 
     def close(self):

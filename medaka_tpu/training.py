@@ -544,9 +544,14 @@ def train(args):
         model_dict = bundle.model.to_dict()
         initial_params = bundle.params
     # bf16 mixed precision is the default (the reference's --amp
-    # equivalent); --full_precision forces float32 throughout
+    # equivalent); --full_precision / --no-amp force float32
+    amp = getattr(args, "amp", None)
+    full_precision = getattr(args, "full_precision", False)
+    if amp is True and full_precision:
+        raise ValueError(
+            "--amp and --full_precision are mutually exclusive.")
     compute_dtype = (
-        jnp.float32 if getattr(args, "full_precision", False)
+        jnp.float32 if (full_precision or amp is False)
         else jnp.bfloat16)
     run_training(
         args.train_name, batcher, model_dict=model_dict,

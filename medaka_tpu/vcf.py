@@ -378,13 +378,13 @@ class VCFWriter:
     @staticmethod
     def _format_row(v: Variant) -> str:
         """One tab-separated VCF line (no mutation of ``v``)."""
-        def csv(x):
-            return (','.join(map(str, x))
+        def joined(x, sep):
+            return (sep.join(map(str, x))
                     if isinstance(x, (tuple, list)) else x)
 
-        cols = (v.chrom, v.pos + 1, v.ident, v.ref, csv(v.alt), v.qual,
-                csv(v.filt), v.info_string, v.genotype_keys,
-                v.genotype_values)
+        cols = (v.chrom, v.pos + 1, v.ident, v.ref, joined(v.alt, ','),
+                v.qual, joined(v.filt, ';'), v.info_string,
+                v.genotype_keys, v.genotype_values)
         return '\t'.join(str(c) for c in cols) + '\n'
 
 
@@ -411,8 +411,13 @@ class VCFReader:
                     break
 
     def _parse(self):
-        """Stream records, tracking per-chrom position order."""
-        highest = {}  # chrom -> last position seen
+        """Stream records, requiring position order within chrom runs.
+
+        Order tracking resets whenever the chromosome changes, so a
+        concatenation of per-region VCFs (each block internally
+        sorted) streams fine even when a chromosome recurs.
+        """
+        run = (None, None)  # (current chrom, last position in its run)
         known = set(self.chroms)
         with open(self.filename, encoding='utf-8') as handle:
             for lineno, raw in enumerate(handle, 1):
@@ -425,14 +430,14 @@ class VCFReader:
                     raise IOError(
                         'Malformed VCF record at line {} of {}: '
                         '{!r}'.format(lineno, self.filename, raw)) from e
-                prev = highest.get(variant.chrom)
-                if prev is not None and variant.pos < prev:
+                if variant.chrom == run[0] and run[1] is not None \
+                        and variant.pos < run[1]:
                     raise IOError(
                         '{} is not position-sorted at line {} '
                         '({}:{} after position {}).'.format(
                             self.filename, lineno, variant.chrom,
-                            variant.pos + 1, prev + 1))
-                highest[variant.chrom] = variant.pos
+                            variant.pos + 1, run[1] + 1))
+                run = (variant.chrom, variant.pos)
                 if variant.chrom not in known:
                     known.add(variant.chrom)
                     self.chroms.append(variant.chrom)

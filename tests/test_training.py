@@ -99,6 +99,21 @@ def test_samples_per_epoch_and_constant_lr(tmp_path):
     assert len(train_rows) == 2
 
 
+def test_amp_full_precision_conflict():
+    """Explicit --amp with --full_precision is rejected, not ignored."""
+    import argparse
+
+    args = argparse.Namespace(
+        features=[REF_TRAIN], validation_features=None,
+        validation_split=0.2, seed=0, batch_size=16, max_samples=8,
+        max_valid_samples=None, validate_only=False, model=None,
+        train_name="unused", epochs=1, optimizer="adam", optim_args={},
+        model_parallel=1, resume=False, samples_per_training_epoch=None,
+        use_lr_schedule=True, amp=True, full_precision=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        training.train(args)
+
+
 def test_training_reproducible(tmp_path):
     """Same seed -> bitwise-identical training curve."""
     losses = []

@@ -117,6 +117,45 @@ class TestReaderWriter:
         got = list(reader.fetch("chr1", 25, 55))
         assert [v.pos for v in got] == [30, 40, 50]
 
+    def test_interleaved_chrom_blocks_stream(self, tmp_path):
+        """Concatenated per-region VCFs (chrom recurs) must parse.
+
+        Order tracking resets when the chromosome changes: chr1:100,
+        chr2:50, chr1:50 is fine; chr1:100 then chr1:50 inside one run
+        is not.
+        """
+        ok = tmp_path / "blocks.vcf"
+        ok.write_text(
+            "##fileformat=VCFv4.1\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "chr1\t100\t.\tA\tC\t.\t.\t.\n"
+            "chr2\t50\t.\tA\tC\t.\t.\t.\n"
+            "chr1\t50\t.\tA\tC\t.\t.\t.\n")
+        got = list(VCFReader(str(ok), cache=False).fetch())
+        assert [(v.chrom, v.pos) for v in got] == [
+            ("chr1", 99), ("chr2", 49), ("chr1", 49)]
+        bad = tmp_path / "bad.vcf"
+        bad.write_text(
+            "##fileformat=VCFv4.1\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "chr1\t100\t.\tA\tC\t.\t.\t.\n"
+            "chr1\t50\t.\tA\tC\t.\t.\t.\n")
+        with pytest.raises(IOError, match="position-sorted"):
+            list(VCFReader(str(bad), cache=False).fetch())
+
+    def test_multi_filter_roundtrip(self, tmp_path):
+        """FILTER lists serialise ';'-separated per the VCF spec."""
+        path = str(tmp_path / "filt.vcf")
+        v = Variant("chr1", 5, "A", alt="C", filt="q10;q20",
+                    genotype_data={"GT": "1/1"})
+        assert v.filt == ["q10", "q20"]
+        with VCFWriter(path) as writer:
+            writer.write_variant(v)
+        line = [ln for ln in open(path) if not ln.startswith("#")][0]
+        assert line.split("\t")[6] == "q10;q20"
+        back = list(VCFReader(path, cache=False).fetch())[0]
+        assert back.filt == ["q10", "q20"]
+
     def test_real_fixture(self):
         reader = VCFReader(os.path.join(REF_DATA, "test1.vcf"))
         variants = list(reader.fetch())
