@@ -793,6 +793,8 @@ def _read_matrix_native(reads, start, end, dtype_index, num_dtypes,
         from medaka_tpu import native
     except Exception:  # pragma: no cover
         return None
+    if not native.available():  # probe BEFORE the per-read prep below
+        return None
     n = len(reads)
     read_dtype = np.zeros(n, dtype=np.int32)
     if num_dtypes > 1:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import glob as _glob
 import os
 import re
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import h5py
 import numpy as np
@@ -58,16 +58,22 @@ def latest_analysis(group, base: str = "Basecall_1D") -> str:
 
 
 def get_runlength_basecall(
-        fname: str, read_id: str) -> Tuple[str, np.ndarray, np.ndarray]:
+        fname: str, read_id: str,
+        analysis: Optional[str] = None,
+) -> Tuple[str, np.ndarray, np.ndarray]:
     """Read a run-length basecall table from a fast5 file.
 
+    :param analysis: ``Basecall_1D`` group name; None picks the
+        highest-numbered one (the reference's rlebam behaviour, via
+        ont_fast5_api ``get_latest_analysis``).
+
     :returns: ``(basecall, shape, scale)`` — the compact (RLE)
-        basecall string and per-base Weibull shape/scale float arrays,
-        as stored in the read's latest ``Basecall_1D`` analysis.
+        basecall string and per-base Weibull shape/scale float arrays.
     """
     with h5py.File(fname, "r") as h5:
         group = _read_group(h5, read_id)
-        analysis = latest_analysis(group)
+        if analysis is None:
+            analysis = latest_analysis(group)
         data = group[_ANALYSES][analysis][_RLB_PATH][()]
     call = b"".join(data["base"]).decode()
     shape = np.asarray(data["shape"], dtype=np.float32)
@@ -136,6 +142,11 @@ class Fast5Index:
 
     def get_rl_params(
             self, read_id: str) -> Tuple[str, np.ndarray, np.ndarray]:
-        """``(basecall, shape, scale)`` for a read (reference
-        ``rle.py:78-91``)."""
-        return get_runlength_basecall(self.path_for(read_id), read_id)
+        """``(basecall, shape, scale)`` for a read.
+
+        Pinned to ``Basecall_1D_000`` like the reference's
+        ``compress_bam`` path (``rle.py:78-91`` hardcodes it; only the
+        rlebam worker uses the latest analysis).
+        """
+        return get_runlength_basecall(
+            self.path_for(read_id), read_id, analysis="Basecall_1D_000")

@@ -50,9 +50,17 @@ def align_reads(
 
     with concurrent.futures.ThreadPoolExecutor(max(1, threads)) as ex:
         for name, seq, qual, hits in ex.map(_map, read_iter()):
-            hits = [
-                h for h in hits
-                if min_score is None or h.score >= min_score]
+            if min_score is not None and hits:
+                # gate the read on its PRIMARY score: keeping only a
+                # supplementary would write a SAM-invalid flag-2048
+                # record with no primary (and downstream read filters
+                # drop supplementaries, silently losing the read)
+                primary_ok = any(
+                    not (h.flag & 2048) and h.score >= min_score
+                    for h in hits)
+                hits = [
+                    h for h in hits
+                    if primary_ok and h.score >= min_score]
             if not hits:
                 n_unmapped += 1
                 continue

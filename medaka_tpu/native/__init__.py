@@ -79,12 +79,26 @@ class _MtAlignment(ctypes.Structure):
     ]
 
 
+_LOAD_ERROR = None
+
+
 def _load():
-    global _LIB
+    global _LIB, _LOAD_ERROR
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        lib = ctypes.CDLL(_build())
+        if _LOAD_ERROR is not None:
+            # don't re-run a failing g++ compile (up to 300 s) on
+            # every call from the featurization hot loop
+            raise NativeBuildError(
+                "Native library unavailable (cached): {}".format(
+                    _LOAD_ERROR))
+        try:
+            so_path = _build()
+        except NativeBuildError as e:
+            _LOAD_ERROR = e
+            raise
+        lib = ctypes.CDLL(so_path)
         lib.mt_align.restype = ctypes.c_int
         lib.mt_align.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,

@@ -44,20 +44,6 @@ def _pick_time_block(T: int, B: int, H: int, budget_bytes: int = 4 << 20,
     return best
 
 
-def _fullfused_vmem_bytes(bt: int, B: int, H: int, IN: int) -> int:
-    """VMEM footprint estimate of the fullfused kernel at time_block bt.
-
-    Counts the double-buffered input/output windows, the two projection
-    scratches, the f32 hidden-state scratch, and the resident weights.
-    """
-    inputs = 2 * 2 * bt * B * IN * 2          # 2 dirs, double-buffered
-    outputs = 2 * 2 * bt * B * H * 2
-    xp_scratch = 2 * bt * B * 3 * H * 2
-    h_scratch = 2 * B * H * 4
-    weights = 2 * (IN + H) * 3 * H * 2 + 2 * 2 * 3 * H * 4
-    return inputs + outputs + xp_scratch + h_scratch + weights
-
-
 # Scoped-VMEM ceiling requested for the fullfused kernels.  The
 # compiler's default scoped limit is 16 MB, which forces time_block=1
 # at the production geometry (B=512) — one grid step, two input DMAs
@@ -65,19 +51,6 @@ def _fullfused_vmem_bytes(bt: int, B: int, H: int, IN: int) -> int:
 # have 128 MB of VMEM; raising the limit lets the chooser below pick
 # time blocks that amortise grid overhead and batch the projections.
 _FULLFUSED_VMEM_LIMIT = 100 << 20
-_FULLFUSED_VMEM_TARGET = 56 << 20
-
-
-def _fullfused_time_block(T: int, B: int, H: int, IN: int) -> int:
-    """Largest divisor of T whose full buffer set fits the target."""
-    best = 1
-    for bt in range(1, T + 1):
-        if T % bt:
-            continue
-        if _fullfused_vmem_bytes(bt, B, H, IN) > _FULLFUSED_VMEM_TARGET:
-            break
-        best = bt
-    return best
 
 
 def _gru_kernel(x_proj_ref, w_hh_t_ref, b_hh_ref, lengths_ref, out_ref,
@@ -565,11 +538,17 @@ def _bigru_fullfused_kernel(
         # constants into bf16 vectors (verifier error); spell the
         # nonlinearities out with explicitly-typed constants instead.
         def _sig(v):
-            return one / (one + jnp.exp(-v))
+            # exp(-|v|) <= 1 never overflows; reconstruct by sign
+            e = jnp.exp(-jnp.abs(v))
+            pos = one / (one + e)
+            return jnp.where(v >= 0, pos, one - pos)
 
         def _tanh(v):
-            e = jnp.exp(jnp.asarray(-2.0, gd) * v)
-            return (one - e) / (one + e)
+            # sign-symmetric form: e = exp(-2|v|) <= 1, so large
+            # negative v saturates to -1 instead of inf -> NaN
+            e = jnp.exp(jnp.asarray(-2.0, gd) * jnp.abs(v))
+            mag = (one - e) / (one + e)
+            return jnp.where(v >= 0, mag, -mag)
     else:
         _sig, _tanh = jax.nn.sigmoid, jnp.tanh
 
@@ -709,8 +688,8 @@ def bigru_pallas_fullfused(
         # 10/20 at B=512 (31.5 vs 29-30M cols/s) — the per-step block
         # DMAs pipeline better than block-batched projections, so the
         # small default budget (which forces tb=1 at production batch)
-        # is kept deliberately. _fullfused_time_block + the raised
-        # vmem limit remain available via explicit time_block.
+        # is kept deliberately; larger blocks remain available via an
+        # explicit time_block (the raised VMEM limit covers them).
         time_block = _pick_time_block(
             T, B, H, budget_bytes=1 << 20, gates=3)
     n_blocks = T // time_block
@@ -867,8 +846,8 @@ def bigru_pallas_fullfused_int8(
         # 10/20 at B=512 (31.5 vs 29-30M cols/s) — the per-step block
         # DMAs pipeline better than block-batched projections, so the
         # small default budget (which forces tb=1 at production batch)
-        # is kept deliberately. _fullfused_time_block + the raised
-        # vmem limit remain available via explicit time_block.
+        # is kept deliberately; larger blocks remain available via an
+        # explicit time_block (the raised VMEM limit covers them).
         time_block = _pick_time_block(
             T, B, H, budget_bytes=1 << 20, gates=3)
     n_blocks = T // time_block

@@ -611,9 +611,6 @@ def predict_from_features(
         label_scheme = bundle.label_scheme or label_scheme
     if model is None:
         raise ValueError("Provide model_path or model/params.")
-    if batch_size is None:
-        batch_size = auto_batch_size(model, chunk_len=chunk_len)
-        logger.info("Auto batch size: %d.", batch_size)
     compute_dtype = None if full_precision else jnp.bfloat16
     predictor = Predictor(
         model, params, mesh=mesh, compute_dtype=compute_dtype)
@@ -623,6 +620,9 @@ def predict_from_features(
     if first is None:
         raise ValueError("No samples found in inputs.")
     chunk_len = first.size
+    if batch_size is None:
+        batch_size = auto_batch_size(model, chunk_len=chunk_len)
+        logger.info("Auto batch size: %d.", batch_size)
 
     import itertools
     n_samples = n_columns = 0

@@ -202,6 +202,14 @@ def test_consensus_from_features(workspace, tmp_path):
         assert ds.n_samples > 0
         name = sorted(ds.sample_registry)[0]
         assert ds.load_sample(name).label_probs is not None
+    # default batch size path (auto-sized from the first sample's
+    # chunk length; regression: raised UnboundLocalError)
+    probs2 = str(tmp_path / "probs_auto.hdf")
+    assert run_cli([
+        "consensus_from_features", feats, probs2,
+        "--model", workspace["model"], "--quiet"]) == 0
+    with DataStore(probs2) as ds:
+        assert ds.n_samples > 0
 
 
 def test_variant_pipeline(workspace, tmp_path):

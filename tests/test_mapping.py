@@ -204,6 +204,39 @@ class TestMapqModel:
             assert (h.query_end - h.query_start) == pytest.approx(
                 1500, abs=60)
 
+    def test_min_score_never_orphans_supplementaries(self, tmp_path):
+        """min_score gates on the primary, not per-hit.
+
+        A chimeric read whose primary fails min_score must vanish
+        entirely — a lone flag-2048 record is SAM-invalid and silently
+        disappears from pileups (read filters drop supplementaries).
+        """
+        from medaka_tpu.io.bam import BamReader
+        from medaka_tpu.io.fastx import FastaWriter, FastqWriter
+
+        a, b = rand_seq(4000, 31), rand_seq(4000, 32)
+        draft = str(tmp_path / "draft.fasta")
+        with FastaWriter(draft) as fw:
+            fw.write("a", a)
+            fw.write("b", b)
+        # short primary (low score) + long supplementary
+        chimera = a[0:400] + reverse_complement(b[1000:3800])
+        reads = str(tmp_path / "reads.fastq")
+        with FastqWriter(reads) as fw:
+            fw.write("chimera", chimera, "5" * len(chimera))
+        out = str(tmp_path / "calls.bam")
+        # threshold between the two chain scores: primary is the
+        # longer segment, so gate above the short segment's score
+        stats = mapping.align_reads(
+            reads, draft, out, min_score=1000)
+        with BamReader(out) as br:
+            recs = list(br)
+        supp = [r for r in recs if r.flag & 2048]
+        prim = [r for r in recs if not (r.flag & 2048)]
+        # whatever passed, no supplementary exists without a primary
+        assert not supp or prim, recs
+        assert stats["mapped"] == len(set(r.query_name for r in prim))
+
 
 class TestUnmappedReadsAreUnalignable:
     def test_unmapped_reads_fail_direct_sw(self, tmp_path):
