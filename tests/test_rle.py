@@ -129,6 +129,37 @@ class TestCompressBam:
             np.testing.assert_allclose(
                 rec.tags["WK"], expected[name]["WK"], rtol=1e-6)
 
+    def test_compress_bam_pins_basecall_000(self, tmp_path):
+        """Re-basecalled fast5s: compress_bam reads Basecall_1D_000.
+
+        The reference's ``get_rl_params`` hardcodes ``_000``
+        (``rle.py:78-91``); only its rlebam worker takes the latest
+        analysis. A decoy ``_001`` group with a different basecall
+        must not be consulted by the compress_bam path.
+        """
+        import h5py
+        import mock_data
+
+        from medaka_tpu.io.fast5 import Fast5Index
+
+        fast5 = mock_data.create_mock_fast5(str(tmp_path / "mock.fast5"))
+        # add a re-basecall analysis with garbage content
+        with h5py.File(fast5, "a") as h5:
+            name = mock_data.CALLS[0][0]
+            arr = np.fromiter(
+                zip((c.encode() for c in "AC"), [9.0, 9.0], [9.0, 9.0]),
+                dtype=[("base", "S1"), ("shape", ">f4"),
+                       ("scale", ">f4")])
+            h5.create_dataset(
+                "read_{}/Analyses/Basecall_1D_001/"
+                "BaseCalled_template/RunlengthBasecall".format(name),
+                data=arr)
+        summary = mock_data.create_mock_summary(
+            str(tmp_path / "summary.txt"), "mock.fast5")
+        idx = Fast5Index(str(tmp_path), summary)
+        call, shape, scale = idx.get_rl_params(mock_data.CALLS[0][0])
+        assert call != "AC" and len(call) > 2  # the _000 table
+
     def test_fast5_missing_read_skipped(self, tmp_path):
         """Reads absent from the summary are dropped with a warning."""
         import mock_data
