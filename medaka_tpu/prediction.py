@@ -121,9 +121,9 @@ class DataLoader:
 
     ``feature_processes`` moves featurization into worker *processes*
     (spawned, JAX-free). Measured on the 4-core dev host the THREAD
-    path wins (~4 Mcols/s at 2-4 workers; the native pileup kernel
-    releases the GIL) while processes pay sample pickling/IPC
-    (~1.8 Mcols/s); the flag exists for many-core hosts where thread
+    path wins (7.1 Mcols/s at 4 workers with the int32 native pileup
+    kernel, which releases the GIL) while processes pay sample
+    pickling/IPC (~1.8 Mcols/s); the flag exists for many-core hosts where thread
     marshalling may saturate. Workers are spawned, so programmatic
     callers need the standard ``if __name__ == "__main__"`` guard (the
     CLI always satisfies this).
