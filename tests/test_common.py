@@ -244,3 +244,14 @@ class TestCountsDerivation:
         # classes: (del, A, C, G, T)
         np.testing.assert_allclose(probs[0], [0, 1, 0, 0, 0])
         np.testing.assert_allclose(probs[1], [0.5, 0, 0, 0, 0.5])
+
+
+def test_doctests_pass():
+    """Run common.py's doctest examples (reference runs
+    ``pytest --doctest-modules``, ``Makefile:191-201``)."""
+    import doctest
+
+    from medaka_tpu import common as common_mod
+    result = doctest.testmod(common_mod)
+    assert result.failed == 0
+    assert result.attempted >= 5
