@@ -696,9 +696,13 @@ def _cmd_inference(args):
             encoder_overrides=overrides or None,
             save_features=args.save_features)
     if args.check_output:
+        # read-only: mode "a" would create a missing file and pass
         from medaka_tpu import datastore as ds_mod
-        with ds_mod.DataStore(args.output, "a"):
-            pass
+        with ds_mod.DataStore(args.output, "r") as ds:
+            if not ds.sample_registry:
+                # legal for e.g. a shard with an uncovered work share
+                common.get_named_logger("CheckOutput").warning(
+                    "Output %s contains no samples.", args.output)
     return 0
 
 

@@ -456,6 +456,13 @@ class Sample:
         depth = np.maximum(depth, 1)
         fwd = x[:, :, 2] == 1
         rev = ~fwd
+        # NOTE: forward counts land in the LOWERCASE channels here —
+        # the opposite of the pileup encoder's convention (lowercase =
+        # reverse, NT16_TO_CHANNEL above). This reproduces the
+        # reference's own counts_matrix exactly (``common.py:163-168``
+        # writes cur_for -> base2index[base]); consumers either sum
+        # strands (majority_vote_probs) or were trained on this
+        # derivation, so do not "fix" it.
         # read-level base codes: 0 pad, 1..4 acgt, 5 deletion
         for code, base in enumerate("pacgtd"):
             if base == "p":
@@ -554,13 +561,12 @@ class Sample:
         pos2_ovl = s2.positions[:ovl_end_ind2]
 
         if np.array_equal(pos1_ovl["minor"], pos2_ovl["minor"]):
+            # identical minor structure: split the overlap at its
+            # midpoint (s1 keeps the left half)
             overlap_len = len(pos1_ovl)
             pad_1 = overlap_len // 2
-            end_1 = ovl_start_ind1 + pad_1
-            start_2 = ovl_end_ind2 - (overlap_len - pad_1)
-            contr = (end_1 - ovl_start_ind1) + (ovl_end_ind2 - start_2)
-            if contr == overlap_len:
-                return end_1, start_2, False
+            return (ovl_start_ind1 + pad_1,
+                    ovl_end_ind2 - (overlap_len - pad_1), False)
 
         # Heuristic: find a major position near the overlap midpoint that
         # appears with the same column multiplicity in both samples.
@@ -614,8 +620,6 @@ class Sample:
                     log("{} is contained within {}, skipping.".format(
                         s2.name, s1.name))
                     continue
-                elif rel is Relationship.forward_overlap:
-                    end_1, start_2, _ = Sample.overlap_indices(s1, s2)
                 elif rel is Relationship.forward_gapped:
                     is_last_in_contig = True
                     end_1, start_2 = None, None
@@ -707,6 +711,11 @@ def tag_merge_bams(input_bams, values, tag, output, threads: int = 1):
     :param values: one tag value per input BAM.
     :param tag: two-letter tag name (e.g. 'HP').
     :param output: merged, sorted, indexed BAM path.
+
+    .. note:: all records are held in memory for the merge sort
+        (``write_bam`` sorts the full list), bounding inputs to
+        what fits in RAM — fine for the consensus_joint use case this
+        serves; genome-scale merges would need a streaming k-way merge.
     """
     import os
 

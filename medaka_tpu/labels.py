@@ -757,13 +757,35 @@ class RLELabelScheme(HaploidLabelScheme):
     def _labels_to_encoded_labels(self, labels):
         return np.fromiter((self._encoding[x] for x in labels), dtype=int)
 
-    def decode_consensus(self, sample):
-        """Argmax decode expanding run lengths."""
+    def decode_consensus(self, sample, with_qualities=False):
+        """Argmax decode expanding run lengths.
+
+        ``with_qualities`` makes RLE models stitchable: the expanded
+        bases of a run all carry the phred of the run's class
+        probability. (The reference's stitch crashes here — its
+        RLE ``decode_consensus`` rejects the keyword,
+        ``stitch.py:63`` vs ``labels.py:1301``.)
+        """
         decode = self._decoding
         mp = np.argmax(sample.label_probs, -1)
-        return "".join(
-            base * run for ((base, run),) in (decode[x] for x in mp)
-            if base != "*")
+        parts = []
+        quals = []
+        probs = None
+        if with_qualities:
+            probs = np.take_along_axis(
+                sample.label_probs, mp[:, None], -1).squeeze(-1)
+        for i, x in enumerate(mp):
+            ((base, run),) = decode[x]
+            if base == "*":
+                continue
+            parts.append(base * run)
+            if with_qualities:
+                q = int(self._phred(1.0 - probs[i])) + 33
+                quals.append(chr(min(q, 126)) * run)
+        seq = "".join(parts)
+        if with_qualities:
+            return seq, "".join(quals)
+        return seq
 
     def _prob_to_snp(self, *args, **kwargs):
         """SNP decoding is undefined for RLE outputs."""

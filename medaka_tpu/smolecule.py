@@ -275,8 +275,9 @@ def smolecule(
             for fname in fastx_inputs:
                 try:
                     yield Read.from_fastx(fname)
-                except Exception:
-                    pass
+                except Exception as e:
+                    logger.warning(
+                        "Skipping input %s: %s", fname, e)
         read_iter = reads()
     else:
         read_iter = Read.multi_from_fastx(
@@ -304,9 +305,14 @@ def smolecule(
         chunk_overlap=chunk_ovlp, batch_size=batch_size,
         save_features=save_features)
     if check_output:
+        # read-only: mode "a" would CREATE a missing file and make the
+        # check vacuous when prediction failed to write anything
         from medaka_tpu import datastore as ds_mod
-        with ds_mod.DataStore(probs_file, "a"):
-            pass
+        with ds_mod.DataStore(probs_file, "r") as _ds:
+            if not _ds.sample_registry:
+                raise RuntimeError(
+                    "Probability file {} contains no samples.".format(
+                        probs_file))
     t3 = now()
 
     out_ext = "fastq" if qualities else "fasta"

@@ -8,10 +8,11 @@ either broken into separate output contigs or filled from the draft.
 
 Differences from the reference: decoding is vectorised numpy end-to-end
 (decode happens per chunk on plain arrays — the device side has already
-produced dense probability tensors), parallelism is thread-based (the heavy
-lifting is numpy releasing the GIL, and there is no CUDA context to
-quarantine in subprocesses), and gap bookkeeping uses
-:class:`medaka_tpu.utils.intervals.IntervalSet`.
+produced dense probability tensors), and gap bookkeeping uses
+:class:`medaka_tpu.utils.intervals.IntervalSet`. Region parallelism
+uses spawned worker processes like the reference (h5py serialises all
+reads behind a global lock, so threads only add contention here),
+minus its CUDA-context quarantine, which has no analog.
 """
 from __future__ import annotations
 
@@ -228,12 +229,20 @@ def stitch_to_fasta(
                     samples, label_scheme, region, min_depth)
         pieces = produce()
     else:
+        # worker PROCESSES, like the reference (stitch.py:232-243):
+        # h5py serialises all reads behind one global lock, so threads
+        # only add contention here (measured slower than serial);
+        # spawned processes each own their file handles and decode
+        # independently, returning picklable piece tuples
         def produce():
-            with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+            import multiprocessing
+            ctx = multiprocessing.get_context("spawn")
+            with concurrent.futures.ProcessPoolExecutor(
+                    threads, mp_context=ctx) as ex:
                 worker = functools.partial(
                     stitch_from_probs, inputs, min_depth=min_depth)
                 yield from itertools.chain.from_iterable(
-                    ex.map(worker, work))
+                    ex.map(worker, work, chunksize=4))
         pieces = produce()
 
     gap_record: Dict[str, List[Tuple[int, int]]] = {}
@@ -244,6 +253,17 @@ def stitch_to_fasta(
             gap_record.update(gaps)
             for (ref, _start, _stop), seqs, quals in filled:
                 write_fastx_segment(fastx, ref, seqs, quals, qualities)
+            # a contig whose samples were ALL filtered away (e.g. by
+            # min_depth) yields no pieces and — matching the reference
+            # (stitch.py:291-305 only copies index-absent contigs) —
+            # is absent from the output; at least say so
+            emitted = {ref for (ref, _s, _e), _, _ in filled}
+            silent = {r.ref_name for r in to_process} - emitted
+            if silent:
+                logger.warning(
+                    "Contigs %s had probability data but produced no "
+                    "stitchable pieces (all samples filtered?); they "
+                    "are absent from the output.", sorted(silent))
             # contigs with no data at all: copy from draft verbatim
             missing = ({r.ref_name for r in req_regions}
                        - {r.ref_name for r in to_process})

@@ -233,6 +233,27 @@ class TestRLEDecoding:
                    make_positions(range(4), [0] * 4), probs)
         assert scheme.decode_consensus(s) == "AACGGG"
 
+    def test_decode_consensus_with_qualities(self):
+        """RLE decode is stitchable: per-base quals expand with runs.
+
+        (The reference's stitch crashes on RLE models — its RLE
+        ``decode_consensus`` rejects ``with_qualities``,
+        ``stitch.py:63`` vs ``labels.py:1301``.)
+        """
+        scheme = RLELabelScheme(max_run=3)
+        probs = np.zeros((2, scheme.num_classes), dtype=np.float32)
+        probs[0, scheme._encoding[(("A", 2),)]] = 1.0   # q capped
+        probs[1, scheme._encoding[(("T", 3),)]] = 0.9   # q10
+        probs[1, scheme._encoding[(("*", 1),)]] = 0.1
+        s = Sample("chr1", None, None, None,
+                   make_positions(range(2), [0] * 2), probs)
+        seq, qual = scheme.decode_consensus(s, with_qualities=True)
+        assert seq == "AATTT"
+        assert len(qual) == len(seq)
+        assert qual[0] == qual[1] and qual[2] == qual[3] == qual[4]
+        # phred of 1-0.9 (float32 rounding may truncate 10.0 to 9)
+        assert ord(qual[2]) - 33 in (9, 10)
+
 
 class TestDiploidProbToSnp:
     """Per-case diploid genotype decoding (reference
