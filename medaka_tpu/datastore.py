@@ -86,17 +86,33 @@ class DataStore:
         self.close()
 
     def close(self):
-        """Flush pending writes, persist metadata, close the file."""
-        if self.write_executor is not None:
-            for fut in self._futures:
-                fut.result()
-            self.write_executor.shutdown(wait=True)
-            self.write_executor = None
-        if self.mode != "r" and self._meta is not None:
-            self._write_metadata(self._meta)
-        if self.fh is not None:
-            self.fh.close()
-            self.fh = None
+        """Flush pending writes, persist metadata, close the file.
+
+        A failed background write re-raises AFTER the executor is
+        stopped and the file handle released, so a disk-full mid-run
+        doesn't leak the writer thread or an open (corrupt) handle —
+        and a second ``close()`` is a no-op.
+        """
+        write_error = None
+        try:
+            if self.write_executor is not None:
+                for fut in self._futures:
+                    try:
+                        fut.result()
+                    except Exception as e:  # keep draining the rest
+                        if write_error is None:
+                            write_error = e
+                self.write_executor.shutdown(wait=True)
+                self.write_executor = None
+            if (write_error is None and self.mode != "r"
+                    and self._meta is not None and self.fh is not None):
+                self._write_metadata(self._meta)
+        finally:
+            if self.fh is not None:
+                self.fh.close()
+                self.fh = None
+        if write_error is not None:
+            raise write_error
 
     # -- metadata ----------------------------------------------------------
 

@@ -259,6 +259,8 @@ def _pileup_counts_native(reads, start, end, dtypes, dtype_index,
         from medaka_tpu import native
     except Exception:  # pragma: no cover
         return None
+    if not native.available():  # probe BEFORE the raw-bytes marshalling
+        return None
     num_dtypes = len(dtypes)
     n = len(reads)
     if num_dtypes > 1:
@@ -308,6 +310,13 @@ def pileup_counts(
         `None` or a singleton means no splitting.
     :param num_qstrat: number of qscore stratification layers.
     :param weibull_summation: use WL/WK Weibull partial counts.
+    :param region_split: accepted for reference API parity; unused —
+        the native kernel streams the whole region in one pass, so
+        there is no intra-region chunk/rejoin step to parallelise
+        (reference ``features.py:199-255``). Parallelism here is at
+        the work-plan level (DataLoader workers over bam_chunk units).
+    :param workers: accepted for reference API parity; unused (see
+        ``region_split``).
 
     :returns: list of (counts, positions) tuples, one per contiguous block
         of covered reference positions. ``counts`` has shape
@@ -318,6 +327,7 @@ def pileup_counts(
     Matches ``calculate_pileup`` (``src/medaka_counts.c:199-372``) composed
     with the chunk-contiguity fixup of ``medaka/features.py:111-164``.
     """
+    del region_split, workers  # reference API parity only
     logger = common.get_named_logger("Pileup")
     if dtype_prefixes is None or isinstance(dtype_prefixes, str):
         dtypes = [""]
@@ -422,7 +432,7 @@ def pileup_counts(
             # Weibull partial counts need per-read WL/WK tag lookups;
             # fall back to the per-read path (RLE models only)
             flat_f = np.zeros_like(flat)
-            for rec in reads:
+            for rec_i, rec in enumerate(reads):
                 rev = ReadEvents(rec, start, end)
                 strand_off = 16 if rev.is_rev else 0
                 qpos = np.concatenate([rev.aln_qpos, rev.ins_qpos])
@@ -434,8 +444,7 @@ def pileup_counts(
                 rchan = NT16_TO_CHANNEL[rec.seq_nt16[qpos] + strand_off]
                 ok = rchan >= 0
                 rcols, rchan, qpos = rcols[ok], rchan[ok], qpos[ok]
-                r_dt = dtype_off_of_read[
-                    reads.index(rec)] if num_dtypes > 1 else 0
+                r_dt = dtype_off_of_read[rec_i] if num_dtypes > 1 else 0
                 frac = _weibull_fractions(rec, qpos, num_qstrat, logger)
                 contrib = (WEIBULL_SCALE * frac).astype(np.int64)
                 idx = (rcols[:, None] * col_feat + r_dt +
@@ -638,6 +647,10 @@ class CountsFeatureEncoder(BaseFeatureEncoder):
         major_ind = np.searchsorted(
             positions["major"], major_at_minor, side="left")
 
+        # NOTE: for Weibull (SoftRLE) counts this is WEIBULL_SCALE x
+        # the read depth — matching the reference, whose depth is the
+        # same sum over scaled counts (``features.py:889``); the
+        # normalisation below divides the scale out of the features
         depth = np.sum(counts, axis=1)
         depth[minor_inds] = depth[major_ind]
 
@@ -709,19 +722,23 @@ class SymHardRLEFeatureEncoder(HardRLEFeatureEncoder):
     """HardRLE where a spanned-but-absent insertion counts as deletion."""
 
     def _pileup_function(self, region, bam):
-        [(counts, positions)] = super()._pileup_function(region, bam)
-        minor_inds = np.where(positions["minor"] > 0)
-        major_at_minor = positions["major"][minor_inds]
-        major_ind = np.searchsorted(
-            positions["major"], major_at_minor, side="left")
-        for (dt, is_rev), inds in self.feature_indices.items():
-            dt_depth = np.sum(counts[:, inds], axis=1)
-            featlen_index = REV_DEL if is_rev else FWD_DEL
-            dtype_size = FEATLEN * self.num_qstrat
-            del_ind = [x for x in inds if x % dtype_size == featlen_index][0]
-            counts[minor_inds, del_ind] = \
-                dt_depth[major_ind] - dt_depth[minor_inds]
-        return [(counts, positions)]
+        # per coverage block (a gapped region yields several)
+        out = []
+        for counts, positions in super()._pileup_function(region, bam):
+            minor_inds = np.where(positions["minor"] > 0)
+            major_at_minor = positions["major"][minor_inds]
+            major_ind = np.searchsorted(
+                positions["major"], major_at_minor, side="left")
+            for (dt, is_rev), inds in self.feature_indices.items():
+                dt_depth = np.sum(counts[:, inds], axis=1)
+                featlen_index = REV_DEL if is_rev else FWD_DEL
+                dtype_size = FEATLEN * self.num_qstrat
+                del_ind = [
+                    x for x in inds if x % dtype_size == featlen_index][0]
+                counts[minor_inds, del_ind] = \
+                    dt_depth[major_ind] - dt_depth[minor_inds]
+            out.append((counts, positions))
+        return out
 
 
 class SoftRLEFeatureEncoder(HardRLEFeatureEncoder):
@@ -929,8 +946,6 @@ def read_alignment_matrix(
     majors = np.repeat(cov_pos + start, cols_per_pos)
     minors = np.arange(n_cols) - np.repeat(col_start[:-1], cols_per_pos)
     positions = make_positions(majors, minors)
-    first_pos = int(cov_pos[0] + start)
-    last_pos = int(cov_pos[-1] + start)
 
     # row assignment in pileup order with slot reuse
     row_end: List[int] = []    # current occupant's reference end per row
@@ -952,8 +967,6 @@ def read_alignment_matrix(
     n_reads = min(max_reads, len(row_end))
 
     matrix = np.zeros((n_cols, n_reads, featlen), dtype=np.int8)
-    read_ids_left = np.array([b""] * n_reads, dtype=object)
-    read_ids_right = np.array([b""] * n_reads, dtype=object)
 
     dwell_ch = BASE_FEATLEN if include_dwells else None
     hap_ch = (BASE_FEATLEN + int(include_dwells)
@@ -1009,21 +1022,11 @@ def read_alignment_matrix(
             if dwell_ch is not None and dwells is not None:
                 matrix[cols, row, dwell_ch] = dwells[qpos]
 
-        if ev.cover_start <= first_pos < ev.cover_end:
-            read_ids_left[row] = rec.query_name.encode()
-        if rec.reference_end - 1 >= last_pos >= rec.pos:
-            read_ids_right[row] = rec.query_name.encode()
-
-    # blank ids for unoccupied boundary rows (reference
-    # ``medaka_read_matrix.c:573-587``)
-    n_blank_l = n_blank_r = 0
-    for r in range(n_reads):
-        if read_ids_left[r] == b"":
-            n_blank_l += 1
-            read_ids_left[r] = "__blank_{}".format(n_blank_l).encode()
-        if read_ids_right[r] == b"":
-            n_blank_r += 1
-            read_ids_right[r] = "__blank_{}".format(n_blank_r).encode()
+    # NOTE: the reference also tracks boundary read ids for row
+    # re-alignment across 100 kb chunk joins
+    # (``medaka_read_matrix.c:573-587``); this implementation computes
+    # each region in one pass, so row identity is globally consistent
+    # and no id bookkeeping is needed (see the docstring above).
 
     logger.debug(
         "Processed %s: %d cols x %d reads.", region, n_cols, n_reads)
@@ -1236,9 +1239,11 @@ def create_samples(
                     label_scheme if truth_bam else None, truth_bam,
                     truth_haplotag, chunk_len, chunk_ovlp)
                 for reg in work]
+            failures = []
             for fut in concurrent.futures.as_completed(futures):
                 if fut.exception() is not None:
-                    logger.warning("Worker failed: %s", fut.exception())
+                    logger.error("Worker failed: %s", fut.exception())
+                    failures.append(fut.exception())
                     continue
                 samples, region = fut.result()
                 logger.info(
@@ -1249,6 +1254,12 @@ def create_samples(
                     n_written += 1
         ds.write_registry()
         empty = ds.n_samples == 0
+    if failures:
+        # successful regions were written for inspection, but a
+        # silently gapped feature file must not look like success
+        raise RuntimeError(
+            "{} of {} feature regions failed; first error: "
+            "{}".format(len(failures), len(work), failures[0]))
     if empty:
         logger.critical("No data written; deleting output.")
         import os

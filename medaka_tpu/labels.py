@@ -790,3 +790,15 @@ class RLELabelScheme(HaploidLabelScheme):
     def _prob_to_snp(self, *args, **kwargs):
         """SNP decoding is undefined for RLE outputs."""
         raise NotImplementedError
+
+    def decode_variants(self, *args, **kwargs):
+        """Variant decoding is undefined for RLE outputs.
+
+        (Attempting it in the reference dies with a TypeError inside
+        the inherited ``decode_variants`` — ``labels.py:889`` calls
+        ``decode_consensus(with_gaps=True)``, which its RLE scheme
+        rejects; fail with a message instead.)
+        """
+        raise NotImplementedError(
+            "Variant decoding is undefined for RLE models; polish and "
+            "call variants with a non-RLE model instead.")

@@ -289,3 +289,42 @@ class TestRealBamConsistency:
         np.testing.assert_array_equal(counts.sum(axis=1),
                                       np.full(len(seq), depth))
         assert counts.max() == depth
+
+
+class TestSymHardRLEGappedCoverage:
+    def test_multi_block_region(self, tmp_path):
+        """A coverage gap yields one sample per block (regression:
+        single-tuple destructuring crashed on 2+ blocks)."""
+        from medaka_tpu.io.bam import BamRecord, write_bam
+        from medaka_tpu.features import SymHardRLEFeatureEncoder
+
+        seq = "ACGTACGTACGT"
+        recs = [
+            BamRecord.build(
+                query_name="left", ref_id=0, pos=0, seq=seq,
+                qual=[3] * len(seq), cigar="12=", flag=0, mapq=60),
+            BamRecord.build(
+                query_name="right", ref_id=0, pos=50, seq=seq,
+                qual=[3] * len(seq), cigar="12=", flag=0, mapq=60)]
+        path = str(tmp_path / "gap.bam")
+        write_bam(path, recs, [("ctg", 100)])
+        enc = SymHardRLEFeatureEncoder(num_qstrat=4)
+        samples = enc.bam_to_sample(path, Region("ctg", 0, 100))
+        assert len(samples) == 2
+        assert all(s.features is not None for s in samples)
+
+
+def test_datastore_write_failure_closes_cleanly(tmp_path):
+    """A failed background write raises from close() AFTER releasing
+    the handle; a second close() is a no-op."""
+    from medaka_tpu.datastore import DataStore
+
+    path = str(tmp_path / "boom.hdf")
+    ds = DataStore(path, "w")
+    fut = ds.write_executor.submit(
+        (lambda: (_ for _ in ()).throw(OSError("disk full"))))
+    ds._futures.append(fut)
+    with pytest.raises(OSError, match="disk full"):
+        ds.close()
+    assert ds.fh is None and ds.write_executor is None
+    ds.close()  # idempotent
