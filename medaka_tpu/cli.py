@@ -495,6 +495,9 @@ def main(argv=None):
     tp.add_argument("--output", default=None)
     tp.add_argument(
         "--supported_basecallers", nargs="+", default=[])
+    tp.add_argument(
+        "--force", action="store_true",
+        help="Overwrite an existing export archive.")
     tp.set_defaults(func=_cmd_export)
 
     tp = toolsub.add_parser(
@@ -824,7 +827,8 @@ def _cmd_export(args):
     from medaka_tpu import models
     print(models.export_model(
         models.resolve_model(args.model), args.output,
-        supported_basecallers=args.supported_basecallers))
+        supported_basecallers=args.supported_basecallers,
+        force=args.force))
     return 0
 
 

@@ -265,6 +265,10 @@ class BamRecord:
         if md is None:
             raise ValueError(
                 "MD tag not present for read {}".format(self.query_name))
+        if self.query_sequence is None:
+            raise ValueError(
+                "Read {} stores no sequence (SEQ '*'); cannot "
+                "reconstruct the reference.".format(self.query_name))
         # query bases consumed at aligned (M/=/X) positions only
         aligned = []
         qpos = 0
@@ -363,21 +367,49 @@ class BamRecord:
         return cls(head + name_b + cig_b + seq_b + qual_b + aux_b)
 
 
+def _aux_tag_spans(buf: bytes, start: int):
+    """Yield (tag_name, span_start, span_end) over a raw aux block."""
+    pos = start
+    n = len(buf)
+    fixed = {"A": 1, "c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4,
+             "f": 4}
+    while pos + 3 <= n:
+        span_start = pos
+        tag = buf[pos:pos + 2].decode()
+        typ = chr(buf[pos + 2])
+        pos += 3
+        if typ in fixed:
+            pos += fixed[typ]
+        elif typ in "ZH":
+            pos = buf.index(b"\x00", pos) + 1
+        elif typ == "B":
+            sub = chr(buf[pos])
+            count = struct.unpack_from("<I", buf, pos + 1)[0]
+            pos += 5 + fixed[sub] * count
+        else:
+            raise BamError("Unknown aux type {!r}".format(typ))
+        yield tag, span_start, pos
+
+
 def record_with_tag(rec: "BamRecord", name: str, value) -> "BamRecord":
     """Copy of a record with one aux tag set (replacing any existing).
 
-    The existing aux block is kept verbatim except for the replaced tag,
-    which is re-encoded and appended.
+    The existing aux block is kept byte-for-byte (type codes of
+    untouched tags are preserved); only the target tag's bytes are
+    spliced out and the new encoding appended.
     """
-    tags = dict(rec.tags)
-    tags.pop(name, None)
-    tags[name] = value
-    try:
-        aux = encode_tags(tags)
-    except BamError:
-        # fall back: keep originals raw, append only the new tag
-        aux = rec.raw[rec._aux_off:] + encode_tags({name: value})
-    return BamRecord(rec.raw[:rec._aux_off] + aux)
+    aux = rec.raw[rec._aux_off:]
+    kept = bytearray()
+    prev = 0
+    for tag, s, e in _aux_tag_spans(rec.raw, rec._aux_off):
+        s -= rec._aux_off
+        e -= rec._aux_off
+        if tag == name:
+            kept += aux[prev:s]
+            prev = e
+    kept += aux[prev:]
+    return BamRecord(
+        rec.raw[:rec._aux_off] + bytes(kept) + encode_tags({name: value}))
 
 
 def parse_cigar(cigar: str) -> List[Tuple[int, int]]:
@@ -401,7 +433,14 @@ def encode_tags(tags: Dict) -> bytes:
         if isinstance(value, bool):
             raise BamError("bool tag value not supported")
         if isinstance(value, (int, np.integer)):
-            chunks.append(tag_b + b"i" + struct.pack("<i", int(value)))
+            v = int(value)
+            if -(1 << 31) <= v < (1 << 31):
+                chunks.append(tag_b + b"i" + struct.pack("<i", v))
+            elif 0 <= v < (1 << 32):
+                chunks.append(tag_b + b"I" + struct.pack("<I", v))
+            else:
+                raise BamError(
+                    "int tag {}={} exceeds 32 bits".format(name, v))
         elif isinstance(value, (float, np.floating)):
             chunks.append(tag_b + b"f" + struct.pack("<f", float(value)))
         elif isinstance(value, str):
@@ -413,12 +452,20 @@ def encode_tags(tags: Dict) -> bytes:
                 sub, dt = b"f", "<f4"
             else:
                 lo, hi = (int(arr.min()), int(arr.max())) if len(arr) else (0, 0)
-                if -128 <= lo and hi <= 127:
-                    sub, dt = b"c", "<i1"
-                elif -32768 <= lo and hi <= 32767:
-                    sub, dt = b"s", "<i2"
+                # narrowest lossless subtype, signed or unsigned
+                for sub, dt, dlo, dhi in (
+                        (b"c", "<i1", -(1 << 7), (1 << 7) - 1),
+                        (b"C", "<u1", 0, (1 << 8) - 1),
+                        (b"s", "<i2", -(1 << 15), (1 << 15) - 1),
+                        (b"S", "<u2", 0, (1 << 16) - 1),
+                        (b"i", "<i4", -(1 << 31), (1 << 31) - 1),
+                        (b"I", "<u4", 0, (1 << 32) - 1)):
+                    if dlo <= lo and hi <= dhi:
+                        break
                 else:
-                    sub, dt = b"i", "<i4"
+                    raise BamError(
+                        "B-array tag {} range [{}, {}] exceeds 32 "
+                        "bits".format(name, lo, hi))
             data = arr.astype(dt).tobytes()
             chunks.append(
                 tag_b + b"B" + sub + struct.pack("<I", len(arr)) + data)
@@ -520,12 +567,11 @@ class BamReader:
                         continue
                     if rec.pos >= stop:
                         break
-                    # reference_end >= pos always, so pos > beg implies
-                    # reference_end > beg; the cigar walk is only
-                    # needed for reads starting at or left of the
-                    # window start (bit-exact with the plain check,
-                    # including zero-reference-length records)
-                    if rec.pos > beg or rec.reference_end > beg:
+                    # htslib endpos semantics: a zero-reference-length
+                    # record ends at pos+1, so pos >= beg implies
+                    # overlap; the cigar walk only runs for reads
+                    # starting left of the window
+                    if rec.pos >= beg or rec.reference_end > beg:
                         yield rec
         else:
             # full scan fallback
@@ -535,12 +581,8 @@ class BamReader:
                 if rec.pos >= stop:
                     # sorted inputs only benefit; keep scanning for safety
                     continue
-                # reference_end >= pos always, so pos > beg implies
-                # reference_end > beg; the cigar walk is only
-                # needed for reads starting at or left of the
-                # window start (bit-exact with the plain check,
-                # including zero-reference-length records)
-                if rec.pos > beg or rec.reference_end > beg:
+                # htslib endpos semantics (see indexed path above)
+                if rec.pos >= beg or rec.reference_end > beg:
                     yield rec
 
     def close(self):

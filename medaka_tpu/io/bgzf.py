@@ -80,8 +80,13 @@ class BgzfReader:
     """
 
     def __init__(self, path: str):
-        with open(path, "rb") as fh:
-            self._data = fh.read()
+        import mmap
+        self._fh = open(path, "rb")
+        try:
+            self._data = mmap.mmap(
+                self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file cannot be mmapped
+            self._data = b""
         self._block_offset = 0       # compressed offset of current block
         self._payload = b""
         self._payload_pos = 0
@@ -120,6 +125,13 @@ class BgzfReader:
         coffset, uoffset = voffset >> 16, voffset & 0xFFFF
         if coffset != self._block_offset or uoffset > len(self._payload):
             self._load_block(coffset)
+        if uoffset > len(self._payload):
+            # a within-block offset past the payload (corrupt index)
+            # must fail loudly — read() would otherwise compute a
+            # negative remainder and return bytes from later blocks
+            raise BgzfError(
+                "Virtual offset {}:{} is beyond the {}-byte block "
+                "payload.".format(coffset, uoffset, len(self._payload)))
         self._payload_pos = uoffset
 
     def read(self, n: int) -> bytes:
@@ -154,8 +166,14 @@ class BgzfReader:
         return b"".join(chunks)
 
     def close(self):
-        """Release the underlying buffer."""
+        """Release the mapping and the underlying file."""
+        if not isinstance(self._data, bytes):
+            self._data.close()
         self._data = b""
+        self._payload = b""
+        if getattr(self, "_fh", None) is not None:
+            self._fh.close()
+            self._fh = None
 
     def __enter__(self):
         return self

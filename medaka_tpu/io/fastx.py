@@ -66,11 +66,36 @@ def _fastq_records(first: str, fh) -> Iterator[FastxRecord]:
     header = first + fh.readline()
     while header:
         fields = header[1:].rstrip("\n").split(None, 1)
-        seq = fh.readline().strip()
-        fh.readline()  # +
-        qual = fh.readline().strip()
+        # sequence may wrap over several lines (legal FASTQ): read
+        # until the '+' separator
+        seq_parts = []
+        line = fh.readline()
+        while line and not line.startswith("+"):
+            seq_parts.append(line.strip())
+            line = fh.readline()
+        if not line:
+            raise ValueError(
+                "Truncated FASTQ record {}".format(fields[0]))
+        seq = "".join(seq_parts)
+        # qualities may wrap too; they end when their length matches
+        # the sequence ('@' can legally start a quality line)
+        qual_parts = []
+        q_len = 0
+        while q_len < len(seq):
+            line = fh.readline()
+            if not line:
+                raise ValueError(
+                    "Truncated FASTQ qualities for {}".format(fields[0]))
+            part = line.strip()
+            qual_parts.append(part)
+            q_len += len(part)
+        if q_len != len(seq):
+            raise ValueError(
+                "FASTQ qualities length mismatch for {}".format(
+                    fields[0]))
         yield FastxRecord(
-            fields[0], seq, fields[1] if len(fields) > 1 else None, qual)
+            fields[0], seq, fields[1] if len(fields) > 1 else None,
+            "".join(qual_parts))
         header = fh.readline()
         if header and not header.startswith("@"):
             raise ValueError("Malformed FASTQ near {}".format(header[:40]))

@@ -61,7 +61,12 @@ class TruthAlignment:
                 ACGT.issuperset(al.aln.get_reference_sequence().upper())
                 and ACGT.issuperset(al.aln.query_sequence.upper()))
 
-        kept = [copy(a) for a in alignments if clean(a)]
+        kept = [
+            copy(a) for a in alignments
+            # zero-reference-length records (insert-only CIGARs) have
+            # no window to dispute and would divide by zero below;
+            # the min_length filter drops them regardless
+            if a.aln.reference_length > 0 and clean(a)]
 
         for a, b in itertools.combinations(kept, 2):
             left, right = sorted(

@@ -239,6 +239,11 @@ def resolve_model(model: str, fetcher=None) -> str:
 
     if os.path.exists(model):
         return model
+    if model in getattr(options, "deprecated_models", ()):
+        # reference medaka refuses these outright (options.py:237-244)
+        raise options.DeprecationError(
+            "Model {!r} is deprecated and no longer supported; see "
+            "`tools list_models` for current models.".format(model))
     data_dir = os.path.join(os.path.dirname(__file__), "..", "data")
     home = os.path.join(os.path.expanduser("~"), ".medaka_tpu", "data")
     for base in (data_dir, home):
@@ -404,6 +409,10 @@ def export_model(model_path: str, output: Optional[str] = None,
     if output is None:
         output = os.path.basename(model_path).replace(
             ".tar.gz", "_export")
+    if os.path.exists(output + ".tar.gz") and not force:
+        raise FileExistsError(
+            "{}.tar.gz exists; pass force=True to overwrite.".format(
+                output))
     bundle = load_model(model_path)
     if not hasattr(bundle.model, "torch_state_from_params"):
         raise NotImplementedError(

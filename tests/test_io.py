@@ -216,3 +216,66 @@ class TestFastx:
         line = open(fai).read().split("\t")
         assert line[0] == "seq1"
         assert int(line[1]) == 40
+
+
+class TestAuxTagFidelity:
+    def test_record_with_tag_preserves_other_tag_types(self):
+        """Untouched aux tags keep their exact bytes and type codes."""
+        from medaka_tpu.io.bam import BamRecord, record_with_tag, encode_tags
+        import numpy as np
+
+        rec = BamRecord.build(
+            query_name="r", ref_id=0, pos=0, seq="ACGT", qual=[20] * 4,
+            cigar="4=", flag=0, mapq=60)
+        # hand-build aux: an 'A' char tag and a compact 'c' int tag
+        aux = b"XAAx" + b"XCc" + bytes([250 & 0xFF])  # c = -6
+        rec = BamRecord(rec.raw + aux)
+        out = record_with_tag(rec, "ZZ", 7)
+        assert out.tags["XA"] == "x" and out.tags["XC"] == -6
+        assert out.tags["ZZ"] == 7
+        # byte-level: original aux block kept verbatim
+        assert aux in out.raw
+
+    def test_record_with_tag_replaces_existing(self):
+        from medaka_tpu.io.bam import BamRecord, record_with_tag
+
+        rec = BamRecord.build(
+            query_name="r", ref_id=0, pos=0, seq="ACGT", qual=[20] * 4,
+            cigar="4=", flag=0, mapq=60, tags={"DT": "r9", "HP": 1})
+        out = record_with_tag(rec, "DT", "r10")
+        assert out.tags["DT"] == "r10" and out.tags["HP"] == 1
+        assert list(out.tags).count("DT") == 1
+
+    def test_encode_large_ints_and_unsigned_arrays(self):
+        from medaka_tpu.io.bam import BamError, BamRecord, encode_tags
+        import numpy as np
+        import pytest as _pytest
+
+        # uint32-range scalar survives a round trip
+        rec = BamRecord.build(
+            query_name="r", ref_id=0, pos=0, seq="A", qual=[1],
+            cigar="1=", flag=0, mapq=0, tags={"XL": 3_000_000_000})
+        assert rec.tags["XL"] == 3_000_000_000
+        # uint32-range B array survives (was silently wrapped)
+        rec = BamRecord.build(
+            query_name="r", ref_id=0, pos=0, seq="A", qual=[1],
+            cigar="1=", flag=0, mapq=0,
+            tags={"XB": np.array([4_000_000_000], dtype=np.uint32)})
+        assert int(rec.tags["XB"][0]) == 4_000_000_000
+        with _pytest.raises(BamError):
+            encode_tags({"XH": 1 << 40})
+
+
+def test_wrapped_fastq_parses(tmp_path):
+    """Multi-line FASTQ records (spec-legal) parse like pysam."""
+    from medaka_tpu.io.fastx import read_fastx
+
+    p = tmp_path / "wrapped.fastq"
+    p.write_text(
+        "@r1 some comment\nACGT\nACGT\n+\n!!!!\n@!!!\n"
+        "@r2\nTTTT\n+\nIIII\n")
+    recs = list(read_fastx(str(p)))
+    assert recs[0].name == "r1"
+    assert recs[0].sequence == "ACGTACGT"
+    assert recs[0].quality == "!!!!@!!!"
+    assert recs[1].sequence == "TTTT"

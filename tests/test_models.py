@@ -331,3 +331,36 @@ class TestModelDownload:
             models.download_model(
                 "nonexistent", cache_dir=str(tmp_path),
                 url_template="file:///does/not/exist/{fname}")
+
+
+def test_deprecated_model_refused(monkeypatch):
+    """Deprecated model names raise DeprecationError (reference
+    options.py:237-244), not a silent resolve."""
+    from medaka_tpu import models, options
+
+    monkeypatch.setattr(
+        options, "deprecated_models", ["ancient_model"], raising=False)
+    with pytest.raises(options.DeprecationError):
+        models.resolve_model("ancient_model")
+
+
+def test_export_refuses_overwrite(tmp_path):
+    """export_model honors force (was accepted and ignored)."""
+    import jax
+
+    from medaka_tpu import models
+    from medaka_tpu.features import CountsFeatureEncoder
+    from medaka_tpu.labels import HaploidLabelScheme
+    from medaka_tpu.models.gru import GRUModel
+
+    m = GRUModel(num_features=10, num_classes=5, gru_size=8)
+    src = str(tmp_path / "m.tar.gz")
+    models.save_model(
+        src, m, m.init_params(jax.random.PRNGKey(0)),
+        feature_encoder=CountsFeatureEncoder(),
+        label_scheme=HaploidLabelScheme())
+    out = str(tmp_path / "exp")
+    models.export_model(src, out)
+    with pytest.raises(FileExistsError):
+        models.export_model(src, out)
+    models.export_model(src, out, force=True)
