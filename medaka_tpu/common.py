@@ -93,6 +93,10 @@ def rle(array) -> np.ndarray:
     if array.ndim != 1:
         raise TypeError("Input array must be one dimensional.")
     n = len(array)
+    if n == 0:
+        return np.empty(
+            0, dtype=[("length", int), ("start", int),
+                      ("value", array.dtype)])
     starts = np.concatenate(
         ([0], np.flatnonzero(array[1:] != array[:-1]) + 1)).astype(int)
     out = np.empty(

@@ -91,10 +91,19 @@ def fastrle(input_fastx: str, output, block_size: int = 94):
     try:
         for record in read_fastx(input_fastx):
             conv = RLEConverter(record.sequence)
-            lengths = np.minimum(conv.homop_length, block_size - 1)
-            qual = "".join(_SCORES[x] for x in lengths)
+            runs = conv.homop_length
+            # runs longer than block_size split into several blocks of
+            # the same base (reference ``fastrle.c:19``) — capping
+            # would silently drop sequence content
+            k = (runs - 1) // block_size + 1
+            bases = np.repeat(
+                np.frombuffer(conv.compact_basecall.encode(), np.uint8),
+                k)
+            lens = np.full(int(k.sum()), block_size, dtype=np.int64)
+            lens[np.cumsum(k) - 1] = runs - (k - 1) * block_size
             output.write("@{}\n{}\n+\n{}\n".format(
-                record.name, conv.compact_basecall, qual))
+                record.name, bases.tobytes().decode(),
+                (lens + 33).astype(np.uint8).tobytes().decode()))
     finally:
         if close:
             output.close()
@@ -132,10 +141,15 @@ def _compress_alignment(rec, ref_rle: RLEConverter, fast5_index=None):
     the table's ``shape`` column and ``WK`` its ``scale`` column.
     """
     logger = common.get_named_logger("Compress_bam")
-    if rec.flag & (4 | 256):
+    if rec.flag & (4 | 256 | 2048):
+        # also skip supplementary records (the reference only skips
+        # unmapped/secondary, ``rle.py:97``, and then re-aligns the
+        # hard-clipped partial sequence as if it were a full read —
+        # emitting duplicate-name records that its own fast5
+        # consistency check would reject)
         logger.info(
-            "Alignment of read %s is unmapped or secondary. Skip.",
-            rec.query_name)
+            "Alignment of read %s is unmapped/secondary/supplementary."
+            " Skip.", rec.query_name)
         return None
     query_rle = RLEConverter(rec.query_sequence)
 
@@ -225,12 +239,24 @@ def compress_bam(
                 ref_rles[region.ref_name] = RLEConverter(
                     ref_fasta.fetch(region.ref_name))
             ref_rle = ref_rles[region.ref_name]
-            for rec in reader.fetch(
-                    region.ref_name, region.start, region.end):
-                out = _compress_alignment(
-                    rec, ref_rle, fast5_index=fast5_index)
-                if out is not None:
-                    records.append(out)
+            recs = list(reader.fetch(
+                region.ref_name, region.start, region.end))
+            if threads > 1:
+                # the per-read SW re-alignment is the hot loop; the
+                # native aligner releases the GIL, so threads scale
+                import concurrent.futures
+                with concurrent.futures.ThreadPoolExecutor(
+                        threads) as ex:
+                    outs = list(ex.map(
+                        lambda r: _compress_alignment(
+                            r, ref_rle, fast5_index=fast5_index),
+                        recs))
+            else:
+                outs = [
+                    _compress_alignment(
+                        r, ref_rle, fast5_index=fast5_index)
+                    for r in recs]
+            records.extend(o for o in outs if o is not None)
     compressed_refs = [
         (name,
          len(ref_rles[name].compact_basecall) if name in ref_rles
@@ -289,8 +315,18 @@ def rlebam(read_index: str, workers: int = 4, input_sam=None, output=None):
                 yield line.rstrip(), None, None, None
             else:
                 read_id, flag, _ = line.split("\t", 2)
+                fast5 = index.get(read_id)
+                if fast5 is None:
+                    # match _decorate_sam_line's tolerance: pass the
+                    # line through untouched rather than dying on an
+                    # incomplete index
+                    logger.warning(
+                        "Read %s not in the fast5 index; passing "
+                        "through untagged.", read_id)
+                    yield line.rstrip(), None, None, None
+                    continue
                 is_rev = bool(int(flag) & 16)
-                yield line.rstrip(), read_id, bool(is_rev), index[read_id]
+                yield line.rstrip(), read_id, bool(is_rev), fast5
 
     with concurrent.futures.ProcessPoolExecutor(
             max_workers=workers) as executor:

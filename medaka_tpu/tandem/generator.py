@@ -246,9 +246,11 @@ class ConsensusGenerator:
         ref_ids = {name: i for i, (name, _l) in enumerate(references)}
         records = []
         for rec in read_fastx(self.polished_consensus):
-            rn = RecordName.from_str(rec.name)
+            rn = RecordName.from_str(rec.name, known_refs=ref_ids)
+            # .upper(): soft-masked (RepeatMasker-lowercased) repeat
+            # regions would otherwise mismatch every consensus base
             ref_seq = fasta.fetch(rn.ref_name)[
-                rn.ref_start_padded:rn.ref_end_padded]
+                rn.ref_start_padded:rn.ref_end_padded].upper()
             aln = native.align(
                 rec.sequence, ref_seq, mode="nw", match=2, mismatch=4,
                 gap_open=6, gap_extend=2)
@@ -263,16 +265,36 @@ class ConsensusGenerator:
         write_bam(self.cons_to_ref_bam, records, references)
 
     def process(self) -> int:
-        """Process all regions; returns the number processed."""
+        """Process all regions; returns the number processed.
+
+        Regions fail independently (logged and recorded in
+        ``self.failed_regions``) — one bad region must not discard the
+        completed work of thousands of others (reference collects
+        per-job errors the same way,
+        ``consensus_generator.py:553-566``).
+        """
+        self.failed_regions = []
+
+        def isolated(rec):
+            try:
+                self._process_region(rec)
+            except Exception as e:
+                self.logger.error("Region %s failed: %s", rec, e)
+                self.failed_regions.append((rec, str(e)))
+
         if self.workers > 1:
             with concurrent.futures.ThreadPoolExecutor(
                     self.workers) as ex:
-                list(ex.map(self._process_region, self.regions))
+                list(ex.map(isolated, self.regions))
         else:
             for rec in self.regions:
-                self._process_region(rec)
+                isolated(rec)
+        if self.failed_regions:
+            self.logger.warning(
+                "%d of %d regions failed and are absent from the "
+                "output.", len(self.failed_regions), len(self.regions))
         self._write_intermediate_outputs()
         if self._poa_records:
             self.polish()
             self.align_consensus_to_ref()
-        return len(self.regions)
+        return len(self.regions) - len(self.failed_regions)

@@ -38,12 +38,17 @@ class SpanningReadsExtractor:
             if k not in {"query_name", "strand", "hap", "phased_set"}}
         subreads = []
         for is_rev, read_name, seq, hap, phased_set in reads:
+            # a read supporting full deletion of the array arrives with
+            # an empty sequence; the "N" sentinel is what the consensus
+            # and clustering stages key on (generator.py
+            # consensus_from_reads) — and keeps RLE/POA off empties
+            oriented = common.reverse_complement(seq) if is_rev else seq
             subreads.append(Subread(
                 str(RecordName(
                     query_name=str(read_name),
                     strand="rev" if is_rev else "fwd", hap=hap,
                     phased_set=phased_set, **rn_kwargs)),
-                common.reverse_complement(seq) if is_rev else seq))
+                oriented or "N"))
         return subreads
 
     def get_trimmed_reads(self, region: common.Region):
@@ -120,6 +125,10 @@ def get_alt_from_aln(aln, record: RecordName) -> str:
     qend = pairs[last][0]
     if qstart == qend:
         return aln.query_sequence[qstart]
+    # NOTE: the slice excludes the base aligned at ref_end (the
+    # single-base branch above treats it inclusively) — this mirrors
+    # the reference exactly (``io.py:140-146``), and the tandem truth
+    # goldens pin the resulting alleles
     return aln.query_sequence[qstart:qend]
 
 
@@ -188,7 +197,8 @@ def convert_alignments_to_variants_replacement_style(
     fmt["MAD"] = ",".join(mads)
 
     rns = [RecordName.from_str(a.query_name) for a in alignments]
-    ref = ref_fasta.fetch(chrom)[rns[0].ref_start:rns[0].ref_end]
+    ref = ref_fasta.fetch(chrom)[
+        rns[0].ref_start:rns[0].ref_end].upper()
     alts, gt = determine_gt_and_alleles(alignments, ref)
     info["rec"] = [a.query_name for a in alignments]
 
@@ -259,7 +269,8 @@ def bam_to_vcfs(bam_fp, ref_fasta, trimmed_reads_to_poa, *,
     with BamReader(bam_fp) as bam, BamReader(trimmed_reads_to_poa) as rb:
         for chrom in common.loose_version_sort(bam.references):
             length = bam.lengths[bam.references.index(chrom)]
-            ref_seq = fasta.fetch(chrom) if not replacement_style else None
+            ref_seq = (fasta.fetch(chrom).upper()
+                       if not replacement_style else None)
             groups = collections.defaultdict(list)
             for aln in bam.fetch(chrom, 0, length):
                 rn = RecordName.from_str(aln.query_name)

@@ -39,6 +39,13 @@ class RecordName:
             "hap{s.hap}_phased-set{s.phased_set}_ploidy{s.ploidy}"
         ).format(s=self)
 
+    # The query/ref boundary inside the name is AMBIGUOUS when either
+    # side contains underscores; the greedy default matches the
+    # reference (``record_name.py:68``: query takes the underscores).
+    # ``from_str(..., known_refs=...)`` resolves the boundary against
+    # the actual contig set — without it, multi-underscore contigs
+    # (e.g. chr1_KI270706v1_random) mis-split exactly as upstream.
+    # str() round-trips whichever way the boundary fell.
     _PATTERN = re.compile(
         r"(?P<query_name>.+)_(?P<ref_name>.+)_"
         r"(?P<ref_start>\d+)_(?P<ref_end>\d+)_"
@@ -47,12 +54,27 @@ class RecordName:
         r"phased-set(?P<phased_set>\d+)_ploidy(?P<ploidy>\d+)")
 
     @classmethod
-    def from_str(cls, name: str) -> "RecordName":
-        """Decode from a string."""
+    def from_str(cls, name: str, known_refs=None) -> "RecordName":
+        """Decode from a string.
+
+        :param known_refs: optional contig-name collection used to
+            place the ambiguous query/ref boundary (longest matching
+            contig wins).
+        """
         m = cls._PATTERN.match(name)
         if m is None:
             raise ValueError("Could not parse {}".format(name))
         d = m.groupdict()
+        if known_refs is not None and d["ref_name"] not in known_refs:
+            prefix = "{}_{}".format(d["query_name"], d["ref_name"])
+            cut = None
+            for i, ch in enumerate(prefix):
+                if ch == "_" and prefix[i + 1:] in known_refs:
+                    cut = i
+                    break  # leftmost '_' -> longest contig suffix
+            if cut is not None:
+                d["query_name"], d["ref_name"] = (
+                    prefix[:cut], prefix[cut + 1:])
         for field in ("ref_start", "ref_end", "hap", "ref_start_padded",
                       "ref_end_padded", "phased_set", "ploidy"):
             d[field] = int(d[field])

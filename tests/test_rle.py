@@ -264,3 +264,20 @@ class TestRlebam:
             wk_vals = [float(x) for x in wk[0][7:].split(",")]
             np.testing.assert_allclose(wl_vals, tags["WK"], rtol=1e-6)
             np.testing.assert_allclose(wk_vals, tags["WL"], rtol=1e-6)
+
+
+def test_fastrle_splits_long_runs(tmp_path):
+    """Runs longer than block_size split into multiple blocks
+    (reference ``fastrle.c:19``); capping would drop sequence."""
+    import io
+
+    fx = tmp_path / "long.fasta"
+    fx.write_text(">r\n" + "A" * 200 + "C" + "\n")
+    out = io.StringIO()
+    fastrle(str(fx), out, block_size=94)
+    lines = out.getvalue().splitlines()
+    seq, qual = lines[1], lines[3]
+    assert seq == "AAAC"
+    runs = [ord(c) - 33 for c in qual]
+    assert runs == [94, 94, 12, 1]
+    assert sum(runs[:3]) == 200

@@ -307,3 +307,22 @@ class TestChr20TruthValidation:
                 n_hom += 1
         assert n_hom >= 4, n_hom
         assert n_het >= 2, n_het  # the two high-signal STR expansions
+
+
+def test_record_name_multi_underscore_contig():
+    """known_refs resolves the ambiguous query/ref boundary for
+    GRCh38-style contigs with underscores (the reference's greedy
+    regex mis-splits these, ``record_name.py:68``)."""
+    from medaka_tpu.tandem.record_name import RecordName
+
+    rn = RecordName(
+        query_name="tr", ref_name="chr1_KI270706v1_random",
+        ref_start=100, ref_end=200, ref_start_padded=90,
+        ref_end_padded=210)
+    back = RecordName.from_str(
+        str(rn), known_refs={"chr1_KI270706v1_random", "chr2"})
+    assert back.ref_name == "chr1_KI270706v1_random"
+    assert back.query_name == "tr"
+    # without known_refs: reference-parity greedy split (round-trips)
+    bare = RecordName.from_str(str(rn))
+    assert str(bare) == str(rn)
