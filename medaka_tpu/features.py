@@ -261,6 +261,10 @@ def _pileup_counts_native(reads, start, end, dtypes, dtype_index,
         return None
     if not native.available():  # probe BEFORE the raw-bytes marshalling
         return None
+    if any(r.has_long_cigar for r in reads):
+        # CG-tag long cigars (>65535 ops) cannot be expressed in raw
+        # record bytes; the numpy fallback expands them via cigar_array
+        return None
     num_dtypes = len(dtypes)
     n = len(reads)
     if num_dtypes > 1:
@@ -812,6 +816,8 @@ def _read_matrix_native(reads, start, end, dtype_index, num_dtypes,
         return None
     if not native.available():  # probe BEFORE the per-read prep below
         return None
+    if any(r.has_long_cigar for r in reads):
+        return None  # CG-tag long cigars: numpy fallback expands them
     n = len(reads)
     read_dtype = np.zeros(n, dtype=np.int32)
     if num_dtypes > 1:

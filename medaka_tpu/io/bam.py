@@ -108,12 +108,34 @@ class BamRecord:
         return self.raw[32:32 + self._l_read_name - 1].decode()
 
     @functools.cached_property
-    def cigar_array(self) -> np.ndarray:
-        """(n_ops, 2) array of (op_code, length)."""
+    def has_long_cigar(self) -> bool:
+        """True for the BAM long-cigar convention (>65535 ops).
+
+        Such records store a placeholder ``<l_seq>S<ref_len>N`` cigar
+        with the real cigar in the ``CG`` aux tag (SAM spec 4.2.2).
+        """
+        if self._n_cigar != 2:
+            return False
         enc = np.frombuffer(
-            self.raw, dtype="<u4", count=self._n_cigar,
-            offset=self._cigar_off)
-        out = np.empty((self._n_cigar, 2), dtype=np.int64)
+            self.raw, dtype="<u4", count=2, offset=self._cigar_off)
+        return (int(enc[0] & 0xF) == C_S
+                and int(enc[0] >> 4) == self._l_seq
+                and int(enc[1] & 0xF) == C_N
+                and "CG" in self.tags)
+
+    @functools.cached_property
+    def cigar_array(self) -> np.ndarray:
+        """(n_ops, 2) array of (op_code, length).
+
+        Transparently expands the ``CG``-tag long-cigar convention.
+        """
+        if self.has_long_cigar:
+            enc = np.asarray(self.tags["CG"], dtype=np.uint32)
+        else:
+            enc = np.frombuffer(
+                self.raw, dtype="<u4", count=self._n_cigar,
+                offset=self._cigar_off)
+        out = np.empty((len(enc), 2), dtype=np.int64)
         out[:, 0] = enc & 0xF
         out[:, 1] = enc >> 4
         return out

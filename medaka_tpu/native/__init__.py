@@ -326,88 +326,6 @@ class Mapper:
 # ---------------------------------------------------------------------------
 
 
-def _load_pileup_symbols(lib):
-    if getattr(lib, "_pileup_ready", False):
-        return
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.mt_pileup_counts.restype = ctypes.c_int
-    lib.mt_pileup_counts.argtypes = [
-        ctypes.c_int,
-        i64p,                                 # read_pos
-        ctypes.POINTER(ctypes.c_uint8),       # read_rev
-        ctypes.POINTER(ctypes.c_int32),       # read_dtype
-        i64p,                                 # cigar_off
-        ctypes.POINTER(ctypes.c_uint32),      # cigars
-        i64p,                                 # seq_off
-        ctypes.POINTER(ctypes.c_uint8),       # seqs
-        ctypes.POINTER(ctypes.c_uint8),       # quals
-        ctypes.c_int64, ctypes.c_int64,       # start, end
-        ctypes.c_int, ctypes.c_int,           # num_dtypes, num_qstrat
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),   # counts
-        ctypes.POINTER(i64p), ctypes.POINTER(i64p),       # majors, minors
-        i64p,
-    ]
-    lib._pileup_ready = True
-
-
-def pileup_counts_native(read_pos, read_rev, read_dtype, cigar_off,
-                         cigars, seq_off, seqs, quals, start, end,
-                         num_dtypes, num_qstrat):
-    """Run the native pileup kernel over flat read arrays.
-
-    :returns: (counts int32 (n_cols, featlen*dtypes*qstrat),
-        majors int64, minors int64).
-    """
-    import numpy as np
-
-    lib = _load()
-    _load_pileup_symbols(lib)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    counts_p = ctypes.POINTER(ctypes.c_int32)()
-    majors_p = i64p()
-    minors_p = i64p()
-    n_cols = ctypes.c_int64()
-
-    def arr(a, ct):
-        a = np.ascontiguousarray(a)
-        return a, a.ctypes.data_as(ctypes.POINTER(ct))
-
-    read_pos, p1 = arr(read_pos, ctypes.c_int64)
-    read_rev, p2 = arr(read_rev, ctypes.c_uint8)
-    read_dtype, p3 = arr(read_dtype, ctypes.c_int32)
-    cigar_off, p4 = arr(cigar_off, ctypes.c_int64)
-    cigars, p5 = arr(cigars, ctypes.c_uint32)
-    seq_off, p6 = arr(seq_off, ctypes.c_int64)
-    seqs, p7 = arr(seqs, ctypes.c_uint8)
-    quals, p8 = arr(quals, ctypes.c_uint8)
-    rv = lib.mt_pileup_counts(
-        len(read_pos), p1, p2, p3, p4, p5, p6, p7, p8,
-        start, end, num_dtypes, num_qstrat,
-        ctypes.byref(counts_p), ctypes.byref(majors_p),
-        ctypes.byref(minors_p), ctypes.byref(n_cols))
-    if rv != 0:
-        raise NativeBuildError("mt_pileup_counts failed")
-    n = n_cols.value
-    col_feat = 10 * num_dtypes * num_qstrat
-    if n == 0:
-        return (np.empty((0, col_feat), np.int32),
-                np.empty(0, np.int64), np.empty(0, np.int64))
-
-    def adopt(ptr, shape):
-        # zero-copy view over the malloc'd buffer; freed when the
-        # array is garbage collected
-        import weakref
-        arr = np.ctypeslib.as_array(ptr, shape=shape)
-        addr = ctypes.cast(ptr, ctypes.c_void_p).value
-        weakref.finalize(arr, lib.mt_free, addr)
-        return arr
-
-    counts = adopt(counts_p, (n, col_feat))
-    majors = adopt(majors_p, (n,))
-    minors = adopt(minors_p, (n,))
-    return counts, majors, minors
-
-
 def _load_pileup_raw_symbols(lib):
     if getattr(lib, "_pileup_raw_ready", False):
         return

@@ -135,7 +135,9 @@ int mt_align(const char* query, int qlen, const char* ref, int rlen,
         prev[j].f = NEG_INF;
         prev[j].h = free_ref_start ? 0
             : (j == 0 ? 0 : -(gap_open + gap_extend * j));
-        if (!free_ref_start && j > 0) TB(0, j) = H_FROM_E | E_EXT;
+        // no TB(0, j) writes: the traceback never reads row 0 (the
+        // i == 0 case emits 'D's directly), and under banded packing
+        // the row-0 stride would spill into later rows' slots
     }
 
     int best_score = NEG_INF, best_i = qlen, best_j = rlen;
@@ -266,13 +268,13 @@ done:
 // returns distance, or -1 if > max_k and max_k >= 0).
 int mt_edit_distance(const char* a, int alen, const char* b, int blen,
                      int max_k) {
-    if (alen == 0) return blen;
-    if (blen == 0) return alen;
+    if (alen == 0) return (max_k >= 0 && blen > max_k) ? -1 : blen;
+    if (blen == 0) return (max_k >= 0 && alen > max_k) ? -1 : alen;
     int diff = std::abs(alen - blen);
+    if (max_k >= 0 && diff > max_k) return -1;  // distance >= diff
     int band = std::max(16, diff + 1);
     const int INF = INT32_MAX / 2;
     while (true) {
-        if (max_k >= 0 && band / 2 > max_k && band > diff + 1) return -1;
         int d = std::max(0, blen - alen), dd = std::min(0, blen - alen);
         std::vector<int> prev(blen + 1, INF), cur(blen + 1, INF);
         for (int j = 0; j <= std::min(blen, d + band); ++j) prev[j] = j;
@@ -291,9 +293,13 @@ int mt_edit_distance(const char* a, int alen, const char* b, int blen,
         }
         int result = prev[blen];
         if (result <= band || band >= std::max(alen, blen)) {
+            // a banded pass whose result fits the band is exact
             if (max_k >= 0 && result > max_k) return -1;
             return result;
         }
+        // result was clipped, so the true distance exceeds the band;
+        // no point widening past a satisfied max_k
+        if (max_k >= 0 && band >= max_k) return -1;
         band *= 2;  // path may have been clipped by the band
     }
 }

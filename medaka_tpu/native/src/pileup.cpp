@@ -49,164 +49,6 @@ inline bool is_aligned(int op) { return op == 0 || op == 7 || op == 8; }
 
 }  // namespace
 
-extern "C" {
-
-// Phase 1+2 in one call. Inputs are flat, concatenated per-read arrays.
-// Returns 0 on success. Outputs (malloc'd; free with mt_free):
-//   *counts_out: int32 [n_cols * featlen*num_dtypes*num_qstrat]
-//     (int32 halves the count-row cache traffic in the hot loop;
-//     a channel count is bounded by region depth, far below 2^31)
-//   *majors_out, *minors_out: int64 [n_cols]
-//   *n_cols_out: number of pileup columns
-int mt_pileup_counts(
-        int n_reads,
-        const int64_t* read_pos,       // leftmost ref position per read
-        const uint8_t* read_rev,       // 1 = reverse strand
-        const int32_t* read_dtype,     // datatype index per read
-        const int64_t* cigar_off,      // n_reads+1 offsets into cigars
-        const uint32_t* cigars,        // packed (len<<4 | op)
-        const int64_t* seq_off,        // n_reads+1 offsets into seqs
-        const uint8_t* seqs,           // unpacked nt16 codes
-        const uint8_t* quals,          // per-base quals (same offsets)
-        int64_t start, int64_t end,
-        int num_dtypes, int num_qstrat,
-        int32_t** counts_out, int64_t** majors_out, int64_t** minors_out,
-        int64_t* n_cols_out) {
-    const int64_t span = end - start;
-    if (span <= 0) return 1;
-    const int col_feat = FEATLEN * num_dtypes * num_qstrat;
-
-    // phase 1: coverage and max insertion per position
-    std::vector<int32_t> cover(span + 1, 0);
-    std::vector<int64_t> max_ins(span, 0);
-    for (int r = 0; r < n_reads; ++r) {
-        int64_t rp = read_pos[r];
-        int64_t ref_end = rp;
-        for (int64_t ci = cigar_off[r]; ci < cigar_off[r + 1]; ++ci) {
-            uint32_t c = cigars[ci];
-            int op = c & 0xf;
-            int64_t len = c >> 4;
-            if (op == 1) {  // insertion: anchor at previous ref base
-                int64_t anchor = ref_end - 1;
-                if (anchor >= rp && anchor >= start && anchor < end) {
-                    max_ins[anchor - start] =
-                        std::max(max_ins[anchor - start], len);
-                }
-            }
-            if (consumes_r(op)) ref_end += len;
-        }
-        int64_t cs = std::max(rp, start);
-        int64_t ce = std::min(ref_end, end);
-        if (ce > cs) {
-            cover[cs - start] += 1;
-            cover[ce - start] -= 1;
-        }
-    }
-
-    // column geometry
-    std::vector<int64_t> col_of_pos(span, -1);
-    int64_t n_cols = 0;
-    int64_t running = 0;
-    std::vector<int64_t> cov_pos;
-    for (int64_t p = 0; p < span; ++p) {
-        running += cover[p];
-        if (running > 0) {
-            col_of_pos[p] = n_cols;
-            cov_pos.push_back(p);
-            n_cols += 1 + max_ins[p];
-        }
-    }
-    if (n_cols == 0) {
-        *counts_out = nullptr;
-        *majors_out = nullptr;
-        *minors_out = nullptr;
-        *n_cols_out = 0;
-        return 0;
-    }
-
-    int32_t* counts = (int32_t*)calloc(n_cols * col_feat, sizeof(int32_t));
-    int64_t* majors = (int64_t*)malloc(n_cols * sizeof(int64_t));
-    int64_t* minors = (int64_t*)malloc(n_cols * sizeof(int64_t));
-    if (!counts || !majors || !minors) {
-        free(counts); free(majors); free(minors);
-        return 1;
-    }
-    for (int64_t p : cov_pos) {
-        int64_t c0 = col_of_pos[p];
-        for (int64_t m = 0; m <= max_ins[p]; ++m) {
-            majors[c0 + m] = start + p;
-            minors[c0 + m] = m;
-        }
-    }
-
-    // phase 2: accumulate
-    for (int r = 0; r < n_reads; ++r) {
-        const int strand16 = read_rev[r] ? 16 : 0;
-        const int del_chan = read_rev[r] ? REV_DEL : FWD_DEL;
-        const int dtype_off = FEATLEN * read_dtype[r] * num_qstrat;
-        const uint8_t* seq = seqs + seq_off[r];
-        const uint8_t* qual = quals + seq_off[r];
-        int64_t ref_pos = read_pos[r];
-        int64_t q = 0;
-        for (int64_t ci = cigar_off[r]; ci < cigar_off[r + 1]; ++ci) {
-            uint32_t c = cigars[ci];
-            int op = c & 0xf;
-            int64_t len = c >> 4;
-            if (is_aligned(op)) {
-                int64_t lo = std::max(ref_pos, start);
-                int64_t hi = std::min(ref_pos + len, end);
-                for (int64_t p = lo; p < hi; ++p) {
-                    int chan = NT16_CHAN[seq[q + (p - ref_pos)] + strand16];
-                    if (chan < 0) continue;
-                    int qs = 0;
-                    if (num_qstrat > 1) {
-                        int qq = qual[q + (p - ref_pos)];
-                        qs = std::max(0, std::min(qq, num_qstrat) - 1);
-                    }
-                    counts[col_of_pos[p - start] * col_feat + dtype_off
-                           + FEATLEN * qs + chan] += 1;
-                }
-            } else if (op == 2 || op == 3) {  // D / N
-                if (op == 2) {
-                    int64_t lo = std::max(ref_pos, start);
-                    int64_t hi = std::min(ref_pos + len, end);
-                    for (int64_t p = lo; p < hi; ++p) {
-                        counts[col_of_pos[p - start] * col_feat
-                               + dtype_off + del_chan] += 1;
-                    }
-                }
-            } else if (op == 1) {  // insertion
-                int64_t anchor = ref_pos - 1;
-                if (anchor >= read_pos[r] && anchor >= start
-                        && anchor < end) {
-                    int64_t base_col = col_of_pos[anchor - start];
-                    for (int64_t j = 0; j < len; ++j) {
-                        int chan = NT16_CHAN[seq[q + j] + strand16];
-                        if (chan < 0) continue;
-                        int qs = 0;
-                        if (num_qstrat > 1) {
-                            int qq = qual[q + j];
-                            qs = std::max(
-                                0, std::min(qq, num_qstrat) - 1);
-                        }
-                        counts[(base_col + 1 + j) * col_feat + dtype_off
-                               + FEATLEN * qs + chan] += 1;
-                    }
-                }
-            }
-            if (consumes_q(op)) q += len;
-            if (consumes_r(op)) ref_pos += len;
-        }
-    }
-
-    *counts_out = counts;
-    *majors_out = majors;
-    *minors_out = minors;
-    *n_cols_out = n_cols;
-    return 0;
-}
-
-}  // extern "C"
 
 extern "C" {
 

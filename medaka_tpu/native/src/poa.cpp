@@ -229,8 +229,13 @@ int mt_poa_consensus(const char** seqs, const int* lens, int n_seqs,
         }
     }
 
-    // heaviest path: DP over topological order maximising summed edge
-    // weight + node support
+    // heaviest path: DP over topological order maximising summed EDGE
+    // weight only (spoa's rule). Every read traversal increments both
+    // its edges and the node, so adding node support to the objective
+    // double-counts and lets a single read's insertion tie or beat a
+    // 3:1 majority deletion (the bypass edge carries the majority's
+    // weight, but the insertion path picks up the extra node's
+    // support).
     g.toposort();
     const int n = (int)g.nodes.size();
     std::vector<int64_t> best(n, 0);
@@ -239,11 +244,10 @@ int mt_poa_consensus(const char** seqs, const int* lens, int n_seqs,
     int global_node = -1;
     for (int v : g.order) {
         const Node& node = g.nodes[v];
-        int64_t b = node.support;
+        int64_t b = 0;
         int bp = -1;
         for (size_t k = 0; k < node.preds.size(); ++k) {
-            int64_t cand =
-                best[node.preds[k]] + node.pred_weight[k] + node.support;
+            int64_t cand = best[node.preds[k]] + node.pred_weight[k];
             if (cand > b) {
                 b = cand;
                 bp = node.preds[k];

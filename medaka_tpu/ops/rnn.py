@@ -163,6 +163,11 @@ def lstm_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
     """
     w_ih, w_hh = params["w_ih"], params["w_hh"]
     b_ih, b_hh = params["b_ih"], params["b_hh"]
+    # exact f32 matmuls when no lower compute dtype was chosen (same
+    # rationale as gru_scan: TPU f32 defaults to fast low-precision
+    # passes, breaking logit parity with reference checkpoints)
+    precision = None if compute_dtype is not None else \
+        jax.lax.Precision.HIGHEST
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w_ih, w_hh = w_ih.astype(compute_dtype), w_hh.astype(compute_dtype)
@@ -171,7 +176,8 @@ def lstm_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
     batch = x.shape[0]
     x_proj = (
         jnp.einsum("bti,hi->bth", x, w_ih,
-                   preferred_element_type=x.dtype) + b_ih)
+                   preferred_element_type=x.dtype,
+                   precision=precision) + b_ih)
     x_proj = jnp.swapaxes(x_proj, 0, 1)
     w_hh_t = w_hh.T
     carry0 = (jnp.zeros((batch, hidden), x.dtype),
@@ -179,7 +185,9 @@ def lstm_scan(params: Dict, x: jnp.ndarray, reverse: bool = False,
 
     def cell(carry, xp):
         h, c = carry
-        gates = xp + jnp.dot(h, w_hh_t, preferred_element_type=h.dtype) + b_hh
+        gates = xp + jnp.dot(
+            h, w_hh_t, preferred_element_type=h.dtype,
+            precision=precision) + b_hh
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)

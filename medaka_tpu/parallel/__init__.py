@@ -57,21 +57,6 @@ def make_mesh(devices=None, data: Optional[int] = None,
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def gru_param_spec() -> Dict:
-    """PartitionSpecs for one GRU direction's params.
-
-    Gate-dimension (3H) sharding over the model axis; biases likewise.
-    The recurrent input dim stays replicated — GSPMD all-gathers the
-    hidden state where required.
-    """
-    return {
-        "w_ih": P(MODEL_AXIS, None),
-        "w_hh": P(MODEL_AXIS, None),
-        "b_ih": P(MODEL_AXIS),
-        "b_hh": P(MODEL_AXIS),
-    }
-
-
 def params_spec_for_model(model, params) -> Dict:
     """PartitionSpec pytree matching a model's parameter pytree.
 

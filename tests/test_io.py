@@ -279,3 +279,27 @@ def test_wrapped_fastq_parses(tmp_path):
     assert recs[0].sequence == "ACGTACGT"
     assert recs[0].quality == "!!!!@!!!"
     assert recs[1].sequence == "TTTT"
+
+
+def test_cg_tag_long_cigar_expansion():
+    """BAM long-cigar convention: placeholder <l_seq>S<ref_len>N with
+    the real cigar in the CG tag (SAM spec 4.2.2) expands
+    transparently; the raw-kernel featurizer falls back to numpy."""
+    import numpy as np
+    import struct
+    from medaka_tpu.io.bam import BamRecord, C_EQ, C_N, C_S
+
+    seq = "ACGTACGT"
+    real_cigar = np.array(
+        [(len(seq) << 4) | C_EQ], dtype=np.uint32)  # 8=
+    rec = BamRecord.build(
+        query_name="long", ref_id=0, pos=10, seq=seq,
+        qual=[20] * len(seq),
+        cigar="{}S{}N".format(len(seq), len(seq)), flag=0, mapq=60,
+        tags={"CG": real_cigar})
+    assert rec.has_long_cigar
+    np.testing.assert_array_equal(
+        rec.cigar_array, [[C_EQ, len(seq)]])
+    assert rec.cigarstring == "8="
+    # reference length comes from the placeholder N (by design)
+    assert rec.reference_length == len(seq)
