@@ -54,7 +54,8 @@ def _regions_arg(values):
         if os.path.isfile(v):  # bed file
             with open(v) as fh:
                 for line in fh:
-                    if not line.strip() or line.startswith(("#", "track")):
+                    if not line.strip() or line.startswith(
+                            ("#", "track", "browser")):
                         continue
                     parts = line.split("\t")
                     out.append(common.Region(
@@ -660,9 +661,19 @@ def _cmd_inference(args):
                 "--cpu must be the first JAX-touching option; a device "
                 "backend is already initialised: {}".format(e))
 
-    from medaka_tpu import parallel, prediction
+    from medaka_tpu import models, parallel, prediction
+    if (args.tag_name is None) != (args.tag_value is None):
+        raise ValueError(
+            "--tag_name and --tag_value must be given together "
+            "(one alone would filter out every read).")
+    args.model = models.resolve_model(args.model)
     regions = _regions_arg(args.regions) if args.regions else None
     if args.num_processes and args.num_processes > 1:
+        if args.process_id is None or not (
+                0 <= args.process_id < args.num_processes):
+            raise ValueError(
+                "--num_processes requires --process_id in [0, {})".format(
+                    args.num_processes))
         # multi-host: init the runtime and take this host's work share.
         # Work is divided at bam_chunk granularity (the predictor's own
         # work unit), not whole contigs: a single-contig genome — the
@@ -710,9 +721,10 @@ def _cmd_inference(args):
 
 
 def _cmd_consensus_from_features(args):
-    from medaka_tpu import prediction
+    from medaka_tpu import models, prediction
     prediction.predict_from_features(
-        args.inputs, args.output, model_path=args.model,
+        args.inputs, args.output,
+        model_path=models.resolve_model(args.model),
         batch_size=args.batch_size, full_precision=args.full_precision)
     return 0
 

@@ -422,6 +422,21 @@ class DataIndex:
             out.append(Region(ref_name, min(starts), max(ends)))
         return sorted(out)
 
+    def max_sample_size(self) -> int:
+        """Longest sample (columns) across all files, via dataset
+        shapes only (no data read)."""
+        longest = 0
+        for fname in self.filenames:
+            with h5py.File(fname, "r") as fh:
+                if DataStore._data_path_ not in fh:
+                    continue
+                data = fh[DataStore._data_path_]
+                for name in data:
+                    ds = data[name].get("positions")
+                    if ds is not None:
+                        longest = max(longest, ds.shape[0])
+        return longest
+
     def yield_from_feature_files(
             self, regions: Optional[Iterable[Region]] = None,
             samples: Optional[Iterable] = None):

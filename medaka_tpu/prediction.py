@@ -619,7 +619,10 @@ def predict_from_features(
     first = next(samples, None)
     if first is None:
         raise ValueError("No samples found in inputs.")
-    chunk_len = first.size
+    # one static time dimension for EVERY batch: collating each group
+    # to its own max would recompile the forward per distinct shape
+    # (dataset shapes are read without loading any data)
+    chunk_len = max(first.size, index.max_sample_size())
     if batch_size is None:
         batch_size = auto_batch_size(model, chunk_len=chunk_len)
         logger.info("Auto batch size: %d.", batch_size)
@@ -637,8 +640,7 @@ def predict_from_features(
                 itertools.chain([first], samples), batch_size):
             group = list(group)
             batch = Batch.collate(
-                group, batch_size, max(chunk_len,
-                                       max(s.size for s in group)),
+                group, batch_size, chunk_len,
                 max_reads=getattr(feature_encoder, "max_reads", None))
             probs = predictor.predict_on_batch(batch)
             for i, sample in enumerate(group):

@@ -20,6 +20,7 @@ Functional equivalent of the reference's ``medaka train``
 from __future__ import annotations
 
 import csv
+import functools
 import os
 import threading
 import queue as queue_mod
@@ -204,22 +205,54 @@ class TrainBatcher:
             names[i:i + self.batch_size]
             for i in range(0, len(names), self.batch_size)]
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
+        stop = threading.Event()
+        error = []
 
         def worker():
             try:
                 for g in groups:
-                    q.put(self._load(g))
+                    if stop.is_set():
+                        return
+                    batch = self._load(g)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue_mod.Full:
+                            continue
+            except Exception as e:
+                # surface IO errors to the consumer — a silently
+                # truncated epoch would train on partial data forever
+                error.append(e)
             finally:
-                q.put(None)
+                while True:  # sentinel must land even when q is full
+                    try:
+                        q.put(None, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            # an abandoned generator (e.g. samples_per_training_epoch
+            # truncation) must not leak a blocked loader thread
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue_mod.Empty:
+                    break
+            t.join(timeout=10)
+        if error:
+            raise error[0]
 
     def n_batches(self, split: str = "train") -> int:
         """Batches per epoch."""
@@ -259,6 +292,16 @@ class CSVLogger:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(1)
+def _baseline_fn():
+    """Jitted majority-vote baseline, compiled once per process.
+
+    Jitting inside run_epoch re-traced it every epoch (2 compilations
+    per epoch over a 5000-epoch run).
+    """
+    return jax.jit(parallel.majority_baseline_accuracy)
+
+
 def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
               logger, csv_logger=None, is_training=True, eval_fn=None,
               max_batches=None):
@@ -270,7 +313,7 @@ def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
     """
     total_loss, total_correct, total_count, n_batches = 0.0, 0.0, 0.0, 0
     base_correct = 0.0
-    baseline_fn = jax.jit(parallel.majority_baseline_accuracy)
+    baseline_fn = _baseline_fn()
     is_counts = batcher.feat_dim == 10
     t0 = now()
     for batch in batcher.batches(split, shuffle=is_training, seed=epoch):
