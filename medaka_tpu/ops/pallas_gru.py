@@ -307,7 +307,9 @@ def bigru_stack_fused(layers, x: jnp.ndarray, bidirectional: bool = True,
                 projs.append(
                     jnp.einsum(
                         "tbi,hi->tbh", out, p["w_ih"].astype(cd),
-                        preferred_element_type=cd)
+                        # f32 accumulation (module numerics contract)
+                        preferred_element_type=jnp.float32
+                    ).astype(cd)
                     + p["b_ih"].astype(cd))
             w_hh = jnp.stack(
                 [layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])
@@ -322,7 +324,7 @@ def bigru_stack_fused(layers, x: jnp.ndarray, bidirectional: bool = True,
             x_proj = (
                 jnp.einsum(
                     "tbi,hi->tbh", out, p["w_ih"].astype(cd),
-                    preferred_element_type=cd)
+                    preferred_element_type=jnp.float32).astype(cd)
                 + p["b_ih"].astype(cd))
             out = gru_pallas(
                 x_proj, p["w_hh"], p["b_hh"], lengths=lengths,
@@ -412,6 +414,9 @@ def bilstm_pallas(x_proj_f: jnp.ndarray, x_proj_b: jnp.ndarray,
     if time_block is None:
         time_block = _pick_time_block(
             T, B, H, budget_bytes=2 << 20, gates=4)
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
     n_blocks = T // time_block
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
@@ -470,7 +475,7 @@ def bilstm_stack_fused(layers, x: jnp.ndarray,
             projs.append(
                 jnp.einsum(
                     "tbi,hi->tbh", out, p["w_ih"].astype(cd),
-                    preferred_element_type=cd)
+                    preferred_element_type=jnp.float32).astype(cd)
                 + p["b_ih"].astype(cd))
         w_hh = jnp.stack([layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])
         b_hh = jnp.stack([layer["fwd"]["b_hh"], layer["bwd"]["b_hh"]])
@@ -692,6 +697,9 @@ def bigru_pallas_fullfused(
         # explicit time_block (the raised VMEM limit covers them).
         time_block = _pick_time_block(
             T, B, H, budget_bytes=1 << 20, gates=3)
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
     n_blocks = T // time_block
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
@@ -850,6 +858,9 @@ def bigru_pallas_fullfused_int8(
         # explicit time_block (the raised VMEM limit covers them).
         time_block = _pick_time_block(
             T, B, H, budget_bytes=1 << 20, gates=3)
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
     n_blocks = T // time_block
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
@@ -1044,6 +1055,9 @@ def gru_bwd_pallas(x_proj, h_out, dh_out, w_hh, b_hh, lengths=None,
     H = threeH // 3
     if time_block is None:
         time_block = _pick_time_block(T, B, H, budget_bytes=1 << 20)
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
     n_blocks = T // time_block
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
@@ -1250,6 +1264,9 @@ def lstm_pallas(x_proj, w_hh, b_hh, lengths=None, reverse: bool = False,
     if time_block is None:
         time_block = _pick_time_block(
             T, B, H, budget_bytes=2 << 20, gates=4)
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
     n_blocks = T // time_block
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
@@ -1383,6 +1400,9 @@ def lstm_bwd_pallas(x_proj, h_out, c_out, dh_out, w_hh, b_hh,
     if time_block is None:
         time_block = _pick_time_block(
             T, B, H, budget_bytes=1 << 20, gates=4)
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
     n_blocks = T // time_block
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)

@@ -193,11 +193,14 @@ class Variant:
 
     @property
     def gt(self):
-        """Genotype allele indices, or None."""
+        """Genotype allele indices; None when absent or no-call."""
         gt = self.genotype_data.get('GT')
         if gt is None:
             return None
-        return tuple(int(x) for x in gt.replace('|', '/').split('/'))
+        alleles = gt.replace('|', '/').split('/')
+        if '.' in alleles:  # no-call (./.) from external callers
+            return None
+        return tuple(int(x) for x in alleles)
 
     @property
     def phased(self):
@@ -463,7 +466,10 @@ class VCFReader:
         lo = float('-inf') if start is None else start
         hi = float('inf') if end is None else end
         if not self.cache:
-            # stream without an index: contained-in-region semantics
+            # stream without an index: contained-in-region, strict
+            # inequalities, and no `strict` distinction — matching the
+            # reference's cacheless path exactly (``vcf.py:656-659``),
+            # which differs from the indexed path at region boundaries
             yield from (
                 v for v in self._parse()
                 if (ref_name is None or v.chrom == ref_name)
@@ -516,7 +522,9 @@ def classify_variant(var: Variant) -> str:
 def classify_variants(args):
     """CLI: split a VCF into per-class files (medaka.py 'classify_variants')."""
     path = args.vcf
-    base, ext = path.rsplit('.', 1)
+    base, dot, ext = path.rpartition('.')
+    if not dot:
+        base, ext = path, 'vcf'
     reader = VCFReader(path, cache=False)
     groups = {
         'snp': ['snp'], 'indel': ['sni', 'mni', 'snd', 'mnd', 'indel'],
@@ -628,6 +636,10 @@ def _merge_variants(interval, hap_of, ref_seq, detailed_info=False,
     qual = sum(hap_quals) / len(hap_quals) if hap_quals else 0.0
 
     surviving = sorted(hap_seqs)
+    if not surviving:
+        # every haplotype's edits spliced back to the reference (e.g.
+        # ref==alt input records): nothing to report for this interval
+        return None
     alts = [hap_seqs[h] for h in surviving]
     sep = '/' if discard_phase else '|'
     if len(alts) == 2 and alts[0] == alts[1]:
@@ -735,6 +747,7 @@ class Haploid2DiploidConverter:
                     detailed_info=self.detailed_info,
                     discard_phase=self.discard_phase)
                 for iv in merged]
+            out = [v for v in out if v is not None]
             yield from sorted(out, key=lambda x: x.pos)
 
     @property
@@ -978,15 +991,25 @@ def annotate_vcf_n_reads(
             vcfout, 'w', version='4.1', contigs=vcf.chroms,
             meta_info=meta_info) as writer:
         chunks = itertools.chain.from_iterable(
-            r.split(size=chunk_size, overlap=0) for r in chrom_regions)
+            # fixed_size would re-anchor the final chunk to overlap its
+            # neighbour, double-writing every variant in the overlap
+            r.split(size=chunk_size, overlap=0, fixed_size=False)
+            for r in chrom_regions)
+        ref_seq = None
+        ref_chrom = None
         for chunk in chunks:
-            variants = list(
-                vcf.fetch(chunk.ref_name, chunk.start, chunk.end))
+            variants = [
+                v for v in vcf.fetch(chunk.ref_name, chunk.start, chunk.end)
+                # overlap-semantics fetch returns a boundary-spanning
+                # record in both chunks; its START assigns it uniquely
+                if chunk.start <= v.pos < chunk.end]
             if not variants:
                 continue
             logger.info('Processing %s.', chunk)
             chrom = variants[0].chrom
-            ref_seq = fasta.fetch(chunk.ref_name).upper()
+            if chrom != ref_chrom:  # fetch each chromosome once
+                ref_seq = fasta.fetch(chunk.ref_name).upper()
+                ref_chrom = chrom
             trimmed = common.Region(
                 chrom, variants[0].pos, variants[-1].pos + 1)
             pileup = encoder._pileup_function(trimmed, bam)
@@ -1012,9 +1035,10 @@ def annotate_vcf_n_reads(
             first_pos = variants[0].pos
             for v in variants:
                 count = merged[v.pos - first_pos]
-                dt_depth = {}
+                dt_depth = {False: 0, True: 0}
                 for (_dt, is_rev), inds in feature_indices:
-                    dt_depth[is_rev] = int(np.sum(count[inds]))
+                    # accumulate over datatypes (one per (dt, strand))
+                    dt_depth[is_rev] += int(np.sum(count[inds]))
                 v.info['DP'] = int(np.sum(count))
                 v.info['DPS'] = '{},{}'.format(
                     dt_depth[False], dt_depth[True])

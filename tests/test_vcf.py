@@ -263,3 +263,20 @@ class TestAnnotate:
         for i, (chrom, pos, info) in enumerate(want + want):
             assert got[i].pos == pos
             assert got[i].info_string == info, (i, got[i].info_string)
+
+    def test_chunked_annotation_no_duplicates(self, tmp_path):
+        """A chunk boundary between variants must not double-write
+        records (regression: fixed_size splitting re-anchored the last
+        chunk to overlap its neighbour)."""
+        from medaka_tpu.vcf import annotate_vcf_n_reads, VCFReader
+        D = "/root/reference/medaka/test/data/"
+        out = str(tmp_path / "annotated_chunked.vcf")
+        # variants sit at pos 29748/29764/29788: a 30-base chunk puts
+        # boundaries between them
+        annotate_vcf_n_reads(
+            D + "test_annotate.vcf", D + "test_annotate_ref.fasta",
+            D + "test_annotate.bam", out,
+            read_group="nCoV-2019_2", pad=25, dpsp=False, chunk_size=30)
+        got = list(VCFReader(out, cache=False).fetch())
+        keys = [(v.chrom, v.pos, v.ref, tuple(v.alt)) for v in got]
+        assert len(keys) == len(set(keys)) == 6
