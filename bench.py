@@ -69,7 +69,27 @@ def bench_torch_cpu_baseline():
     return b * t / dt
 
 
+def _backend_up(timeout_s: int = 180) -> bool:
+    """Probe device init in a subprocess (a down tunnel HANGS it)."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    # the tunnelled TPU backend occasionally goes UNAVAILABLE (device
+    # init then hangs rather than raising); probe out-of-process and
+    # wait out short outages before committing this process to it
+    for attempt in range(4):
+        if _backend_up():
+            break
+        time.sleep(90 * (attempt + 1))
     value = bench_tpu()
     try:
         baseline = bench_torch_cpu_baseline()
