@@ -11,7 +11,7 @@ import enum
 import itertools
 import logging
 import re
-from typing import Iterable, Iterator, List, Optional, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ import importlib
 import inspect
 import itertools
 from collections import defaultdict
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 

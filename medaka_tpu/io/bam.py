@@ -8,7 +8,6 @@ construction, sorted BAM writing and .bai index generation.
 from __future__ import annotations
 
 import functools
-import itertools
 import os
 import struct
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple

@@ -13,12 +13,12 @@ import functools
 import importlib
 import itertools
 from copy import copy
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
 from medaka_tpu import common, vcf
-from medaka_tpu.common import Region, Sample, make_positions
+from medaka_tpu.common import Region, Sample
 from medaka_tpu.io.bam import BamReader
 from medaka_tpu.utils.intervals import IntervalSet
 

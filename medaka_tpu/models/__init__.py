@@ -13,7 +13,7 @@ import json
 import os
 import tarfile
 import tempfile
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

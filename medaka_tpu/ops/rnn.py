@@ -11,7 +11,7 @@ XLA. Layouts are time-major inside the scan.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import abc
 import collections
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -9,7 +9,7 @@ import collections
 import itertools
 import os
 from copy import deepcopy
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
