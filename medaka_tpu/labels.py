@@ -91,10 +91,9 @@ class TruthAlignment:
                     left.end = right.aln.reference_start
 
         for al in kept:
-            if region.start > 0:
-                al.start = max(region.start, al.start)
+            al.start = max(al.start, region.start)
             if region.end is not None:
-                al.end = min(region.end, al.end)
+                al.end = min(al.end, region.end)
         return sorted(
             (al for al in kept
              if al.is_kept and al.end - al.start >= min_length),
@@ -102,16 +101,16 @@ class TruthAlignment:
 
     @staticmethod
     def _load_alignments(truth_bam, region, haplotag=None):
-        alignments = collections.defaultdict(list)
+        by_hap = collections.defaultdict(list)
         with BamReader(truth_bam) as bam:
             for rec in bam.fetch(region.ref_name, region.start, region.end):
                 if rec.is_unmapped or rec.is_secondary:
                     continue
                 hap = rec.get_tag(haplotag) if haplotag is not None else None
-                alignments[hap].append(TruthAlignment(rec))
-        for hap in alignments:
-            alignments[hap].sort(key=lambda t: t.start)
-        return alignments
+                by_hap[hap].append(TruthAlignment(rec))
+        for segments in by_hap.values():
+            segments.sort(key=lambda t: t.start)
+        return by_hap
 
     @staticmethod
     def _group_and_trim_by_haplotype(alignments):
@@ -157,14 +156,14 @@ class TruthAlignment:
     @staticmethod
     def bam_to_alignments(truth_bam, region, haplotag=None, min_length=1000):
         """Load, filter and group truth alignments for a region."""
-        algns = TruthAlignment._load_alignments(truth_bam, region, haplotag)
-        algns = {
-            h: TruthAlignment._filter_alignments(
-                h_algns, region=region, min_length=min_length)
-            for h, h_algns in algns.items()}
-        if len(algns) == 0:
+        loaded = TruthAlignment._load_alignments(truth_bam, region, haplotag)
+        if not loaded:
             return []
-        return TruthAlignment._group_and_trim_by_haplotype(algns)
+        filtered = {
+            hap: TruthAlignment._filter_alignments(
+                segments, region=region, min_length=min_length)
+            for hap, segments in loaded.items()}
+        return TruthAlignment._group_and_trim_by_haplotype(filtered)
 
 
 # ---------------------------------------------------------------------------
@@ -205,23 +204,23 @@ class BaseLabelScheme(metaclass=_SchemeMeta):
 
     def to_dict(self):
         """Serialise the scheme."""
-        return {"type": self.__class__.__name__}
+        return dict(type=type(self).__name__)
 
     @staticmethod
     def _singleton(it):
-        return len(set(it)) == 1
+        return len(frozenset(it)) == 1
 
     @staticmethod
     def _phred(err, cap=70.0):
         """Error probability to phred score, capped."""
-        err = np.clip(err, 10 ** (-cap / 10.0), 1)
-        return np.minimum(-10 * np.log10(err), cap)
+        floor = 10.0 ** (cap / -10.0)
+        return np.minimum(cap, -10 * np.log10(np.clip(err, floor, 1)))
 
     @staticmethod
-    def _pfmt(p, dp=3):
-        if isinstance(p, np.ndarray):
-            return np.char.mod("%.{}f".format(dp), p)
-        return "{:.{dp}f}".format(round(p, dp), dp=dp)
+    def _pfmt(value, dp=3):
+        if isinstance(value, np.ndarray):
+            return np.char.mod("%.{}f".format(dp), value)
+        return "{:.{dp}f}".format(round(value, dp), dp=dp)
 
     # --- encoding ---
 
@@ -281,15 +280,16 @@ class BaseLabelScheme(metaclass=_SchemeMeta):
     @functools.lru_cache(1)
     def _decoding(self):
         """dict: integer -> label tuple."""
-        return {v: k for k, v in self._encoding.items()}
+        return {idx: label for label, idx in self._encoding.items()}
 
     @property
     def _unitary_encoding(self):
         return {(s,): i for i, s in enumerate(self.symbols)}
 
     def _unordered_label_combinations(self):
-        return tuple(itertools.combinations_with_replacement(
-            self.symbols, self.n_elements))
+        combos = itertools.combinations_with_replacement(
+            self.symbols, self.n_elements)
+        return tuple(combos)
 
     def encode(self, truth_alns):
         """Truth alignments -> (positions, encoded labels)."""
@@ -300,37 +300,34 @@ class BaseLabelScheme(metaclass=_SchemeMeta):
 
     def decode_snps(self, sample, ref_seq, ref_vcf=None, threshold=0.04):
         """Decode network outputs into SNP `Variant` records."""
-        self.ref_seq = ref_seq
-        self.secondary_threshold = threshold
+        self.ref_seq, self.secondary_threshold = ref_seq, threshold
         self.ref_vcf = vcf.VCFReader(ref_vcf) if ref_vcf else None
         return self._decode_snps(sample)
 
     def _decode_snps(self, sample):
-        ref_name = sample.ref_name
-        pos = sample.positions
-        probs = sample.label_probs
+        majors = sample.positions["major"]
+        # candidate loci: reference-anchor columns whose draft base is a
+        # proper symbol, vectorised via a codepoint membership table
+        anchor = sample.positions["minor"] == 0
+        span = np.frombuffer(
+            self.ref_seq[majors[0]:majors[-1] + 1].encode(), dtype=np.uint8)
+        draft_bases = span[majors - majors[0]]
+        proper = np.zeros(256, dtype=bool)
+        proper[[ord(s) for s in self.symbols]] = True
+        keep = anchor & proper[draft_bases]
         if self.ref_vcf is not None:
-            loci = {
+            # gVCF-style: restrict to loci present in the guiding VCF
+            wanted = {
                 v.pos for v in self.ref_vcf.fetch(
-                    ref_name=ref_name, start=sample.first_pos[0],
+                    ref_name=sample.ref_name, start=sample.first_pos[0],
                     end=sample.last_pos[0])}
-            return_all = True
-        else:
-            loci = None
-            return_all = False
-        indices, ref_symbols = [], []
-        for i in range(len(probs)):
-            major = pos["major"][i]
-            reference_symbol = self.ref_seq[major]
-            if pos["minor"][i] != 0 or reference_symbol not in self.symbols:
-                continue
-            if loci is not None and major not in loci:
-                continue
-            indices.append(i)
-            ref_symbols.append(reference_symbol)
+            keep &= np.isin(majors, np.fromiter(
+                wanted, dtype=majors.dtype, count=len(wanted)))
+        keep = np.flatnonzero(keep)
         return self._prob_to_snp(
-            probs[indices], pos["major"][indices], ref_name, ref_symbols,
-            return_all=return_all)
+            sample.label_probs[keep], majors[keep], sample.ref_name,
+            draft_bases[keep].tobytes().decode(),
+            return_all=self.ref_vcf is not None)
 
     @abc.abstractmethod
     def _prob_to_snp(self, outputs, positions, ref_name, ref_symbols,
@@ -402,12 +399,14 @@ class HaploidLabelScheme(BaseLabelScheme):
         return self._unitary_encoding
 
     def _alignment_to_pairs(self, aln):
-        seq = aln.query_sequence
-        for qpos, rpos in aln.get_aligned_pairs():
-            yield rpos, seq[qpos].upper() if qpos is not None else "*"
+        bases = aln.query_sequence.upper()
+        return (
+            (rpos, "*" if qpos is None else bases[qpos])
+            for qpos, rpos in aln.get_aligned_pairs())
 
     def _labels_to_encoded_labels(self, labels):
-        return np.fromiter((self._encoding[x] for x in labels), dtype=int)
+        return np.fromiter(map(self._encoding.__getitem__, labels),
+                           dtype=int)
 
     def encoded_labels_to_training_vectors(self, enc_labels):
         """Integer encodings -> sparse one-hot targets."""
@@ -476,94 +475,108 @@ class HaploidLabelScheme(BaseLabelScheme):
                     pos, ref_symbol, ".", "0/0", 1.0 - p1, info))
         return results
 
+    @functools.lru_cache(1)
+    def _symbol_class_lut(self):
+        """Byte-codepoint -> class-index table for qual scoring.
+
+        Symbols outside the alphabet (``N`` and any other ambiguity code)
+        score as the gap class — they have no probability column of their
+        own, so the gap column is the conventional stand-in.
+        """
+        lut = np.full(256, self._encoding[("*",)], dtype=np.intp)
+        for sym in self.symbols:
+            lut[ord(sym)] = self._encoding[(sym,)]
+        return lut
+
     def decode_variants(self, sample, ref_seq, ambig_ref=False,
                         return_all=False):
-        """Consensus-vs-reference diffing into (multi-base) variants.
+        """Diff the argmax consensus against the reference into variants.
 
-        Mirrors ``labels.py:889-1014``.
+        Adjacent disagreeing pileup columns are grouped into spans
+        (insertion columns inherit their anchor's status, see
+        `find_variant_columns`), each span becoming one multi-base
+        substitution/indel record whose quality is the phred-space
+        log-likelihood ratio of called over reference symbols summed
+        across the span.  Behavioural parity target: reference
+        ``labels.py:889-1014`` (validated byte-identical cross-stack).
         """
-        if sample.positions["minor"][0] != 0:
+        majors = sample.positions["major"]
+        minors = sample.positions["minor"]
+        if minors[0] != 0:
             raise ValueError(
                 "The first position of a sample must not be an insertion.")
-        pos = sample.positions
         probs = sample.label_probs
-        encoding = self._encoding
 
-        predicted = self.decode_consensus(sample, with_gaps=True, dtype="|U1")
-        reference = np.full(len(pos), "*", dtype="|U1")
-        reference[pos["minor"] == 0] = np.frombuffer(
-            ref_seq[pos["major"][0]:pos["major"][-1] + 1].encode(),
+        # the window as two gapped symbol tracks: called consensus + ref
+        called = self.decode_consensus(sample, with_gaps=True, dtype="|U1")
+        window_ref = np.full(len(majors), "*", dtype="|U1")
+        window_ref[minors == 0] = np.frombuffer(
+            ref_seq[majors[0]:majors[-1] + 1].encode(),
             dtype="S1").astype("U1")
-        is_variant = find_variant_columns(pos["minor"], reference, predicted)
 
-        variants = []
-        runs = common.rle(is_variant)
-        for rlen, rstart, _ in runs[runs["value"]]:
-            rend = rstart + rlen
-            var_ref_with_gaps = "".join(reference[rstart:rend])
-            var_pred_with_gaps = "".join(predicted[rstart:rend])
-            var_ref = var_ref_with_gaps.replace("*", "")
-            var_pred = var_pred_with_gaps.replace("*", "")
+        # score every column once, for both tracks: phred(1 - P[symbol])
+        lut = self._symbol_class_lut()
+        cols = np.arange(len(majors))
+        ref_qual = self._phred(
+            1.0 - probs[cols, lut[window_ref.astype("S1").view(np.uint8)]])
+        called_qual = self._phred(
+            1.0 - probs[cols, lut[called.astype("S1").view(np.uint8)]])
 
-            if var_ref == var_pred:
-                # del followed by ins can cancel out
+        # span boundaries of the variant mask: edges of the padded 0/1 track
+        flags = find_variant_columns(minors, window_ref, called)
+        edges = np.flatnonzero(np.diff(np.r_[0, flags.astype(np.int8), 0]))
+
+        allowed = set(self.symbols)
+        records = []
+        for start, stop in zip(edges[::2], edges[1::2]):
+            ref_gapped = "".join(window_ref[start:stop])
+            alt_gapped = "".join(called[start:stop])
+            ref_allele = ref_gapped.replace("*", "")
+            alt_allele = alt_gapped.replace("*", "")
+            if ref_allele == alt_allele:
+                # a deletion followed by an equal insertion cancels out
                 continue
-            if not ambig_ref and not set(var_ref).issubset(set(self.symbols)):
+            if not ambig_ref and not allowed.issuperset(ref_allele):
                 continue
 
-            var_ref_encoded = (
-                encoding[(s if s != "N" else "*",)]
-                for s in var_ref_with_gaps)
-            var_pred_encoded = (
-                encoding[(s,)] for s in var_pred_with_gaps)
-            var_probs = probs[rstart:rend]
-            ref_probs = np.array(
-                [var_probs[i, j] for i, j in enumerate(var_ref_encoded)])
-            pred_probs = np.array(
-                [var_probs[i, j] for i, j in enumerate(var_pred_encoded)])
-            ref_quals = self._phred(1.0 - ref_probs)
-            pred_quals = self._phred(1.0 - pred_probs)
-
+            span_ref_q = ref_qual[start:stop]
+            span_alt_q = called_qual[start:stop]
+            score = sum(span_alt_q) - sum(span_ref_q)
             info = {}
             if self.verbose:
                 info = {
-                    "ref_seq": var_ref_with_gaps,
-                    "pred_seq": var_pred_with_gaps,
-                    "ref_qs": ",".join(self._pfmt(q) for q in ref_quals),
-                    "pred_qs": ",".join(self._pfmt(q) for q in pred_quals),
-                    "ref_q": self._pfmt(sum(ref_quals)),
-                    "pred_q": self._pfmt(sum(pred_quals)),
-                    "n_cols": len(pred_quals)}
+                    "ref_seq": ref_gapped,
+                    "pred_seq": alt_gapped,
+                    "ref_qs": ",".join(self._pfmt(q) for q in span_ref_q),
+                    "pred_qs": ",".join(self._pfmt(q) for q in span_alt_q),
+                    "ref_q": self._pfmt(sum(span_ref_q)),
+                    "pred_q": self._pfmt(sum(span_alt_q)),
+                    "n_cols": int(stop - start)}
 
-            qual = sum(pred_quals) - sum(ref_quals)
-            var_pos = pos["major"][rstart]
-            if pos["minor"][rstart] != 0:
-                # variant starting on an insert: prepend the reference base
-                var_ref = ref_seq[var_pos] + var_ref
-                var_pred = ref_seq[var_pos] + var_pred
-            variant = vcf.Variant(
-                sample.ref_name, var_pos, var_ref, alt=var_pred, filt="PASS",
-                info=info, qual=self._pfmt(qual),
-                genotype_data={"GT": "1", "GQ": self._pfmt(qual, 0)})
-            variants.append(variant.normalize(reference=ref_seq))
+            at = majors[start]
+            if minors[start] != 0:
+                # span opens inside an insertion: normalisation can't left-
+                # anchor that, so prepend the reference base ourselves
+                ref_allele = ref_seq[at] + ref_allele
+                alt_allele = ref_seq[at] + alt_allele
+            record = vcf.Variant(
+                sample.ref_name, at, ref_allele, alt=alt_allele,
+                filt="PASS", info=info, qual=self._pfmt(score),
+                genotype_data={"GT": "1", "GQ": self._pfmt(score, 0)})
+            records.append(record.normalize(reference=ref_seq))
 
         if return_all:
-            sites = pos["minor"] == 0
-            _pos = pos["major"][sites]
-            _probs = probs[sites]
-            _ref = reference[sites]
-            _enc = [encoding[(s if s != "N" else "*",)] for s in _ref]
-            _quals = self._phred(
-                1.0 - np.array(_probs[np.arange(_probs.shape[0]), _enc]))
-            for p, base, qf, qi in zip(
-                    _pos, _ref, np.char.mod("%.3f", _quals),
-                    np.char.mod("%d", np.rint(_quals))):
-                variants.append(vcf.Variant(
-                    sample.ref_name, p, base, alt=".", filt=".", info={},
-                    qual=qf,
-                    genotype_data=vcf.GenotypeData(GT="0", GQ=qi)))
-            variants.sort(key=lambda x: x.pos)
-        return variants
+            # gVCF backfill: one 0/0 record per reference-anchor column
+            anchors = np.flatnonzero(minors == 0)
+            for at, base, q in zip(
+                    majors[anchors], window_ref[anchors], ref_qual[anchors]):
+                records.append(vcf.Variant(
+                    sample.ref_name, at, base, alt=".", filt=".", info={},
+                    qual="%.3f" % q,
+                    genotype_data=vcf.GenotypeData(
+                        GT="0", GQ="%d" % np.rint(q))))
+            records.sort(key=lambda v: v.pos)
+        return records
 
     @property
     def variant_metainfo(self):
@@ -593,25 +606,21 @@ class HaploidLabelScheme(BaseLabelScheme):
     def decode_consensus(self, sample, with_gaps=False, dtype=None,
                          with_qualities=False):
         """Argmax decoding of network output into sequence (+ quals)."""
-        mp = np.argmax(sample.label_probs, -1)
-        if with_qualities:
-            probs = np.take_along_axis(
-                sample.label_probs, np.expand_dims(mp, -1), -1).squeeze(-1)
-        if not with_gaps:
-            mask = mp != self.symbols.index("*")
-            mp = mp[mask]
-        if dtype is None:
-            decode = np.array([ord(x) for x in self.symbols], dtype="u1")
-            seq = decode[mp].tobytes().decode()
-        else:
-            seq = np.fromiter(self.symbols, dtype=dtype)[mp]
-        if with_qualities:
-            if not with_gaps:
-                probs = probs[mask]
-            qual_string = (
-                self._phred(1 - probs).astype("u1") + 33).tobytes().decode()
-            return seq, qual_string
-        return seq
+        classes = sample.label_probs.argmax(-1)
+        keep = (slice(None) if with_gaps
+                else classes != self.symbols.index("*"))
+        alphabet = np.frombuffer(
+            "".join(self.symbols).encode(), dtype=np.uint8)
+        chars = alphabet[classes[keep]]
+        seq = (chars.tobytes().decode() if dtype is None
+               else chars.view("S1").astype(dtype))
+        if not with_qualities:
+            return seq
+        best_p = np.take_along_axis(
+            sample.label_probs, classes[:, None], -1)[keep, 0]
+        qstring = (
+            self._phred(1 - best_p).astype("u1") + 33).tobytes().decode()
+        return seq, qstring
 
 
 class DiploidLabelScheme(BaseLabelScheme):
@@ -639,13 +648,15 @@ class DiploidLabelScheme(BaseLabelScheme):
                 enumerate(self._unordered_label_combinations())}
 
     def _alignment_to_pairs(self, aln):
-        seq = aln.query_sequence
-        for qpos, rpos in aln.get_aligned_pairs():
-            yield rpos, seq[qpos].upper() if qpos is not None else "*"
+        bases = aln.query_sequence.upper()
+        return (
+            (rpos, "*" if qpos is None else bases[qpos])
+            for qpos, rpos in aln.get_aligned_pairs())
 
     def _labels_to_encoded_labels(self, labels):
-        return np.fromiter(
-            (self._encoding[tuple(sorted(x))] for x in labels), dtype=int)
+        ordered = (tuple(sorted(pair)) for pair in labels)
+        return np.fromiter(map(self._encoding.__getitem__, ordered),
+                           dtype=int)
 
     def encoded_labels_to_training_vectors(self, enc_labels):
         """Integer encodings -> sparse one-hot targets."""
@@ -733,8 +744,8 @@ class RLELabelScheme(HaploidLabelScheme):
 
     def to_dict(self):
         """Serialise including max_run."""
-        return {"type": self.__class__.__name__,
-                "kwargs": {"max_run": self.max_run}}
+        return dict(type=type(self).__name__,
+                    kwargs=dict(max_run=self.max_run))
 
     @property
     def padding_vector(self):
@@ -752,15 +763,17 @@ class RLELabelScheme(HaploidLabelScheme):
         return encoding
 
     def _alignment_to_pairs(self, aln):
-        seq = aln.query_sequence
-        run_lengths = aln.query_qualities
+        bases = aln.query_sequence
+        runs = aln.query_qualities
         for qpos, rpos in aln.get_aligned_pairs():
-            qbase = seq[qpos] if qpos is not None else "*"
-            qlen = run_lengths[qpos] if qpos is not None else 1
-            yield rpos, (qbase, min(qlen, self.max_run))
+            if qpos is None:
+                yield rpos, ("*", 1)
+            else:
+                yield rpos, (bases[qpos], min(runs[qpos], self.max_run))
 
     def _labels_to_encoded_labels(self, labels):
-        return np.fromiter((self._encoding[x] for x in labels), dtype=int)
+        return np.fromiter(map(self._encoding.__getitem__, labels),
+                           dtype=int)
 
     def decode_consensus(self, sample, with_qualities=False):
         """Argmax decode expanding run lengths.
