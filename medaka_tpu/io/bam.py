@@ -556,6 +556,8 @@ class BamReader:
             yield vo, BamRecord(raw)
 
     def __iter__(self) -> Iterator[BamRecord]:
+        self._bgzf.prefetch(
+            self._data_voffset, len(self._bgzf._data) << 16)
         return (rec for _, rec in self._records_from(self._data_voffset))
 
     # --- index ---
@@ -581,6 +583,9 @@ class BamReader:
         if index:
             chunks = index.query(tid, beg, stop)
             for cbeg, cend in chunks:
+                # inflate the chunk's block span in one multi-threaded
+                # native pass rather than block-by-block in the record loop
+                self._bgzf.prefetch(cbeg, cend)
                 for vo, rec in self._records_from(cbeg):
                     if vo >= cend:
                         break

@@ -11,6 +11,7 @@ format specification, not from htslib.
 from __future__ import annotations
 
 import io
+import os
 import struct
 import zlib
 
@@ -74,10 +75,17 @@ def is_bgzf(path: str) -> bool:
 class BgzfReader:
     """Random-access reader over a BGZF file.
 
-    The whole compressed file is mmap-read once; blocks are decompressed on
-    demand and cached (most recent only) which suits both sequential scans
-    and index-driven region jumps.
+    The whole compressed file is mmap-read once; blocks are decompressed
+    on demand and cached (most recent only) which suits both sequential
+    scans and index-driven region jumps.  A caller expecting to walk a
+    span sequentially (a region fetch, a full scan) should :meth:`prefetch`
+    it first: the span's blocks are then inflated in one multi-threaded
+    native pass (in capped windows) instead of serially per block — the
+    dominant cost of BAM region fetches.
     """
+
+    #: compressed bytes inflated per native pass; bounds prefetch memory
+    PREFETCH_WINDOW = 32 << 20
 
     def __init__(self, path: str):
         import mmap
@@ -91,9 +99,51 @@ class BgzfReader:
         self._payload = b""
         self._payload_pos = 0
         self._next_offset = 0
+        self._cache = {}             # coffset -> (payload view, next coffset)
+        self._hint_end = 0           # prefetch ahead while coffset < this
+        self._nthreads = int(os.environ.get(
+            "MEDAKA_TPU_INFLATE_THREADS",
+            min(4, os.cpu_count() or 1)))
         self._load_block(0)
 
+    def prefetch(self, vo_start: int, vo_end: int):
+        """Hint that the virtual range [vo_start, vo_end] will be read.
+
+        Inflates the first window immediately; `_load_block` keeps
+        inflating subsequent windows as the cursor advances through the
+        hinted range.  A no-op when the native library is unavailable.
+        """
+        self._hint_end = min((vo_end >> 16) + 1, len(self._data))
+        self._prefetch_from(vo_start >> 16)
+
+    def _prefetch_from(self, coffset: int):
+        from medaka_tpu import native
+        limit = min(self._hint_end, coffset + self.PREFETCH_WINDOW)
+        try:
+            payload, coffs, poffs, nxt = native.bgzf_inflate_range(
+                self._data, coffset, limit, self._nthreads)
+        except Exception:
+            self._hint_end = 0  # fall back to the serial path for good
+            return
+        view = memoryview(payload)
+        cache = {}
+        last = len(coffs) - 1
+        for i, c in enumerate(coffs):
+            cache[int(c)] = (
+                view[poffs[i]:poffs[i + 1]],
+                int(coffs[i + 1]) if i < last else nxt)
+        self._cache = cache
+
     def _load_block(self, coffset: int):
+        cached = self._cache.get(coffset)
+        if cached is None and coffset < self._hint_end:
+            self._prefetch_from(coffset)
+            cached = self._cache.get(coffset)
+        if cached is not None:
+            self._block_offset = coffset
+            self._payload, self._next_offset = cached
+            self._payload_pos = 0
+            return
         if coffset >= len(self._data) or (
                 len(self._data) - coffset <= len(BGZF_EOF) and
                 self._data[coffset:] == BGZF_EOF):
@@ -154,15 +204,13 @@ class BgzfReader:
 
     def read_all_from(self, voffset: int = 0) -> bytes:
         """Decompress the entire remaining stream from a virtual offset."""
+        self.prefetch(voffset, len(self._data) << 16)
         self.seek_virtual(voffset)
         chunks = [self._payload[self._payload_pos:]]
-        offset = self._next_offset
-        while offset < len(self._data):
-            if self._data[offset:offset + len(BGZF_EOF)] == BGZF_EOF and \
-                    len(self._data) - offset == len(BGZF_EOF):
-                break
-            payload, offset = decompress_block(self._data, offset)
-            chunks.append(payload)
+        while self._next_offset < len(self._data):
+            self._load_block(self._next_offset)
+            chunks.append(self._payload)
+        self._payload_pos = len(self._payload)
         return b"".join(chunks)
 
     def close(self):

@@ -23,7 +23,8 @@ from typing import List, Optional, Sequence
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _SOURCES = (
-    "align.cpp", "poa.cpp", "mapper.cpp", "pileup.cpp", "read_matrix.cpp")
+    "align.cpp", "poa.cpp", "mapper.cpp", "pileup.cpp", "read_matrix.cpp",
+    "bgzf.cpp")
 _LOCK = threading.Lock()
 _LIB = None
 
@@ -55,7 +56,7 @@ def _build() -> str:
             "-fno-sanitize-recover=all"] if sanitize else ["-O3"])
     cmd = [
         "g++", *opt, "-std=c++17", "-shared", "-fPIC",
-        "-o", out + ".tmp", *srcs]
+        "-o", out + ".tmp", *srcs, "-lz", "-lpthread"]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, text=True, timeout=300)
@@ -433,6 +434,64 @@ def read_matrix_raw(records: bytes, rec_off, read_dtype, read_hap,
         _adopt_array(lib, minors_p, (nc,)),
         _adopt_array(lib, left_p, (nr,)),
         _adopt_array(lib, right_p, (nr,)))
+
+
+def _load_bgzf_symbols(lib):
+    if getattr(lib, "_bgzf_ready", False):
+        return
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.mt_bgzf_scan.restype = ctypes.c_int64
+    lib.mt_bgzf_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, i32p, i32p, ctypes.c_int64]
+    lib.mt_bgzf_inflate_many.restype = ctypes.c_int
+    lib.mt_bgzf_inflate_many.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, i64p, i32p, i32p, i64p,
+        ctypes.c_void_p, ctypes.c_int]
+    lib._bgzf_ready = True
+
+
+def bgzf_inflate_range(data, offset: int, limit: int, nthreads: int = 4):
+    """Scan + multi-thread-inflate the BGZF members in [offset, limit).
+
+    :param data: buffer holding the compressed file (bytes/mmap).
+    :returns: (payload uint8 array, member compressed offsets int64[n],
+        payload offsets int64[n+1], compressed offset after the last
+        member) — member i's payload is
+        ``payload[payload_offs[i]:payload_offs[i + 1]]``.
+    """
+    import numpy as np
+
+    lib = _load()
+    _load_bgzf_symbols(lib)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    src = np.frombuffer(data, dtype=np.uint8)
+    limit = min(limit, src.size)
+    # 28 bytes is the smallest legal member (the EOF marker)
+    cap = max(1, (limit - offset) // 28 + 2)
+    coffs = np.empty(cap, np.int64)
+    bsizes = np.empty(cap, np.int32)
+    isizes = np.empty(cap, np.int32)
+    src_p = src.ctypes.data_as(ctypes.c_void_p)
+    n = lib.mt_bgzf_scan(
+        src_p, src.size, offset, limit, coffs.ctypes.data_as(i64p),
+        bsizes.ctypes.data_as(i32p), isizes.ctypes.data_as(i32p), cap)
+    if n < 0:
+        raise NativeBuildError("malformed BGZF framing in scan")
+    coffs, bsizes, isizes = coffs[:n], bsizes[:n], isizes[:n]
+    payload_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(isizes, out=payload_offs[1:])
+    out = np.empty(int(payload_offs[-1]), np.uint8)
+    if n and lib.mt_bgzf_inflate_many(
+            src_p, n, coffs.ctypes.data_as(i64p),
+            bsizes.ctypes.data_as(i32p), isizes.ctypes.data_as(i32p),
+            payload_offs.ctypes.data_as(i64p),
+            out.ctypes.data_as(ctypes.c_void_p), nthreads) != 0:
+        raise NativeBuildError("corrupt BGZF member payload")
+    next_off = int(coffs[-1] + bsizes[-1]) if n else offset
+    return out, coffs, payload_offs, next_off
 
 
 def pileup_counts_raw(records: bytes, rec_off, read_dtype, start, end,

@@ -328,3 +328,42 @@ def test_datastore_write_failure_closes_cleanly(tmp_path):
         ds.close()
     assert ds.fh is None and ds.write_executor is None
     ds.close()  # idempotent
+
+
+class TestLargeScaleGolden:
+    """Committed large-scale featurization anchor.
+
+    The repo's analogue of the reference's real-BAM pin (86,294 columns /
+    mean depth 18.696468 over a 200 kb read set,
+    ``medaka/test/test_counts.py:34-45``, whose LFS data is absent): a
+    deterministic 2 Mb x ~17x synthetic BAM whose full counts matrix is
+    pinned by checksum. Any featurizer, BAM-reader or BGZF-inflate drift
+    fails this test.
+    """
+
+    N_COLS = 2363154
+    MAJOR_COLS = 1999612
+    MEAN_DEPTH = 17.096462
+    SHA256 = ("f4b664137f7af7721935dbac57c6f586"
+              "de564a4265ddf7a2448460fd09dd040f")
+
+    def test_counts_matrix_checksum(self, tmp_path):
+        import hashlib
+
+        from mock_data import create_synth_bam
+
+        bam, _ = create_synth_bam(
+            str(tmp_path / "synth2.bam"), ref_mb=2.0, depth=20)
+        blocks = pileup_counts(Region("synth", 0, 2000000), bam)
+        n_cols = sum(len(p) for _, p in blocks)
+        depth_total = 0
+        h = hashlib.sha256()
+        for counts, positions in blocks:
+            h.update(np.ascontiguousarray(counts).tobytes())
+            h.update(np.ascontiguousarray(positions).tobytes())
+            depth_total += int(counts.sum())
+        major = sum(int((p["minor"] == 0).sum()) for _, p in blocks)
+        assert n_cols == self.N_COLS
+        assert major == self.MAJOR_COLS
+        assert round(depth_total / n_cols, 6) == self.MEAN_DEPTH
+        assert h.hexdigest() == self.SHA256

@@ -49,6 +49,37 @@ class TestBgzf:
         raw = open(path, "rb").read()
         assert raw.endswith(BGZF_EOF)
 
+    def test_native_prefetch_parity(self, tmp_path):
+        # the multi-threaded native inflate path must deliver the same
+        # bytes, with the same virtual-offset semantics, as the serial
+        # zlib path it accelerates
+        path = str(tmp_path / "x.bgz")
+        rng = np.random.default_rng(0)
+        payload = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+        vo = None
+        with BgzfWriter(path) as w:
+            w.write(payload[:400000])
+            w.flush_block()
+            vo = w.tell_virtual()
+            w.write(payload[400000:])
+
+        with BgzfReader(path) as serial:
+            serial._hint_end = -1  # keep the on-demand path serial
+            want_all = serial.read(len(payload) + 1)
+        assert want_all == payload
+
+        with BgzfReader(path) as fast:
+            assert fast.read_all_from(0) == payload
+            assert fast._cache, "native prefetch was not exercised"
+            # window smaller than the file: windows must chain seamlessly
+            fast.PREFETCH_WINDOW = 1 << 16
+            fast.prefetch(0, len(payload) << 16)
+            fast.seek_virtual(0)
+            assert fast.read(len(payload) + 1) == payload
+            # an index-style jump into the hinted range
+            fast.seek_virtual(vo)
+            assert fast.read(64) == payload[400000:400064]
+
 
 class TestBamRecord:
     def test_build_and_parse(self):
