@@ -31,6 +31,16 @@ for p in (str(HERE / 'refshim'), str(HERE / '_build'),
     if p not in sys.path:
         sys.path.insert(0, p)
 
+# Build the cffi libmedaka module on demand so a fresh checkout (empty
+# ``_build/``) works without a manual bootstrap step.
+if not list((HERE / '_build').glob('libmedaka*.so')):
+    import build_libmedaka
+    build_libmedaka.build()
+    # the finder may have cached the (previously empty/absent) _build
+    # directory listing before the .so appeared
+    import importlib
+    importlib.invalidate_caches()
+
 
 def prep_hdf(args):
     import pickle
