@@ -1,0 +1,485 @@
+"""Kernel experiment lab: full-forward variants for the bi-GRU consensus
+model at the production inference geometry (B=512, T=10000, H=256, 2
+layers, 5 classes).
+
+Round-2 left the single-chip rate at ~31.5M cols/s (~51% of the 62M
+cols/s bf16 speed of light).  The remaining budget (measured):
+~83 ms MXU-ideal + ~48 ms HBM traffic + ~2-3 us/grid-step overhead
+x 20k steps.  Variants attack each term:
+
+- v0          : production path (bigru_stack_fullfused + head einsum).
+- v0_tb{N}u   : v0 with time_block=N and the inner loop unrolled
+                (amortises the per-grid-step DMA/loop floor).
+- v2          : two-kernel pipeline -- layer-1 fullfused keeps separate
+                fwd/bwd outputs (no inter-layer concat: -10.4 GB), the
+                layer-2 kernel takes split inputs and fuses the linear
+                head, writing per-direction logit partials (T, B, 5)
+                instead of (T, B, 256) hidden states (-5.2 GB writes,
+                -5.2 GB head re-read).
+- v3          : v2 with int8 inter-layer activations (layer-1 emits
+                int8; h is bounded to [-1, 1] so a fixed *127 quant
+                composes with per-column weight scales -- the same
+                argument as the validated int8 recurrence) and int8
+                layer-2 input projections: the projections are 50% of
+                all FLOPs and v5e int8 peak is 2x bf16.
+
+Run: python tests/perf/kernel_lab.py [variant ...]
+Prints one line per variant: cols/s + us/step.  A numeric parity check
+against the scan path runs first at a tiny geometry for every variant.
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+
+B, T, H, IN, C = 512, 10000, 256, 10, 5
+
+
+# ---------------------------------------------------------------------------
+# experimental kernels
+# ---------------------------------------------------------------------------
+
+
+def _build():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from medaka_tpu.ops.pallas_gru import (
+        _FULLFUSED_VMEM_LIMIT, bigru_pallas_fullfused)
+
+    ns = {}
+
+    # --- layer-1 kernel: fullfused, separate outputs, optional int8 out ---
+
+    def _l1_kernel(x_f_ref, x_b_ref, w_ih_t_ref, b_ih_ref, w_hh_t_ref,
+                   b_hh_ref, lengths_ref, out_f_ref, out_b_ref, h_scratch,
+                   xp_f_scratch, xp_b_scratch, *, time_block, unroll,
+                   quant_out):
+        i = pl.program_id(0)
+        n_blocks = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _init():
+            h_scratch[...] = jnp.zeros_like(h_scratch)
+
+        hidden = h_scratch.shape[-1]
+        Bl = h_scratch.shape[-2]
+        w_ih_f = w_ih_t_ref[0]
+        w_ih_b = w_ih_t_ref[1]
+        b_ih_f = b_ih_ref[0]
+        b_ih_b = b_ih_ref[1]
+        w_f = w_hh_t_ref[0]
+        w_b = w_hh_t_ref[1]
+        b_f = b_hh_ref[0]
+        b_b = b_hh_ref[1]
+        lengths = lengths_ref[...]
+
+        xf = x_f_ref[...].reshape(time_block * Bl, x_f_ref.shape[-1])
+        xb = x_b_ref[...].reshape(time_block * Bl, x_b_ref.shape[-1])
+        xp_f_scratch[...] = (
+            jnp.dot(xf, w_ih_f, preferred_element_type=jnp.float32)
+            + b_ih_f).reshape(
+                time_block, Bl, 3 * hidden).astype(jnp.bfloat16)
+        xp_b_scratch[...] = (
+            jnp.dot(xb, w_ih_b, preferred_element_type=jnp.float32)
+            + b_ih_b).reshape(
+                time_block, Bl, 3 * hidden).astype(jnp.bfloat16)
+
+        fwd_start = i * time_block
+        bwd_start = (n_blocks - 1 - i) * time_block
+
+        def cell(h, xp, w, b):
+            hp = jnp.dot(h.astype(w.dtype), w,
+                         preferred_element_type=jnp.float32) + b
+            r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+            z = jax.nn.sigmoid(
+                xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
+            n = jnp.tanh(xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
+            return (1.0 - z) * n + z * h
+
+        def emit(h):
+            if quant_out:
+                return jnp.round(h * 127.0).astype(jnp.int8)
+            return h.astype(out_f_ref.dtype)
+
+        def step(t, carry):
+            h_f, h_b = carry
+            t_b = time_block - 1 - t
+            nh_f = cell(h_f, xp_f_scratch[t].astype(jnp.float32), w_f, b_f)
+            nh_b = cell(
+                h_b, xp_b_scratch[t_b].astype(jnp.float32), w_b, b_b)
+            h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
+            h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
+            out_f_ref[t] = emit(h_f)
+            out_b_ref[t_b] = emit(h_b)
+            return (h_f, h_b)
+
+        h_f, h_b = jax.lax.fori_loop(
+            0, time_block, step, (h_scratch[0], h_scratch[1]),
+            unroll=unroll)
+        h_scratch[0] = h_f
+        h_scratch[1] = h_b
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("time_block", "unroll", "quant_out"))
+    def l1_fused(x, w_ih, b_ih, w_hh, b_hh, lengths, time_block=1,
+                 unroll=False, quant_out=False):
+        Tl, Bl, INl = x.shape
+        Hl = w_hh.shape[-1]
+        n_blocks = Tl // time_block
+        lengths2d = lengths.astype(jnp.int32).reshape(Bl, 1)
+        w_ih_t = jnp.swapaxes(w_ih, 1, 2).astype(jnp.bfloat16)
+        b_ih_row = b_ih.astype(jnp.float32).reshape(2, 1, 3 * Hl)
+        w_hh_t = jnp.swapaxes(w_hh, 1, 2).astype(jnp.bfloat16)
+        b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, 3 * Hl)
+        fwd_idx = lambda i: (i, 0, 0)                  # noqa: E731
+        bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)   # noqa: E731
+        out_dtype = jnp.int8 if quant_out else x.dtype
+        kernel = functools.partial(
+            _l1_kernel, time_block=time_block, unroll=unroll,
+            quant_out=quant_out)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((time_block, Bl, INl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((time_block, Bl, INl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((time_block, Bl, Hl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((time_block, Bl, Hl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((Tl, Bl, Hl), out_dtype),
+                jax.ShapeDtypeStruct((Tl, Bl, Hl), out_dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, Bl, Hl), jnp.float32),
+                pltpu.VMEM((time_block, Bl, 3 * Hl), jnp.bfloat16),
+                pltpu.VMEM((time_block, Bl, 3 * Hl), jnp.bfloat16),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
+        )(x, x, w_ih_t, b_ih_row, w_hh_t, b_hh_row, lengths2d)
+
+    ns["l1_fused"] = l1_fused
+
+    # --- layer-2 + head kernel: split inputs, logit-partial outputs ---
+
+    def _l2head_kernel(
+            pf_f_ref, pb_f_ref, pf_b_ref, pb_b_ref, w_ih_t_ref,
+            ih_scale_ref, b_ih_ref, w_hh_t_ref, b_hh_ref, w_head_ref,
+            lengths_ref, lg_f_ref, lg_b_ref, h_scratch, xp_f_scratch,
+            xp_b_scratch, *, time_block, unroll, quant_in):
+        i = pl.program_id(0)
+        n_blocks = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _init():
+            h_scratch[...] = jnp.zeros_like(h_scratch)
+
+        hidden = h_scratch.shape[-1]
+        Bl = h_scratch.shape[-2]
+        # w_ih_t rows: [fwd<-prev_f, fwd<-prev_b, bwd<-prev_f, bwd<-prev_b]
+        lengths = lengths_ref[...]
+
+        def proj(a_ref, b_ref, wi_a, wi_b, sc_a, sc_b, bias):
+            a = a_ref[...].reshape(time_block * Bl, hidden)
+            bb = b_ref[...].reshape(time_block * Bl, hidden)
+            if quant_in:
+                pa = jnp.dot(a, wi_a, preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * sc_a
+                pb = jnp.dot(bb, wi_b, preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * sc_b
+            else:
+                pa = jnp.dot(a, wi_a, preferred_element_type=jnp.float32)
+                pb = jnp.dot(bb, wi_b, preferred_element_type=jnp.float32)
+            return (pa + pb + bias).reshape(
+                time_block, Bl, 3 * hidden).astype(jnp.bfloat16)
+
+        xp_f_scratch[...] = proj(
+            pf_f_ref, pb_f_ref, w_ih_t_ref[0], w_ih_t_ref[1],
+            ih_scale_ref[0], ih_scale_ref[1], b_ih_ref[0])
+        xp_b_scratch[...] = proj(
+            pf_b_ref, pb_b_ref, w_ih_t_ref[2], w_ih_t_ref[3],
+            ih_scale_ref[2], ih_scale_ref[3], b_ih_ref[1])
+
+        w_f = w_hh_t_ref[0]
+        w_b = w_hh_t_ref[1]
+        b_f = b_hh_ref[0]
+        b_b = b_hh_ref[1]
+        wh_f = w_head_ref[0]          # (H, C) f32
+        wh_b = w_head_ref[1]
+
+        fwd_start = i * time_block
+        bwd_start = (n_blocks - 1 - i) * time_block
+
+        def cell(h, xp, w, b):
+            hp = jnp.dot(h.astype(w.dtype), w,
+                         preferred_element_type=jnp.float32) + b
+            r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+            z = jax.nn.sigmoid(
+                xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
+            n = jnp.tanh(xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
+            return (1.0 - z) * n + z * h
+
+        def step(t, carry):
+            h_f, h_b = carry
+            t_b = time_block - 1 - t
+            nh_f = cell(h_f, xp_f_scratch[t].astype(jnp.float32), w_f, b_f)
+            nh_b = cell(
+                h_b, xp_b_scratch[t_b].astype(jnp.float32), w_b, b_b)
+            h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
+            h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
+            lg_f_ref[t] = jnp.dot(
+                h_f.astype(jnp.bfloat16), wh_f,
+                preferred_element_type=jnp.float32)
+            lg_b_ref[t_b] = jnp.dot(
+                h_b.astype(jnp.bfloat16), wh_b,
+                preferred_element_type=jnp.float32)
+            return (h_f, h_b)
+
+        h_f, h_b = jax.lax.fori_loop(
+            0, time_block, step, (h_scratch[0], h_scratch[1]),
+            unroll=unroll)
+        h_scratch[0] = h_f
+        h_scratch[1] = h_b
+
+    @functools.partial(
+        jax.jit, static_argnames=("time_block", "unroll", "quant_in"))
+    def l2head_fused(prev_f, prev_b, w_ih, b_ih, w_hh, b_hh, w_head,
+                     lengths, time_block=1, unroll=False, quant_in=False):
+        """prev_f/prev_b: (T, B, H) layer-1 direction outputs.
+
+        w_ih: (2, 3H, 2H) torch-layout layer-2 input weights (columns
+        [:H] act on prev_f, [H:] on prev_b).  w_head: (C, 2H).
+        """
+        Tl, Bl, Hl = prev_f.shape
+        n_blocks = Tl // time_block
+        lengths2d = lengths.astype(jnp.int32).reshape(Bl, 1)
+        # split + transpose: rows [fwd<-f, fwd<-b, bwd<-f, bwd<-b]
+        w_split = jnp.stack([
+            w_ih[0, :, :Hl].T, w_ih[0, :, Hl:].T,
+            w_ih[1, :, :Hl].T, w_ih[1, :, Hl:].T])  # (4, H, 3H)
+        if quant_in:
+            # inputs are int8 = round(127*h); per-column weight scales
+            col = jnp.max(jnp.abs(w_split), axis=1, keepdims=True)
+            col = jnp.maximum(col, 1e-12)
+            w_q = jnp.round(w_split / col * 127.0).astype(jnp.int8)
+            ih_scale = (col / 127.0 / 127.0).astype(jnp.float32)
+            w_in = w_q
+        else:
+            w_in = w_split.astype(jnp.bfloat16)
+            ih_scale = jnp.ones((4, 1, 3 * Hl), jnp.float32)
+        b_ih_row = b_ih.astype(jnp.float32).reshape(2, 1, 3 * Hl)
+        w_hh_t = jnp.swapaxes(w_hh, 1, 2).astype(jnp.bfloat16)
+        b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, 3 * Hl)
+        w_head_split = jnp.stack(
+            [w_head[:, :Hl].T, w_head[:, Hl:].T]).astype(jnp.bfloat16)
+        Cl = w_head.shape[0]
+
+        fwd_idx = lambda i: (i, 0, 0)                  # noqa: E731
+        bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)   # noqa: E731
+        kernel = functools.partial(
+            _l2head_kernel, time_block=time_block, unroll=unroll,
+            quant_in=quant_in)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((time_block, Bl, Hl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((time_block, Bl, Hl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((time_block, Bl, Hl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((time_block, Bl, Hl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((time_block, Bl, Cl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((time_block, Bl, Cl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((Tl, Bl, Cl), jnp.float32),
+                jax.ShapeDtypeStruct((Tl, Bl, Cl), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, Bl, Hl), jnp.float32),
+                pltpu.VMEM((time_block, Bl, 3 * Hl), jnp.bfloat16),
+                pltpu.VMEM((time_block, Bl, 3 * Hl), jnp.bfloat16),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
+        )(prev_f, prev_b, prev_f, prev_b, w_in, ih_scale, b_ih_row,
+          w_hh_t, b_hh_row, w_head_split, lengths2d)
+
+    ns["l2head_fused"] = l2head_fused
+    ns["bigru_pallas_fullfused"] = bigru_pallas_fullfused
+    return ns
+
+
+# ---------------------------------------------------------------------------
+# forward variants
+# ---------------------------------------------------------------------------
+
+
+def make_variant(name, params):
+    import jax
+    import jax.numpy as jnp
+
+    from medaka_tpu.ops.pallas_gru import bigru_stack_fullfused
+
+    ns = _build()
+    l1 = params["gru"][0]
+    l2 = params["gru"][1]
+    head = params["linear"]
+
+    def stack(kw_l1=None, kw_l2=None, quant=False):
+        kw_l1 = kw_l1 or {}
+        kw_l2 = kw_l2 or {}
+
+        def fwd(params, x, lengths):
+            xt = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)
+            w_ih1 = jnp.stack([l1["fwd"]["w_ih"], l1["bwd"]["w_ih"]])
+            b_ih1 = jnp.stack([l1["fwd"]["b_ih"], l1["bwd"]["b_ih"]])
+            w_hh1 = jnp.stack([l1["fwd"]["w_hh"], l1["bwd"]["w_hh"]])
+            b_hh1 = jnp.stack([l1["fwd"]["b_hh"], l1["bwd"]["b_hh"]])
+            out_f, out_b = ns["l1_fused"](
+                xt, w_ih1, b_ih1, w_hh1, b_hh1, lengths,
+                quant_out=quant, **kw_l1)
+            w_ih2 = jnp.stack([l2["fwd"]["w_ih"], l2["bwd"]["w_ih"]])
+            b_ih2 = jnp.stack([l2["fwd"]["b_ih"], l2["bwd"]["b_ih"]])
+            w_hh2 = jnp.stack([l2["fwd"]["w_hh"], l2["bwd"]["w_hh"]])
+            b_hh2 = jnp.stack([l2["fwd"]["b_hh"], l2["bwd"]["b_hh"]])
+            lg_f, lg_b = ns["l2head_fused"](
+                out_f, out_b, w_ih2, b_ih2, w_hh2, b_hh2,
+                head["w"], lengths, quant_in=quant, **kw_l2)
+            logits = lg_f + lg_b + head["b"].astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.swapaxes(probs, 0, 1)
+
+        return fwd
+
+    def v0(time_block=None, unroll=False, recurrent_quant=None):
+        def fwd(params, x, lengths):
+            feats = bigru_stack_fullfused(
+                params["gru"], x, lengths=lengths,
+                compute_dtype=jnp.bfloat16,
+                recurrent_quant=recurrent_quant)
+            logits = (jnp.einsum(
+                "bth,ch->btc", feats.astype(jnp.float32),
+                head["w"].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+                + head["b"].astype(jnp.float32))
+            return jax.nn.softmax(logits, axis=-1)
+        return fwd
+
+    variants = {
+        "v0": lambda: v0(),
+        "v0_int8": lambda: v0(recurrent_quant="int8"),
+        "v2": lambda: stack(),
+        "v2_tb4u": lambda: stack(
+            kw_l1=dict(time_block=4, unroll=True),
+            kw_l2=dict(time_block=4, unroll=True)),
+        "v2_tb8u": lambda: stack(
+            kw_l1=dict(time_block=8, unroll=True),
+            kw_l2=dict(time_block=8, unroll=True)),
+        "v3": lambda: stack(quant=True),
+        "v3_tb4u": lambda: stack(
+            kw_l1=dict(time_block=4, unroll=True),
+            kw_l2=dict(time_block=4, unroll=True), quant=True),
+        "v3_tb8u": lambda: stack(
+            kw_l1=dict(time_block=8, unroll=True),
+            kw_l2=dict(time_block=8, unroll=True), quant=True),
+    }
+    return variants[name]()
+
+
+def check_parity(name, atol):
+    """Tiny-geometry numeric check against the scan stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from medaka_tpu.models.gru import GRUModel
+
+    model = GRUModel(num_features=IN, num_classes=C, gru_size=H)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((32, 64, IN), dtype=np.float32))
+    lengths = jnp.asarray(
+        rng.integers(32, 65, size=(32,)).astype(np.int32))
+    want = model.apply(params, x, normalise=True, fused=False,
+                       lengths=lengths)
+    fwd = make_variant(name, params)
+    got = fwd(params, x, lengths)
+    # only positions inside lengths are meaningful
+    mask = np.arange(64)[None, :] < np.asarray(lengths)[:, None]
+    diff = np.abs(np.asarray(got) - np.asarray(want))[mask]
+    print("  parity[{}]: max|dp|={:.4g} (atol {})".format(
+        name, diff.max(), atol), flush=True)
+    return float(diff.max()) <= atol
+
+
+def bench(name):
+    import jax
+    import jax.numpy as jnp
+
+    from medaka_tpu.models.gru import GRUModel
+
+    model = GRUModel(num_features=IN, num_classes=C, gru_size=H)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((B, T, IN), dtype=np.float32))
+    lengths = jnp.full((B,), T, dtype=jnp.int32)
+    fwd = make_variant(name, params)
+    run = jax.jit(lambda p, x, l: fwd(p, x, l).sum())
+    t0 = time.perf_counter()
+    float(run(params, x, lengths))
+    compile_s = time.perf_counter() - t0
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        float(run(params, x, lengths))
+    dt = (time.perf_counter() - t0) / n
+    print("{:10s}: {:6.1f}M cols/s  {:5.2f} us/col  "
+          "(wall {:.3f}s, compile {:.0f}s)".format(
+              name, B * T / dt / 1e6, dt / T * 1e6, dt, compile_s),
+          flush=True)
+
+
+def main():
+    names = sys.argv[1:] or ["v0", "v2", "v3"]
+    for name in names:
+        atol = 0.02 if "v3" in name else 5e-3
+        if not check_parity(name, atol):
+            print("  PARITY FAIL -- skipping bench for " + name,
+                  flush=True)
+            continue
+        bench(name)
+
+
+if __name__ == "__main__":
+    main()
