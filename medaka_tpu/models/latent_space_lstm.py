@@ -251,13 +251,18 @@ class LatentSpaceLSTM:
 
     def apply(self, params: Dict, x: jnp.ndarray, normalise: bool = True,
               compute_dtype=None, lengths=None,
-              training: bool = False) -> jnp.ndarray:
+              training: bool = False,
+              fused: Optional[bool] = None) -> jnp.ndarray:
         """Forward pass.
 
         :param x: (batch, positions, reads, channels) int8 read-level
             features; channels [base, qual, strand, mapq(, dwell)].
         :param training: batch-norm uses batch statistics when True
             (running statistics otherwise).
+        :param fused: use the fused Pallas recurrent kernels. Default
+            (None): on for bf16 on TPU backends, off elsewhere. Callers
+            running under a tensor-parallel mesh must pass False — the
+            Pallas kernels are validated unsharded only.
         :returns: (batch, positions, num_classes).
         """
         cd = compute_dtype or jnp.float32
@@ -343,8 +348,9 @@ class LatentSpaceLSTM:
                 preferred_element_type=cd)
             + params["pre_pool"]["b"].astype(cd))  # (B, P, L)
 
-        fused = (compute_dtype == jnp.bfloat16
-                 and jax.default_backend() not in ("cpu",))
+        if fused is None:
+            fused = (compute_dtype == jnp.bfloat16
+                     and jax.default_backend() not in ("cpu",))
         if fused and training:
             # differentiable kernel pair (custom VJP) for both stack
             # shapes; see ops.pallas_gru.bilstm_stack_trainable

@@ -101,12 +101,38 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def _tp_kernel_fence(model, mesh: Mesh) -> Dict:
+    """Extra ``apply`` kwargs fencing Pallas kernels off under TP.
+
+    The fused Pallas recurrences are validated unsharded (and on
+    data-only meshes, where each shard sees a full copy of the weights);
+    with the gate dimension sharded over ``model`` their BlockSpecs would
+    see partial weights. Until TP-through-Pallas is validated on real
+    multi-chip hardware, force the GSPMD scan path — XLA partitions it
+    correctly (tests/test_parallel.py parity at 8x1/4x2/2x4).
+    """
+    import inspect
+    model_par = dict(
+        zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+    if model_par <= 1:
+        return {}
+    if "fused" not in inspect.signature(model.apply).parameters:
+        return {}
+    logger.warning(
+        "model axis size %d > 1: recurrent compute uses the GSPMD scan "
+        "path (fused Pallas kernels are validated unsharded only).",
+        model_par)
+    return {"fused": False}
+
+
 def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16):
     """Jit a forward pass with DP batch + TP param shardings."""
+    fence = _tp_kernel_fence(model, mesh)
+
     def forward(params, x, lengths):
         return model.apply(
             params, x, normalise=True, compute_dtype=compute_dtype,
-            lengths=lengths)
+            lengths=lengths, **fence)
 
     return jax.jit(
         forward,
@@ -117,7 +143,7 @@ def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16):
 
 
 def cross_entropy_loss(model, params, batch, compute_dtype=None,
-                       training=True):
+                       training=True, apply_kwargs=None):
     """Masked cross-entropy over a (features, labels, mask) batch dict.
 
     ``labels`` are int class ids; ``mask`` (B, T) excludes padding.
@@ -129,7 +155,8 @@ def cross_entropy_loss(model, params, batch, compute_dtype=None,
     logits = model.apply(
         params, batch["features"], normalise=False,
         compute_dtype=compute_dtype,
-        lengths=batch.get("lengths"), training=training)
+        lengths=batch.get("lengths"), training=training,
+        **(apply_kwargs or {}))
     labels = batch["labels"]
     mask = batch["mask"].astype(logits.dtype)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -168,6 +195,7 @@ def make_train_step(model, optimizer, mesh: Mesh,
     Loss/metric outputs are replicated scalars (GSPMD inserts the psum).
     """
     bspec = batch_sharding(mesh)
+    fence = _tp_kernel_fence(model, mesh)
 
     @functools.partial(
         jax.jit,
@@ -180,7 +208,8 @@ def make_train_step(model, optimizer, mesh: Mesh,
     def train_step(params, opt_state, batch):
         (loss, (n_correct, n_total)), grads = jax.value_and_grad(
             lambda p: cross_entropy_loss(
-                model, p, batch, compute_dtype=compute_dtype),
+                model, p, batch, compute_dtype=compute_dtype,
+                apply_kwargs=fence),
             has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(

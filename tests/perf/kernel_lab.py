@@ -28,12 +28,15 @@ Prints one line per variant: cols/s + us/step.  A numeric parity check
 against the scan path runs first at a tiny geometry for every variant.
 """
 import functools
+import os
 import sys
 import time
 
 import numpy as np
 
-B, T, H, IN, C = 512, 10000, 256, 10, 5
+B = int(os.environ.get("LAB_B", 512))
+T = int(os.environ.get("LAB_T", 10000))
+H, IN, C = 256, 10, 5
 
 
 # ---------------------------------------------------------------------------
@@ -55,9 +58,9 @@ def _build():
     # --- layer-1 kernel: fullfused, separate outputs, optional int8 out ---
 
     def _l1_kernel(x_f_ref, x_b_ref, w_ih_t_ref, b_ih_ref, w_hh_t_ref,
-                   b_hh_ref, lengths_ref, out_f_ref, out_b_ref, h_scratch,
-                   xp_f_scratch, xp_b_scratch, *, time_block, unroll,
-                   quant_out):
+                   hh_scale_ref, b_hh_ref, lengths_ref, out_f_ref,
+                   out_b_ref, h_scratch, xp_f_scratch, xp_b_scratch, *,
+                   time_block, unroll, quant_out, quant_hh):
         i = pl.program_id(0)
         n_blocks = pl.num_programs(0)
 
@@ -73,6 +76,8 @@ def _build():
         b_ih_b = b_ih_ref[1]
         w_f = w_hh_t_ref[0]
         w_b = w_hh_t_ref[1]
+        sc_f = hh_scale_ref[0]
+        sc_b = hh_scale_ref[1]
         b_f = b_hh_ref[0]
         b_b = b_hh_ref[1]
         lengths = lengths_ref[...]
@@ -91,9 +96,14 @@ def _build():
         fwd_start = i * time_block
         bwd_start = (n_blocks - 1 - i) * time_block
 
-        def cell(h, xp, w, b):
-            hp = jnp.dot(h.astype(w.dtype), w,
-                         preferred_element_type=jnp.float32) + b
+        def cell(h, xp, w, sc, b):
+            if quant_hh:
+                hq = jnp.round(h * 127.0).astype(jnp.int8)
+                hp = jnp.dot(hq, w, preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * sc + b
+            else:
+                hp = jnp.dot(h.astype(w.dtype), w,
+                             preferred_element_type=jnp.float32) + b
             r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
             z = jax.nn.sigmoid(
                 xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
@@ -108,9 +118,11 @@ def _build():
         def step(t, carry):
             h_f, h_b = carry
             t_b = time_block - 1 - t
-            nh_f = cell(h_f, xp_f_scratch[t].astype(jnp.float32), w_f, b_f)
+            nh_f = cell(
+                h_f, xp_f_scratch[t].astype(jnp.float32), w_f, sc_f, b_f)
             nh_b = cell(
-                h_b, xp_b_scratch[t_b].astype(jnp.float32), w_b, b_b)
+                h_b, xp_b_scratch[t_b].astype(jnp.float32), w_b, sc_b,
+                b_b)
             h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
             h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
             out_f_ref[t] = emit(h_f)
@@ -125,23 +137,33 @@ def _build():
 
     @functools.partial(
         jax.jit,
-        static_argnames=("time_block", "unroll", "quant_out"))
+        static_argnames=("time_block", "unroll", "quant_out", "quant_hh"))
     def l1_fused(x, w_ih, b_ih, w_hh, b_hh, lengths, time_block=1,
-                 unroll=False, quant_out=False):
+                 unroll=False, quant_out=False, quant_hh=False):
         Tl, Bl, INl = x.shape
         Hl = w_hh.shape[-1]
         n_blocks = Tl // time_block
         lengths2d = lengths.astype(jnp.int32).reshape(Bl, 1)
         w_ih_t = jnp.swapaxes(w_ih, 1, 2).astype(jnp.bfloat16)
         b_ih_row = b_ih.astype(jnp.float32).reshape(2, 1, 3 * Hl)
-        w_hh_t = jnp.swapaxes(w_hh, 1, 2).astype(jnp.bfloat16)
+        w_hh_t = jnp.swapaxes(w_hh, 1, 2)
+        if quant_hh:
+            col = jnp.max(jnp.abs(w_hh_t.astype(jnp.float32)),
+                          axis=1, keepdims=True) / 127.0
+            col = jnp.maximum(col, 1e-12)
+            hh_scale = (col / 127.0).astype(jnp.float32)
+            w_hh_t = jnp.round(
+                w_hh_t.astype(jnp.float32) / col).astype(jnp.int8)
+        else:
+            hh_scale = jnp.ones((2, 1, 3 * Hl), jnp.float32)
+            w_hh_t = w_hh_t.astype(jnp.bfloat16)
         b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, 3 * Hl)
         fwd_idx = lambda i: (i, 0, 0)                  # noqa: E731
         bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)   # noqa: E731
         out_dtype = jnp.int8 if quant_out else x.dtype
         kernel = functools.partial(
             _l1_kernel, time_block=time_block, unroll=unroll,
-            quant_out=quant_out)
+            quant_out=quant_out, quant_hh=quant_hh)
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
@@ -150,6 +172,7 @@ def _build():
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((time_block, Bl, INl), bwd_idx,
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -173,7 +196,7 @@ def _build():
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
-        )(x, x, w_ih_t, b_ih_row, w_hh_t, b_hh_row, lengths2d)
+        )(x, x, w_ih_t, b_ih_row, w_hh_t, hh_scale, b_hh_row, lengths2d)
 
     ns["l1_fused"] = l1_fused
 
@@ -181,9 +204,10 @@ def _build():
 
     def _l2head_kernel(
             pf_f_ref, pb_f_ref, pf_b_ref, pb_b_ref, w_ih_t_ref,
-            ih_scale_ref, b_ih_ref, w_hh_t_ref, b_hh_ref, w_head_ref,
-            lengths_ref, lg_f_ref, lg_b_ref, h_scratch, xp_f_scratch,
-            xp_b_scratch, *, time_block, unroll, quant_in):
+            ih_scale_ref, b_ih_ref, w_hh_t_ref, hh_scale_ref, b_hh_ref,
+            w_head_ref, lengths_ref, lg_f_ref, lg_b_ref, h_scratch,
+            xp_f_scratch, xp_b_scratch, *, time_block, unroll, quant_in,
+            quant_hh):
         i = pl.program_id(0)
         n_blocks = pl.num_programs(0)
 
@@ -219,6 +243,8 @@ def _build():
 
         w_f = w_hh_t_ref[0]
         w_b = w_hh_t_ref[1]
+        sc_f = hh_scale_ref[0]
+        sc_b = hh_scale_ref[1]
         b_f = b_hh_ref[0]
         b_b = b_hh_ref[1]
         wh_f = w_head_ref[0]          # (H, C) f32
@@ -227,9 +253,14 @@ def _build():
         fwd_start = i * time_block
         bwd_start = (n_blocks - 1 - i) * time_block
 
-        def cell(h, xp, w, b):
-            hp = jnp.dot(h.astype(w.dtype), w,
-                         preferred_element_type=jnp.float32) + b
+        def cell(h, xp, w, sc, b):
+            if quant_hh:
+                hq = jnp.round(h * 127.0).astype(jnp.int8)
+                hp = jnp.dot(hq, w, preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * sc + b
+            else:
+                hp = jnp.dot(h.astype(w.dtype), w,
+                             preferred_element_type=jnp.float32) + b
             r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
             z = jax.nn.sigmoid(
                 xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
@@ -239,9 +270,11 @@ def _build():
         def step(t, carry):
             h_f, h_b = carry
             t_b = time_block - 1 - t
-            nh_f = cell(h_f, xp_f_scratch[t].astype(jnp.float32), w_f, b_f)
+            nh_f = cell(
+                h_f, xp_f_scratch[t].astype(jnp.float32), w_f, sc_f, b_f)
             nh_b = cell(
-                h_b, xp_b_scratch[t_b].astype(jnp.float32), w_b, b_b)
+                h_b, xp_b_scratch[t_b].astype(jnp.float32), w_b, sc_b,
+                b_b)
             h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
             h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
             lg_f_ref[t] = jnp.dot(
@@ -259,9 +292,11 @@ def _build():
         h_scratch[1] = h_b
 
     @functools.partial(
-        jax.jit, static_argnames=("time_block", "unroll", "quant_in"))
+        jax.jit,
+        static_argnames=("time_block", "unroll", "quant_in", "quant_hh"))
     def l2head_fused(prev_f, prev_b, w_ih, b_ih, w_hh, b_hh, w_head,
-                     lengths, time_block=1, unroll=False, quant_in=False):
+                     lengths, time_block=1, unroll=False, quant_in=False,
+                     quant_hh=False):
         """prev_f/prev_b: (T, B, H) layer-1 direction outputs.
 
         w_ih: (2, 3H, 2H) torch-layout layer-2 input weights (columns
@@ -285,7 +320,17 @@ def _build():
             w_in = w_split.astype(jnp.bfloat16)
             ih_scale = jnp.ones((4, 1, 3 * Hl), jnp.float32)
         b_ih_row = b_ih.astype(jnp.float32).reshape(2, 1, 3 * Hl)
-        w_hh_t = jnp.swapaxes(w_hh, 1, 2).astype(jnp.bfloat16)
+        w_hh_t = jnp.swapaxes(w_hh, 1, 2)
+        if quant_hh:
+            colh = jnp.max(jnp.abs(w_hh_t.astype(jnp.float32)),
+                           axis=1, keepdims=True) / 127.0
+            colh = jnp.maximum(colh, 1e-12)
+            hh_scale = (colh / 127.0).astype(jnp.float32)
+            w_hh_t = jnp.round(
+                w_hh_t.astype(jnp.float32) / colh).astype(jnp.int8)
+        else:
+            hh_scale = jnp.ones((2, 1, 3 * Hl), jnp.float32)
+            w_hh_t = w_hh_t.astype(jnp.bfloat16)
         b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, 3 * Hl)
         w_head_split = jnp.stack(
             [w_head[:, :Hl].T, w_head[:, Hl:].T]).astype(jnp.bfloat16)
@@ -295,7 +340,7 @@ def _build():
         bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)   # noqa: E731
         kernel = functools.partial(
             _l2head_kernel, time_block=time_block, unroll=unroll,
-            quant_in=quant_in)
+            quant_in=quant_in, quant_hh=quant_hh)
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
@@ -308,6 +353,7 @@ def _build():
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((time_block, Bl, Hl), bwd_idx,
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -334,7 +380,7 @@ def _build():
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
         )(prev_f, prev_b, prev_f, prev_b, w_in, ih_scale, b_ih_row,
-          w_hh_t, b_hh_row, w_head_split, lengths2d)
+          w_hh_t, hh_scale, b_hh_row, w_head_split, lengths2d)
 
     ns["l2head_fused"] = l2head_fused
     ns["bigru_pallas_fullfused"] = bigru_pallas_fullfused
@@ -357,7 +403,7 @@ def make_variant(name, params):
     l2 = params["gru"][1]
     head = params["linear"]
 
-    def stack(kw_l1=None, kw_l2=None, quant=False):
+    def stack(kw_l1=None, kw_l2=None, quant=False, quant_hh=False):
         kw_l1 = kw_l1 or {}
         kw_l2 = kw_l2 or {}
 
@@ -369,14 +415,15 @@ def make_variant(name, params):
             b_hh1 = jnp.stack([l1["fwd"]["b_hh"], l1["bwd"]["b_hh"]])
             out_f, out_b = ns["l1_fused"](
                 xt, w_ih1, b_ih1, w_hh1, b_hh1, lengths,
-                quant_out=quant, **kw_l1)
+                quant_out=quant, quant_hh=quant_hh, **kw_l1)
             w_ih2 = jnp.stack([l2["fwd"]["w_ih"], l2["bwd"]["w_ih"]])
             b_ih2 = jnp.stack([l2["fwd"]["b_ih"], l2["bwd"]["b_ih"]])
             w_hh2 = jnp.stack([l2["fwd"]["w_hh"], l2["bwd"]["w_hh"]])
             b_hh2 = jnp.stack([l2["fwd"]["b_hh"], l2["bwd"]["b_hh"]])
             lg_f, lg_b = ns["l2head_fused"](
                 out_f, out_b, w_ih2, b_ih2, w_hh2, b_hh2,
-                head["w"], lengths, quant_in=quant, **kw_l2)
+                head["w"], lengths, quant_in=quant, quant_hh=quant_hh,
+                **kw_l2)
             logits = lg_f + lg_b + head["b"].astype(jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1)
             return jnp.swapaxes(probs, 0, 1)
@@ -414,6 +461,9 @@ def make_variant(name, params):
         "v3_tb8u": lambda: stack(
             kw_l1=dict(time_block=8, unroll=True),
             kw_l2=dict(time_block=8, unroll=True), quant=True),
+        # int8 recurrence on top of v2/v3
+        "v2h": lambda: stack(quant_hh=True),
+        "v4": lambda: stack(quant=True, quant_hh=True),
     }
     return variants[name]()
 
@@ -473,7 +523,8 @@ def bench(name):
 def main():
     names = sys.argv[1:] or ["v0", "v2", "v3"]
     for name in names:
-        atol = 0.02 if "v3" in name else 5e-3
+        atol = 5e-3 if name.startswith(("v0", "v2")) and name != "v2h" \
+            else 0.02
         if not check_parity(name, atol):
             print("  PARITY FAIL -- skipping bench for " + name,
                   flush=True)

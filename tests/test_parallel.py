@@ -92,6 +92,33 @@ def test_topology_independent_training(setup):
     np.testing.assert_allclose(results[0], results[2], rtol=1e-5, atol=1e-6)
 
 
+def test_tp_fence_forces_scan_path(setup):
+    """model axis > 1 must fence the Pallas kernels off (VERDICT r2 #3):
+    the fused kernels are validated unsharded, so under TP the apply
+    must be forced onto the GSPMD-partitionable scan path."""
+    model, params, x, lengths = setup
+    mesh_tp = parallel.make_mesh(jax.devices(), data=4, model=2)
+    assert parallel._tp_kernel_fence(model, mesh_tp) == {"fused": False}
+    mesh_dp = parallel.make_mesh(jax.devices(), data=8, model=1)
+    assert parallel._tp_kernel_fence(model, mesh_dp) == {}
+
+
+def test_sharded_forward_bf16_tp_matches(setup):
+    """bf16 compute + TP runs the fence threading end-to-end.
+
+    On this CPU mesh the auto-select would already pick scan, so this
+    checks the explicit fused=False kwarg reaches apply() without
+    breaking jit/sharding, and output still matches full precision."""
+    model, params, x, lengths = setup
+    ref = np.asarray(model.apply(params, x, lengths=lengths))
+    mesh = parallel.make_mesh(jax.devices(), data=4, model=2)
+    sharded = parallel.shard_params(params, mesh)
+    fwd = parallel.make_sharded_forward(
+        model, mesh, compute_dtype=jnp.bfloat16)
+    got = np.asarray(fwd(sharded, jnp.asarray(x), jnp.asarray(lengths)))
+    np.testing.assert_allclose(got, ref, atol=0.05)
+
+
 def test_coordinatorless_multi_process_init():
     """--num_processes without --coordinator must not touch
     jax.distributed (region striding needs no collectives); calling it
