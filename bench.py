@@ -1,10 +1,11 @@
 """Benchmark: pileup columns/s/chip for bi-GRU consensus inference.
 
-Measures the jitted medaka_tpu forward (bi-GRU 2x256, bf16, fully-fused
-Pallas kernels) on the inference geometry (batch 512 x 10000 columns x 10
-features — reference ``medaka/medaka.py:266-272``) and compares against a
-torch-CPU forward of the identical architecture (the compute the
-reference performs per host when no GPU is present).
+Measures the jitted medaka_tpu forward (bi-GRU 2x256, split-path fused
+Pallas kernels: layer-split int8 recurrences + fused linear head) on the
+inference geometry (batch 1024 x 10000 columns x 10 features — reference
+``medaka/medaka.py:266-272``) and compares against a torch-CPU forward
+of the identical architecture (the compute the reference performs per
+host when no GPU is present).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — ALWAYS,
 within a hard ~450 s wall cap, even when the tunnelled TPU backend is
@@ -32,7 +33,7 @@ import time
 
 WALL_CAP_S = 450            # hard total budget (driver capture is ~600 s)
 PROBE_TIMEOUT_S = 75
-BATCH = 512  # feasible with the fully-fused kernel (reference default 100)
+BATCH = 1024  # split-path kernels' HBM sweet spot (reference default 100)
 CHUNK = 10000
 FEATS = 10
 CLASSES = 5

@@ -140,12 +140,34 @@ class GRUModel:
         :param fused: use the fused Pallas recurrent kernel. Default
             (None): on for bf16 inference on TPU backends, off elsewhere
             (CPU tests, full-precision parity runs, autodiff).
+        :param recurrent_quant: low-precision variants of the fused
+            path. On the flagship 2-layer split path (auto-selected for
+            fused bidirectional inference) the default (None) already
+            runs the validated int8 quantisation (measured max
+            probability error 5.3e-4 vs the f32 scan,
+            tests/perf/kernel_lab.py); pass "none" for bf16-exact
+            kernels. "bf16_gates"/"staggered" select legacy fullfused
+            stack variants.
         :returns: (batch, positions, num_classes).
         """
         if fused is None:
             fused = (
                 compute_dtype == jnp.bfloat16
                 and jax.default_backend() not in ("cpu",))
+        if (fused and not training and self.bidirectional
+                and len(params["gru"]) == 2
+                and x.shape[0] >= 32
+                and params["gru"][0]["fwd"]["w_hh"].shape[-1] % 128 == 0
+                and recurrent_quant in (None, "int8", "none")):
+            # flagship split path: layer-split kernels, fused head,
+            # int8 inter-layer/projections/recurrence by default
+            from medaka_tpu.ops.pallas_gru import bigru_head_fullfused
+            logits = bigru_head_fullfused(
+                params["gru"], params["linear"], x, lengths=lengths,
+                quant=(recurrent_quant != "none"))
+            if normalise:
+                return jax.nn.softmax(logits, axis=-1)
+            return logits
         if fused and training:
             # differentiable kernel pairs (custom VJP)
             from medaka_tpu.ops.pallas_gru import bigru_stack_trainable

@@ -955,6 +955,388 @@ def bigru_stack_fullfused(layers, x: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Split-path 2-layer bi-GRU + linear head: the flagship inference path
+# ---------------------------------------------------------------------------
+#
+# The fullfused stack above still pays three avoidable HBM costs at the
+# production geometry (B=512..1024, T=10k, H=256):
+#   - the (T, B, 2H) inter-layer concatenate (an extra copy of both
+#     direction outputs);
+#   - re-reading that concat for the external head einsum;
+#   - bf16 inter-layer activations where int8 suffices (h is bounded
+#     to [-1, 1], so a fixed *127 quantisation composes with
+#     per-column weight scales — the argument validated for the int8
+#     recurrence, test_pallas_gru.py::test_int8_recurrent_matches_scan).
+# The split path keeps layer-1's direction outputs separate (no
+# concat), feeds them to a layer-2 kernel that also fuses the linear
+# head (emitting (T, B, C) logit partials instead of (T, B, H) hidden
+# states), and uses int8 for the inter-layer activations, the layer-2
+# input projections (~50% of all FLOPs; v5e int8 MXU peak is 2x bf16)
+# and both recurrences.  Measured on v5e (tests/perf/kernel_lab.py):
+# 31.9M cols/s (fullfused stack + einsum) -> 39.5M (split, bf16
+# recurrence) -> 40.1M (int8 recurrence) at B=512; 45.0M at B=1024.
+# End-to-end probability error vs the f32 scan: max 5.3e-4 (quant),
+# 9e-5 (bf16 — identical to the fullfused stack's own bf16 error).
+
+
+def _bigru_l1_split_kernel(
+        x_f_ref, x_b_ref, w_ih_t_ref, b_ih_ref, w_hh_t_ref, hh_scale_ref,
+        b_hh_ref, lengths_ref, out_f_ref, out_b_ref, h_scratch,
+        xp_f_scratch, xp_b_scratch, *, time_block: int, quant: bool):
+    """Layer-1 fullfused bi-GRU emitting separate direction outputs.
+
+    With ``quant`` the outputs are int8 (round(127*h)) and the
+    recurrent matmul runs int8 x int8 -> int32 with per-column weight
+    scales folded into ``hh_scale``.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+
+    hidden = h_scratch.shape[-1]
+    B = h_scratch.shape[-2]
+    lengths = lengths_ref[...]
+
+    xf = x_f_ref[...].reshape(time_block * B, x_f_ref.shape[-1])
+    xb = x_b_ref[...].reshape(time_block * B, x_b_ref.shape[-1])
+    xp_f_scratch[...] = (
+        jnp.dot(xf, w_ih_t_ref[0], preferred_element_type=jnp.float32)
+        + b_ih_ref[0]).reshape(
+            time_block, B, 3 * hidden).astype(jnp.bfloat16)
+    xp_b_scratch[...] = (
+        jnp.dot(xb, w_ih_t_ref[1], preferred_element_type=jnp.float32)
+        + b_ih_ref[1]).reshape(
+            time_block, B, 3 * hidden).astype(jnp.bfloat16)
+
+    fwd_start = i * time_block
+    bwd_start = (n_blocks - 1 - i) * time_block
+
+    def cell(h, xp, w, sc, b):
+        if quant:
+            hq = jnp.round(h * 127.0).astype(jnp.int8)
+            hp = jnp.dot(hq, w, preferred_element_type=jnp.int32
+                         ).astype(jnp.float32) * sc + b
+        else:
+            hp = jnp.dot(h.astype(w.dtype), w,
+                         preferred_element_type=jnp.float32) + b
+        r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+        z = jax.nn.sigmoid(
+            xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
+        n = jnp.tanh(xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
+        return (1.0 - z) * n + z * h
+
+    def emit(h):
+        if quant:
+            return jnp.round(h * 127.0).astype(jnp.int8)
+        return h.astype(out_f_ref.dtype)
+
+    def step(t, carry):
+        h_f, h_b = carry
+        t_b = time_block - 1 - t
+        nh_f = cell(h_f, xp_f_scratch[t].astype(jnp.float32),
+                    w_hh_t_ref[0], hh_scale_ref[0], b_hh_ref[0])
+        nh_b = cell(h_b, xp_b_scratch[t_b].astype(jnp.float32),
+                    w_hh_t_ref[1], hh_scale_ref[1], b_hh_ref[1])
+        h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
+        h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
+        out_f_ref[t] = emit(h_f)
+        out_b_ref[t_b] = emit(h_b)
+        return (h_f, h_b)
+
+    h_f, h_b = jax.lax.fori_loop(
+        0, time_block, step, (h_scratch[0], h_scratch[1]))
+    h_scratch[0] = h_f
+    h_scratch[1] = h_b
+
+
+def _bigru_l2head_kernel(
+        pf_f_ref, pb_f_ref, pf_b_ref, pb_b_ref, w_ih_t_ref, ih_scale_ref,
+        b_ih_ref, w_hh_t_ref, hh_scale_ref, b_hh_ref, w_head_ref,
+        lengths_ref, lg_f_ref, lg_b_ref, h_scratch, xp_f_scratch,
+        xp_b_scratch, *, time_block: int, quant: bool):
+    """Layer-2 bi-GRU over split inputs, with the linear head fused.
+
+    ``w_ih_t_ref`` rows are [fwd<-prev_f, fwd<-prev_b, bwd<-prev_f,
+    bwd<-prev_b]; the two input projections per direction replace the
+    concat the stacked path would materialise.  Each step writes
+    per-direction logit partials (time_block, B, C) — the (T, B, H)
+    hidden states never leave VMEM.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+
+    hidden = h_scratch.shape[-1]
+    B = h_scratch.shape[-2]
+    lengths = lengths_ref[...]
+
+    def proj(a_ref, b_ref, wi_a, wi_b, sc_a, sc_b, bias):
+        a = a_ref[...].reshape(time_block * B, hidden)
+        bb = b_ref[...].reshape(time_block * B, hidden)
+        if quant:
+            pa = jnp.dot(a, wi_a, preferred_element_type=jnp.int32
+                         ).astype(jnp.float32) * sc_a
+            pb = jnp.dot(bb, wi_b, preferred_element_type=jnp.int32
+                         ).astype(jnp.float32) * sc_b
+        else:
+            pa = jnp.dot(a, wi_a, preferred_element_type=jnp.float32)
+            pb = jnp.dot(bb, wi_b, preferred_element_type=jnp.float32)
+        return (pa + pb + bias).reshape(
+            time_block, B, 3 * hidden).astype(jnp.bfloat16)
+
+    xp_f_scratch[...] = proj(
+        pf_f_ref, pb_f_ref, w_ih_t_ref[0], w_ih_t_ref[1],
+        ih_scale_ref[0], ih_scale_ref[1], b_ih_ref[0])
+    xp_b_scratch[...] = proj(
+        pf_b_ref, pb_b_ref, w_ih_t_ref[2], w_ih_t_ref[3],
+        ih_scale_ref[2], ih_scale_ref[3], b_ih_ref[1])
+
+    fwd_start = i * time_block
+    bwd_start = (n_blocks - 1 - i) * time_block
+
+    def cell(h, xp, w, sc, b):
+        if quant:
+            hq = jnp.round(h * 127.0).astype(jnp.int8)
+            hp = jnp.dot(hq, w, preferred_element_type=jnp.int32
+                         ).astype(jnp.float32) * sc + b
+        else:
+            hp = jnp.dot(h.astype(w.dtype), w,
+                         preferred_element_type=jnp.float32) + b
+        r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+        z = jax.nn.sigmoid(
+            xp[:, hidden:2 * hidden] + hp[:, hidden:2 * hidden])
+        n = jnp.tanh(xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
+        return (1.0 - z) * n + z * h
+
+    def step(t, carry):
+        h_f, h_b = carry
+        t_b = time_block - 1 - t
+        nh_f = cell(h_f, xp_f_scratch[t].astype(jnp.float32),
+                    w_hh_t_ref[0], hh_scale_ref[0], b_hh_ref[0])
+        nh_b = cell(h_b, xp_b_scratch[t_b].astype(jnp.float32),
+                    w_hh_t_ref[1], hh_scale_ref[1], b_hh_ref[1])
+        h_f = jnp.where(lengths > fwd_start + t, nh_f, h_f)
+        h_b = jnp.where(lengths > bwd_start + t_b, nh_b, h_b)
+        lg_f_ref[t] = jnp.dot(
+            h_f.astype(jnp.bfloat16), w_head_ref[0],
+            preferred_element_type=jnp.float32)
+        lg_b_ref[t_b] = jnp.dot(
+            h_b.astype(jnp.bfloat16), w_head_ref[1],
+            preferred_element_type=jnp.float32)
+        return (h_f, h_b)
+
+    h_f, h_b = jax.lax.fori_loop(
+        0, time_block, step, (h_scratch[0], h_scratch[1]))
+    h_scratch[0] = h_f
+    h_scratch[1] = h_b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("time_block", "quant", "interpret"))
+def bigru_l1_split(x, w_ih, b_ih, w_hh, b_hh,
+                   lengths: Optional[jnp.ndarray] = None,
+                   time_block: int = 1, quant: bool = True,
+                   interpret: bool = False):
+    """Layer-1 of the split path: ((T,B,H) fwd, (T,B,H) bwd) outputs.
+
+    Outputs are int8 when ``quant`` (fixed *127 scale), else x.dtype.
+    """
+    T, B, IN = x.shape
+    H = w_hh.shape[-1]
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    w_ih_t = jnp.swapaxes(w_ih, 1, 2).astype(jnp.bfloat16)
+    b_ih_row = b_ih.astype(jnp.float32).reshape(2, 1, 3 * H)
+    w_hh_t = jnp.swapaxes(w_hh, 1, 2)
+    if quant:
+        w_hh_t, hh_scale = _quantize_cols(w_hh_t)
+    else:
+        hh_scale = jnp.ones((2, 1, 3 * H), jnp.float32)
+        w_hh_t = w_hh_t.astype(jnp.bfloat16)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, 3 * H)
+    fwd_idx = lambda i: (i, 0, 0)                   # noqa: E731
+    bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)    # noqa: E731
+    out_dtype = jnp.int8 if quant else x.dtype
+    kernel = functools.partial(
+        _bigru_l1_split_kernel, time_block=time_block, quant=quant)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, IN), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, IN), bwd_idx, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(
+            pl.BlockSpec(
+                (time_block, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), bwd_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), out_dtype),
+            jax.ShapeDtypeStruct((T, B, H), out_dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, x, w_ih_t, b_ih_row, w_hh_t, hh_scale, b_hh_row, lengths2d)
+
+
+def _quantize_cols(w):
+    """Per-output-column int8 quantisation of stacked (..., K, N) weights.
+
+    Returns (int8 weights, f32 scales shaped (..., 1, N)) where the
+    scale already folds the activations' fixed 1/127: the int32 matmul
+    result times scale reproduces ``h @ w`` for h quantised as
+    round(127*h).
+    """
+    w = w.astype(jnp.float32)
+    col = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+    col = jnp.maximum(col, 1e-12)
+    w_q = jnp.round(w / col).astype(jnp.int8)
+    return w_q, (col / 127.0).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("time_block", "quant", "interpret"))
+def bigru_l2head(prev_f, prev_b, w_ih, b_ih, w_hh, b_hh, w_head,
+                 lengths: Optional[jnp.ndarray] = None,
+                 time_block: int = 1, quant: bool = True,
+                 interpret: bool = False):
+    """Layer-2 + head of the split path: per-direction logit partials.
+
+    :param prev_f/prev_b: (T, B, H) layer-1 direction outputs (int8
+        when ``quant``).
+    :param w_ih: (2, 3H, 2H) torch-layout layer-2 input weights
+        (columns [:H] act on prev_f, [H:] on prev_b).
+    :param w_head: (C, 2H) linear head weights.
+    :returns: ((T, B, C) fwd, (T, B, C) bwd) float32 logit partials;
+        the caller adds them plus the head bias.
+    """
+    T, B, H = prev_f.shape
+    if T % time_block:
+        raise ValueError(
+            "T={} not divisible by time_block={}".format(T, time_block))
+    n_blocks = T // time_block
+    if lengths is None:
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+    lengths2d = lengths.astype(jnp.int32).reshape(B, 1)
+    # split + transpose: rows [fwd<-f, fwd<-b, bwd<-f, bwd<-b]
+    w_split = jnp.stack([
+        w_ih[0, :, :H].T, w_ih[0, :, H:].T,
+        w_ih[1, :, :H].T, w_ih[1, :, H:].T])  # (4, H, 3H)
+    if quant:
+        w_in, ih_scale = _quantize_cols(w_split)
+    else:
+        w_in = w_split.astype(jnp.bfloat16)
+        ih_scale = jnp.ones((4, 1, 3 * H), jnp.float32)
+    b_ih_row = b_ih.astype(jnp.float32).reshape(2, 1, 3 * H)
+    w_hh_t = jnp.swapaxes(w_hh, 1, 2)
+    if quant:
+        w_hh_t, hh_scale = _quantize_cols(w_hh_t)
+    else:
+        hh_scale = jnp.ones((2, 1, 3 * H), jnp.float32)
+        w_hh_t = w_hh_t.astype(jnp.bfloat16)
+    b_hh_row = b_hh.astype(jnp.float32).reshape(2, 1, 3 * H)
+    w_head_split = jnp.stack(
+        [w_head[:, :H].T, w_head[:, H:].T]).astype(jnp.bfloat16)
+    C = w_head.shape[0]
+    fwd_idx = lambda i: (i, 0, 0)                   # noqa: E731
+    bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)    # noqa: E731
+    kernel = functools.partial(
+        _bigru_l2head_kernel, time_block=time_block, quant=quant)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (time_block, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), bwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, H), bwd_idx, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(
+            pl.BlockSpec(
+                (time_block, B, C), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, B, C), bwd_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, C), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, C), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+            pltpu.VMEM((time_block, B, 3 * H), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
+        interpret=interpret,
+    )(prev_f, prev_b, prev_f, prev_b, w_in, ih_scale, b_ih_row,
+      w_hh_t, hh_scale, b_hh_row, w_head_split, lengths2d)
+
+
+def bigru_head_fullfused(layers, head, x: jnp.ndarray,
+                         lengths: Optional[jnp.ndarray] = None,
+                         quant: bool = True,
+                         interpret: bool = False) -> jnp.ndarray:
+    """2-layer bi-GRU + linear head via the split kernels.
+
+    :param layers: two {fwd, bwd} GRU layer param dicts.
+    :param head: {"w": (C, 2H), "b": (C,)} linear head params.
+    :param x: (B, T, F) batch-major input.
+    :param quant: int8 inter-layer activations, input projections and
+        recurrences (production default; see section comment for the
+        measured error budget). False = bf16 throughout.
+    :returns: (B, T, C) float32 logits.
+    """
+    if len(layers) != 2:
+        raise ValueError(
+            "split path is specialised to 2-layer stacks; got {}".format(
+                len(layers)))
+    xt = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)
+    l1, l2 = layers
+    out_f, out_b = bigru_l1_split(
+        xt,
+        jnp.stack([l1["fwd"]["w_ih"], l1["bwd"]["w_ih"]]),
+        jnp.stack([l1["fwd"]["b_ih"], l1["bwd"]["b_ih"]]),
+        jnp.stack([l1["fwd"]["w_hh"], l1["bwd"]["w_hh"]]),
+        jnp.stack([l1["fwd"]["b_hh"], l1["bwd"]["b_hh"]]),
+        lengths=lengths, quant=quant, interpret=interpret)
+    lg_f, lg_b = bigru_l2head(
+        out_f, out_b,
+        jnp.stack([l2["fwd"]["w_ih"], l2["bwd"]["w_ih"]]),
+        jnp.stack([l2["fwd"]["b_ih"], l2["bwd"]["b_ih"]]),
+        jnp.stack([l2["fwd"]["w_hh"], l2["bwd"]["w_hh"]]),
+        jnp.stack([l2["fwd"]["b_hh"], l2["bwd"]["b_hh"]]),
+        head["w"], lengths=lengths, quant=quant, interpret=interpret)
+    logits = lg_f + lg_b + head["b"].astype(jnp.float32)
+    return jnp.swapaxes(logits, 0, 1)
+
+
+# ---------------------------------------------------------------------------
 # Backward kernel + custom VJP: training at kernel speed
 # ---------------------------------------------------------------------------
 

@@ -378,15 +378,17 @@ def auto_batch_size(model, backend=None, chunk_len: int = 10000,
     """TPU-first default inference batch size, scaled to fit HBM.
 
     Large batches keep the fused recurrence kernels MXU-bound: on a
-    v5e chip B=512 measures ~1.6x the columns/s of B=128 for the
-    2x256 counts bi-GRU. The batch is sized from an HBM model of the
-    fullfused kernel's live buffers (~two (T, B, 2H) bf16 layer
-    concatenations; calibrated so the default 2x256/T=10000 geometry
-    on 16 GB HBM lands exactly on the measured-good B=512, with B=1024
-    known to fail compilation), so wider models or longer chunks
-    degrade gracefully instead of hitting a compile-time wall. CPU
-    backends and read-level (4D-feature) models use 128 (measured 3x
-    the throughput of B=8; conv activations bound larger batches).
+    v5e chip the split-path 2x256 counts bi-GRU measures 40.1M cols/s
+    at B=512 and 45.0M at B=1024 (tests/perf/kernel_lab.py). The batch
+    is sized from an HBM model of the split path's live buffers — two
+    (T, B, C->128-lane-padded) f32 logit partials plus two (T, B, H)
+    int8 inter-layer activations — calibrated so the default
+    2x256/T=10000 geometry on 16 GB HBM lands exactly on the
+    measured-good B=1024 (B=1536 is a verified compile-time OOM), so
+    wider models or longer chunks degrade gracefully instead of
+    hitting a compile-time wall. CPU backends and read-level
+    (4D-feature) models use 128 (measured 3x the throughput of B=8;
+    conv activations bound larger batches).
     """
     if backend is None:
         backend = jax.default_backend()
@@ -402,11 +404,12 @@ def auto_batch_size(model, backend=None, chunk_len: int = 10000,
         if not hbm_bytes:
             hbm_bytes = 16 << 30
     hidden = getattr(model, "gru_size", 256)
-    width = 2 * hidden if getattr(model, "bidirectional", True) else hidden
-    per_row = 2 * chunk_len * width * 2  # two live bf16 buffers
-    budget = int(0.62 * hbm_bytes)
+    # two f32 logit partials padded to the 128-lane tile + two int8
+    # inter-layer buffers
+    per_row = chunk_len * (2 * 128 * 4 + 2 * hidden)
+    budget = int(0.93 * hbm_bytes)
     batch = (budget // per_row) // 64 * 64
-    return int(max(32, min(512, batch)))
+    return int(max(32, min(1024, batch)))
 
 
 def run_prediction(

@@ -188,6 +188,60 @@ class TestFullFused:
         assert err.mean() < 1e-2, err.mean()
 
 
+class TestSplitHeadPath:
+    """The flagship split path (layer-split kernels + fused head).
+
+    Must match the scan stack + einsum head: exactly-ish for bf16
+    (quant="none"), within the validated int8 budget otherwise.
+    Hardware throughput/parity numbers live in tests/perf/kernel_lab.py.
+    """
+
+    def _setup(self, hidden=16):
+        model = GRUModel(gru_size=hidden)
+        params = model.init_params(jax.random.PRNGKey(11))
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.random((4, 32, 10)).astype(np.float32))
+        lengths = jnp.asarray(np.array([32, 20, 5, 32], np.int32))
+        return model, params, x, lengths
+
+    def _ref_probs(self, model, params, x, lengths):
+        return np.asarray(model.apply(
+            params, x, lengths=lengths, fused=False), np.float32)
+
+    @pytest.mark.parametrize("quant,atol", [(False, 5e-3), (True, 2e-2)])
+    def test_matches_scan_probs(self, quant, atol):
+        from medaka_tpu.ops.pallas_gru import bigru_head_fullfused
+        model, params, x, lengths = self._setup()
+        ref = self._ref_probs(model, params, x, lengths)
+        logits = bigru_head_fullfused(
+            params["gru"], params["linear"], x, lengths=lengths,
+            quant=quant, interpret=True)
+        got = np.asarray(jax.nn.softmax(logits, axis=-1), np.float32)
+        mask = (np.arange(32)[None, :]
+                < np.asarray(lengths)[:, None])
+        assert np.abs(got - ref)[mask].max() < atol
+
+    def test_rejects_non_two_layer_stacks(self):
+        from medaka_tpu.ops.pallas_gru import bigru_head_fullfused
+        model, params, x, lengths = self._setup()
+        with pytest.raises(ValueError, match="2-layer"):
+            bigru_head_fullfused(
+                params["gru"][:1], params["linear"], x, interpret=True)
+
+    def test_apply_routes_around_split_path_on_cpu(self):
+        """On CPU the auto fused default stays off; explicit legacy
+        quant modes must still hit the fullfused stack, not the split
+        path (which asserts 2 layers)."""
+        model, params, x, lengths = self._setup()
+        ref = self._ref_probs(model, params, x, lengths)
+        got = np.asarray(model.apply(
+            params, x, lengths=lengths, compute_dtype=jnp.bfloat16),
+            np.float32)
+        mask = (np.arange(32)[None, :]
+                < np.asarray(lengths)[:, None])
+        assert np.abs(got - ref)[mask].max() < 5e-2
+
+
 class TestTrainableKernel:
     """The custom-VJP kernel pair must match XLA autodiff gradients."""
 

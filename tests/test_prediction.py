@@ -241,10 +241,15 @@ def test_auto_batch_size():
     from medaka_tpu.models.gru import GRUModel
     from medaka_tpu.models.latent_space_lstm import LatentSpaceLSTM
 
-    assert prediction.auto_batch_size(GRUModel(), backend="tpu") == 512
+    assert prediction.auto_batch_size(GRUModel(), backend="tpu") == 1024
     assert prediction.auto_batch_size(GRUModel(), backend="cpu") == 128
     assert prediction.auto_batch_size(
         LatentSpaceLSTM(), backend="tpu") == 128
+    # wider recurrences / longer chunks scale the batch down
+    assert prediction.auto_batch_size(
+        GRUModel(gru_size=512), backend="tpu") < 1024
+    assert prediction.auto_batch_size(
+        GRUModel(), backend="tpu", chunk_len=40000) <= 256
 
 
 def test_encoder_overrides(tmp_path, single_read_bam=None):
