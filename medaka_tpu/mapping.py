@@ -12,20 +12,64 @@ import concurrent.futures
 from typing import List, Optional
 
 from medaka_tpu import common, native
-from medaka_tpu.io.bam import BamRecord, write_bam
+from medaka_tpu.io.bam import (
+    C_D, C_EQ, C_I, C_M, C_X, BamRecord, parse_cigar, write_bam)
 from medaka_tpu.io.fastx import FastaReader, read_fastx
+
+
+def compute_md(ref_seq: str, pos: int, cigar: str, query: str,
+               query_start: int = 0) -> str:
+    """MD tag for an alignment (SAM spec; minimap2 ``--MD`` analogue).
+
+    :param ref_seq: full reference sequence of the target contig.
+    :param pos: 0-based reference start of the alignment.
+    :param cigar: core cigar (no leading/trailing clips).
+    :param query: oriented query sequence.
+    :param query_start: query offset where the core cigar begins.
+
+    Needed by truth-to-draft BAMs: label extraction reconstructs the
+    aligned reference from MD (``labels.TruthAlignment`` via
+    ``BamRecord.get_reference_sequence``), as the reference toolchain
+    does with pysam.
+    """
+    md = []
+    run = 0
+    rpos, qpos = pos, query_start
+    for op, ln in parse_cigar(cigar):
+        if op in (C_M, C_EQ, C_X):
+            for k in range(ln):
+                if ref_seq[rpos + k] == query[qpos + k]:
+                    run += 1
+                else:
+                    md.append(str(run))
+                    md.append(ref_seq[rpos + k])
+                    run = 0
+            rpos += ln
+            qpos += ln
+        elif op == C_D:
+            md.append(str(run))
+            md.append("^" + ref_seq[rpos:rpos + ln])
+            run = 0
+            rpos += ln
+        elif op == C_I:
+            qpos += ln
+    md.append(str(run))
+    return "".join(md)
 
 
 def align_reads(
         reads_fastx: str, draft_fasta: str, out_bam: str,
         threads: int = 1, band: int = 500,
-        min_score: Optional[int] = None) -> dict:
+        min_score: Optional[int] = None, md: bool = False) -> dict:
     """Map reads to a draft and write a sorted, indexed BAM.
 
     :param reads_fastx: fasta/q(.gz) of reads.
     :param draft_fasta: the assembly to polish.
     :param band: alignment band (net indel drift bound).
     :param min_score: drop mappings below this alignment score.
+    :param md: write MD tags (required for truth-to-draft BAMs feeding
+        label extraction; the reference runs minimap2 ``--MD`` for the
+        same reason).
 
     :returns: stats dict {mapped, unmapped}.
     """
@@ -72,6 +116,12 @@ def align_reads(
                 if qual is not None:
                     q = [ord(c) - 33 for c in qual]
                     quals = q[::-1] if reverse else q
+                tags = None
+                if md:
+                    tags = {"MD": compute_md(
+                        references[hit.ref_id][1], hit.ref_start,
+                        hit.cigar, oriented,
+                        query_start=hit.query_start)}
                 cigar = hit.cigar
                 if hit.query_start:
                     cigar = "{}S".format(hit.query_start) + cigar
@@ -81,7 +131,8 @@ def align_reads(
                 records.append(BamRecord.build(
                     query_name=name, ref_id=hit.ref_id,
                     pos=hit.ref_start, seq=oriented, qual=quals,
-                    cigar=cigar, flag=hit.flag, mapq=hit.mapq))
+                    cigar=cigar, flag=hit.flag, mapq=hit.mapq,
+                    tags=tags))
             n_mapped += 1
     mapper.close()
     write_bam(out_bam, records, ref_lengths)

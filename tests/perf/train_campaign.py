@@ -1,0 +1,181 @@
+"""Round-3 training campaign: beat majority-vote by >= 2Q.
+
+Builds a labelled training set entirely with this framework's own
+tools from the real workflow reads (the reference ships 450x real ONT
+reads of a 5 kb lambda region plus the high-quality reference):
+
+1. synthetic-mutation drafts of the reference (subs/ins/del at
+   0.2-1%) — the "imperfect assembly" the consensus model corrects;
+2. per-draft independent downsamples of the real reads (20-60x, the
+   realistic polishing regime — at the full 450x majority-vote is
+   near-perfect and the NN has nothing to add);
+3. own mapper (``mapping.align_reads``) for reads->draft and
+   truth->draft BAMs, own featurizer + ``TruthAlignment`` labels via
+   ``features.create_samples``.
+
+Training runs the mesh train step (bf16 trainable Pallas kernels on
+the TPU when available). Held-out drafts (every 5th) form the
+validation split; the campaign reports model Q vs the majority-vote
+baseline Q on that split.
+
+Usage: python tests/perf/train_campaign.py [out_dir] [n_drafts] [epochs]
+"""
+import gzip
+import json
+import os
+import pathlib
+import sys
+
+import numpy as np
+
+WORKFLOW = "/root/reference/medaka/test/data/workflow"
+BASES = np.array(list("ACGT"))
+
+
+def mutate(seq, rng, rate):
+    """Apply subs (60%) / del (20%) / ins (20%) at ``rate`` per base."""
+    out = []
+    for ch in seq:
+        r = rng.random()
+        if r < rate * 0.2:
+            continue
+        if r < rate * 0.4:
+            out.append(ch)
+            out.append(str(rng.choice(BASES)))
+            continue
+        if r < rate:
+            out.append(str(rng.choice([b for b in "ACGT" if b != ch])))
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+def subsample_reads(out_path, keep_frac, rng):
+    """Random subset of the workflow fastq at ``keep_frac``."""
+    n = 0
+    with gzip.open(WORKFLOW + "/reads.fq.gz", "rt") as fin, \
+            open(out_path, "w") as fout:
+        while True:
+            rec = [fin.readline() for _ in range(4)]
+            if not rec[0]:
+                break
+            if rng.random() < keep_frac:
+                fout.writelines(rec)
+                n += 1
+    return n
+
+
+def build_draft_set(out_dir, n_drafts, threads=4):
+    """Per-draft labelled feature files; returns (train, valid) lists."""
+    from medaka_tpu import mapping
+    from medaka_tpu.features import create_samples
+    from medaka_tpu.io.fastx import FastaReader, FastaWriter
+
+    ref_seq = FastaReader(WORKFLOW + "/reference.fasta").fetch(
+        "lambda_5kb")
+    truth_fa = str(out_dir / "truth.fasta")
+    with FastaWriter(truth_fa) as fw:
+        fw.write("truth_lambda", ref_seq)
+
+    rates = [0.002, 0.005, 0.01]
+    depths = [20, 30, 45, 60]
+    train, valid = [], []
+    for k in range(n_drafts):
+        rng = np.random.default_rng(1000 + k)
+        rate = rates[k % len(rates)]
+        depth = depths[(k // len(rates)) % len(depths)]
+        ddir = out_dir / "draft{:02d}".format(k)
+        ddir.mkdir(exist_ok=True)
+        draft_fa = str(ddir / "draft.fasta")
+        with FastaWriter(draft_fa) as fw:
+            fw.write("lambda_5kb", mutate(ref_seq, rng, rate))
+        reads_fq = str(ddir / "reads.fq")
+        subsample_reads(reads_fq, depth / 450.0, rng)
+        reads_bam = str(ddir / "reads.bam")
+        mapping.align_reads(
+            reads_fq, draft_fa, reads_bam, threads=threads)
+        truth_bam = str(ddir / "truth.bam")
+        mapping.align_reads(truth_fa, draft_fa, truth_bam, md=True)
+        feats = str(ddir / "feats.hdf5")
+        n = create_samples(
+            reads_bam, feats, truth_bam=truth_bam,
+            chunk_len=1000, chunk_ovlp=200, threads=threads)
+        (valid if k % 5 == 4 else train).append(feats)
+        print("draft {:02d}: rate={} depth={}x -> {} samples".format(
+            k, rate, depth, n), flush=True)
+    return train, valid
+
+
+def q_from_acc(acc):
+    return -10.0 * np.log10(max(1e-9, 1.0 - acc))
+
+
+def evaluate(batcher, model, params, compute_dtype):
+    """(model_acc, majority_acc) over the validation split."""
+    import jax
+
+    from medaka_tpu import parallel
+
+    eval_fn = jax.jit(
+        lambda p, b: parallel.cross_entropy_loss(
+            model, p, b, compute_dtype=compute_dtype, training=False))
+    n_c = n_t = mj_c = mj_t = 0.0
+    for batch in batcher.batches("validation", shuffle=False):
+        _, (c, t) = eval_fn(params, batch)
+        n_c += float(c)
+        n_t += float(t)
+        c, t = parallel.majority_baseline_accuracy(batch)
+        mj_c += float(c)
+        mj_t += float(t)
+    return n_c / max(1, n_t), mj_c / max(1, mj_t)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from medaka_tpu import training
+
+    out_dir = pathlib.Path(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/train_campaign")
+    n_drafts = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    marker = out_dir / "dataset.json"
+    if marker.exists():
+        sets = json.loads(marker.read_text())
+        train, valid = sets["train"], sets["valid"]
+        print("Reusing dataset: {} train / {} valid files".format(
+            len(train), len(valid)), flush=True)
+    else:
+        train, valid = build_draft_set(out_dir, n_drafts)
+        marker.write_text(json.dumps({"train": train, "valid": valid}))
+
+    # the reference's bundled labelled features (1.16 Mb of a real
+    # assembly, same 1000-column geometry) add volume and a second
+    # genome; validation stays purely on the held-out drafts
+    ref_feats = ("/root/reference/medaka/test/data/"
+                 "training_features.hdf5")
+    if os.path.exists(ref_feats) and not os.environ.get(
+            "CAMPAIGN_NO_REF_FEATURES"):
+        train = list(train) + [ref_feats]
+
+    batcher = training.TrainBatcher(
+        train, validation=valid, batch_size=128, seed=0)
+    compute_dtype = (
+        jnp.bfloat16 if jax.default_backend() != "cpu" else None)
+    model, params = training.run_training(
+        str(out_dir / "train"), batcher, epochs=epochs,
+        compute_dtype=compute_dtype, early_stop_epochs=60)
+
+    acc, mj = evaluate(batcher, model, params, compute_dtype)
+    print(json.dumps({
+        "val_acc": acc, "val_q": round(q_from_acc(acc), 2),
+        "majority_acc": mj, "majority_q": round(q_from_acc(mj), 2),
+        "q_margin": round(q_from_acc(acc) - q_from_acc(mj), 2)}),
+        flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,42 @@ class TestAlignReads:
             assert len(set(mapqs)) > 1
 
 
+    def test_md_tags_reconstruct_reference(self, tmp_path):
+        """align_reads(md=True) MD tags must reconstruct the aligned
+        reference exactly (the contract labels.TruthAlignment relies
+        on via BamRecord.get_reference_sequence)."""
+        import numpy as np
+
+        from medaka_tpu.io.bam import BamReader
+        from medaka_tpu.io.fastx import FastaReader, FastaWriter
+
+        rng = np.random.default_rng(0)
+        ref = "".join(rng.choice(list("ACGT"), 2000))
+        ref_fa = str(tmp_path / "ref.fasta")
+        with FastaWriter(ref_fa) as fw:
+            fw.write("r", ref)
+        # queries with subs, an insertion, a deletion, and one reverse
+        reads_fa = str(tmp_path / "reads.fasta")
+        q1 = list(ref[100:1100])
+        q1[50] = "A" if q1[50] != "A" else "C"
+        q1[500] = "G" if q1[500] != "G" else "T"
+        q2 = ref[200:700] + "TT" + ref[700:1300]        # insertion
+        q3 = ref[300:900] + ref[905:1500]               # deletion
+        q4 = mapping.common.reverse_complement(ref[400:1400])
+        with FastaWriter(reads_fa) as fw:
+            for i, q in enumerate(["".join(q1), q2, q3, q4]):
+                fw.write("q{}".format(i), q)
+        out_bam = str(tmp_path / "md.bam")
+        mapping.align_reads(reads_fa, ref_fa, out_bam, md=True)
+        with BamReader(out_bam) as br:
+            recs = [r for r in br.fetch("r") if not r.flag & 2048]
+        assert len(recs) == 4
+        for rec in recs:
+            got = rec.get_reference_sequence()
+            want = ref[rec.reference_start:rec.reference_end]
+            assert got == want, rec.query_name
+
+
 class TestConsensusWorkflow:
     def test_full_pipeline_real_data(self, tmp_path):
         """reads + draft -> polished consensus, fully standalone."""
