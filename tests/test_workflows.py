@@ -371,12 +371,19 @@ def test_truncated_hdf5_clear_error(tmp_path):
 
 
 class TestTrainedModelFullLoop:
-    """The bundled trained GRU (Q28.5 validation on the reference's
-    training features) polishes the real workflow reads to within a
-    handful of edits of the high-quality draft (7 at the current
-    mapper; 6 before it emitted MAPQ/supplementary records) — the
+    """The bundled trained GRU polishes the real workflow reads to
+    within a handful of edits of the high-quality draft — the
     framework's train -> infer -> decode loop is self-consistent end
-    to end."""
+    to end.
+
+    The bundle is the round-3 campaign model
+    (tests/perf/train_campaign.py: labelled data built entirely with
+    own tools from the 450x workflow reads — synthetic-mutation
+    drafts, 20-60x downsamples, own mapper + TruthAlignment), which
+    reaches validation Q32.7 vs the Q29.4 majority-vote baseline
+    (+3.3Q) and polishes this workflow to 6 edits (the round-2
+    reference-features model managed Q28.0 and 7 edits). Identical on
+    the TPU bf16 and CPU f32 backends."""
 
     def test_bundled_model_polishes_workflow(self, tmp_path):
         from medaka_tpu import mapping, models, native
@@ -395,4 +402,4 @@ class TestTrainedModelFullLoop:
         cons = FastaReader(out).fetch("lambda_5kb")
         draft = FastaReader(
             WORKFLOW + "/reference.fasta").fetch("lambda_5kb")
-        assert native.edit_distance(cons, draft) <= 8
+        assert native.edit_distance(cons, draft) <= 6
