@@ -33,7 +33,7 @@ import time
 
 WALL_CAP_S = 450            # hard total budget (driver capture is ~600 s)
 PROBE_TIMEOUT_S = 75
-BATCH = 1024  # split-path kernels' HBM sweet spot (reference default 100)
+BATCH = 2560  # transposed split-path HBM sweet spot (reference default 100)
 CHUNK = 10000
 FEATS = 10
 CLASSES = 5

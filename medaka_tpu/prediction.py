@@ -378,17 +378,17 @@ def auto_batch_size(model, backend=None, chunk_len: int = 10000,
     """TPU-first default inference batch size, scaled to fit HBM.
 
     Large batches keep the fused recurrence kernels MXU-bound: on a
-    v5e chip the split-path 2x256 counts bi-GRU measures 40.1M cols/s
-    at B=512 and 45.0M at B=1024 (tests/perf/kernel_lab.py). The batch
-    is sized from an HBM model of the split path's live buffers — two
-    (T, B, C->128-lane-padded) f32 logit partials plus two (T, B, H)
-    int8 inter-layer activations — calibrated so the default
-    2x256/T=10000 geometry on 16 GB HBM lands exactly on the
-    measured-good B=1024 (B=1536 is a verified compile-time OOM), so
-    wider models or longer chunks degrade gracefully instead of
-    hitting a compile-time wall. CPU backends and read-level
-    (4D-feature) models use 128 (measured 3x the throughput of B=8;
-    conv activations bound larger batches).
+    v5e chip the transposed split-path 2x256 counts bi-GRU measures
+    40.4M cols/s at B=512, 46.0M at B=1024, 49.8M at B=2048 and 50.8M
+    at B=2560 (tests/perf/kernel_lab.py v6 sweep). The batch is sized
+    from the peak-phase HBM model of the transposed path — the two
+    (T, H, B) int8 inter-layer buffers live alongside the two
+    (T, C->8-sublane, B) f32 logit partials during the layer-2 kernel
+    — calibrated so the default 2x256/T=10000 geometry on 16 GB HBM
+    lands on the verified B=2560, and wider models or longer chunks
+    degrade gracefully instead of hitting a compile-time wall. CPU
+    backends and read-level (4D-feature) models use 128 (measured 3x
+    the throughput of B=8; conv activations bound larger batches).
     """
     if backend is None:
         backend = jax.default_backend()
@@ -404,12 +404,11 @@ def auto_batch_size(model, backend=None, chunk_len: int = 10000,
         if not hbm_bytes:
             hbm_bytes = 16 << 30
     hidden = getattr(model, "gru_size", 256)
-    # two f32 logit partials padded to the 128-lane tile + two int8
-    # inter-layer buffers
-    per_row = chunk_len * (2 * 128 * 4 + 2 * hidden)
-    budget = int(0.93 * hbm_bytes)
+    # two int8 inter-layer buffers + two 8-sublane f32 logit partials
+    per_row = chunk_len * (2 * hidden + 2 * 8 * 4)
+    budget = int(0.87 * hbm_bytes)
     batch = (budget // per_row) // 64 * 64
-    return int(max(32, min(1024, batch)))
+    return int(max(32, min(2560, batch)))
 
 
 def run_prediction(

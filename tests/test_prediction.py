@@ -241,15 +241,18 @@ def test_auto_batch_size():
     from medaka_tpu.models.gru import GRUModel
     from medaka_tpu.models.latent_space_lstm import LatentSpaceLSTM
 
-    assert prediction.auto_batch_size(GRUModel(), backend="tpu") == 1024
+    hbm = 16 << 30  # pin the v5e budget (CPU runs report host RAM)
+    assert prediction.auto_batch_size(
+        GRUModel(gru_size=256), backend="tpu", hbm_bytes=hbm) == 2560
     assert prediction.auto_batch_size(GRUModel(), backend="cpu") == 128
     assert prediction.auto_batch_size(
         LatentSpaceLSTM(), backend="tpu") == 128
     # wider recurrences / longer chunks scale the batch down
     assert prediction.auto_batch_size(
-        GRUModel(gru_size=512), backend="tpu") < 1024
+        GRUModel(gru_size=512), backend="tpu", hbm_bytes=hbm) < 2560
     assert prediction.auto_batch_size(
-        GRUModel(), backend="tpu", chunk_len=40000) <= 256
+        GRUModel(gru_size=256), backend="tpu", chunk_len=40000,
+        hbm_bytes=hbm) == 640
 
 
 def test_encoder_overrides(tmp_path, single_read_bam=None):
