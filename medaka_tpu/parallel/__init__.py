@@ -126,13 +126,37 @@ def _tp_kernel_fence(model, mesh: Mesh) -> Dict:
 
 
 def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16):
-    """Jit a forward pass with DP batch + TP param shardings."""
+    """Jit a forward pass with DP batch + TP param shardings.
+
+    Pure-DP meshes (model axis absent or 1) run the per-shard forward
+    under ``shard_map``: batch rows are independent, so each device
+    executes the model — including the fused Pallas kernels — on its
+    local batch slice with a full weight copy. This is the canonical
+    pallas-under-SPMD pattern; plain GSPMD would have to partition the
+    kernel's custom call itself. Meshes with a model axis >1 keep the
+    GSPMD path with the scan fence (:func:`_tp_kernel_fence`).
+    """
     fence = _tp_kernel_fence(model, mesh)
+    model_par = dict(
+        zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+    n_dev = mesh.devices.size
 
     def forward(params, x, lengths):
         return model.apply(
             params, x, normalise=True, compute_dtype=compute_dtype,
             lengths=lengths, **fence)
+
+    if model_par == 1 and n_dev > 1:
+        from jax.experimental.shard_map import shard_map
+        data_axes = tuple(
+            ax for ax in mesh.axis_names if ax != MODEL_AXIS) or \
+            (DATA_AXIS,)
+        pspec_b = P(data_axes)
+        sharded = shard_map(
+            forward, mesh=mesh,
+            in_specs=(P(), pspec_b, pspec_b), out_specs=pspec_b,
+            check_rep=False)
+        return jax.jit(sharded)
 
     return jax.jit(
         forward,

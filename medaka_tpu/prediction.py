@@ -333,10 +333,24 @@ class Predictor:
                 params, x, normalise=True,
                 compute_dtype=compute_dtype, lengths=lengths)
 
-        self._forward = jax.jit(
-            forward,
-            in_shardings=(spec_repl, spec_batch, spec_batch),
-            out_shardings=spec_batch)
+        if mesh.devices.size > 1:
+            # batch rows are independent: run the per-shard forward
+            # under shard_map so each device executes the model
+            # (including fused Pallas kernels) on its local slice —
+            # the canonical pallas-under-SPMD pattern; plain GSPMD
+            # would have to partition the kernels' custom calls.
+            from jax.experimental.shard_map import shard_map
+            pspec_b = jax.sharding.PartitionSpec(mesh.axis_names)
+            self._forward = jax.jit(shard_map(
+                forward, mesh=mesh,
+                in_specs=(jax.sharding.PartitionSpec(),
+                          pspec_b, pspec_b),
+                out_specs=pspec_b, check_rep=False))
+        else:
+            self._forward = jax.jit(
+                forward,
+                in_shardings=(spec_repl, spec_batch, spec_batch),
+                out_shardings=spec_batch)
 
     def dispatch(self, batch: Batch):
         """Asynchronously launch a batch; returns an opaque handle.

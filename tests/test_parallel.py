@@ -119,6 +119,38 @@ def test_sharded_forward_bf16_tp_matches(setup):
     np.testing.assert_allclose(got, ref, atol=0.05)
 
 
+def test_fused_kernels_inside_shard_map_match_unsharded(setup):
+    """The multi-device DP path runs the model under shard_map so each
+    device executes the Pallas kernels on its local batch shard (plain
+    GSPMD cannot partition the kernels' custom calls). Prove the
+    pattern end-to-end on the virtual mesh with interpret-mode kernels:
+    the sharded result must equal the unsharded kernel result."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from medaka_tpu.ops.pallas_gru import bigru_head_fullfused
+
+    model, params, x, lengths = setup
+    want = np.asarray(bigru_head_fullfused(
+        params["gru"], params["linear"], x,
+        lengths=jnp.asarray(lengths), quant=True, interpret=True))
+
+    mesh = parallel.make_mesh(jax.devices(), data=8, model=1)
+
+    def fwd(p, xs, ls):
+        return bigru_head_fullfused(
+            p["gru"], p["linear"], xs, lengths=ls, quant=True,
+            interpret=True)
+
+    sharded = jax.jit(shard_map(
+        fwd, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"), check_rep=False))
+    got = np.asarray(sharded(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jnp.asarray(x), jnp.asarray(lengths)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_coordinatorless_multi_process_init():
     """--num_processes without --coordinator must not touch
     jax.distributed (region striding needs no collectives); calling it
