@@ -385,244 +385,15 @@ def _build():
     ns["l2head_fused"] = l2head_fused
 
     # --- transposed layout: (feature, batch) lanes ----------------------
-    # The (T, B, C) f32 logit partials pad C=5 to 128 lanes (25.6x HBM
-    # expansion; the proven OOM wall at B>=1536).  Putting batch in the
-    # lane dim makes the logits (T, C, B) — C pads 5->8 *sublanes*
-    # (1.6x) — and the int8 inter-layer buffers (T, H, B) stay exactly
-    # unpadded.  The whole recurrence runs transposed: w (3H, H) @ h
-    # (H, B), gates as sublane row slices, lengths broadcast over lanes.
+    # Promoted to production in round 3: see
+    # medaka_tpu.ops.pallas_gru.bigru_l1_split_t / bigru_l2head_t for
+    # the kernels and the layout rationale.  The lab drives the
+    # production functions directly so measurements and shipped code
+    # cannot drift apart.
+    from medaka_tpu.ops.pallas_gru import bigru_l1_split_t, bigru_l2head_t
 
-    def _l1t_kernel(x_f_ref, x_b_ref, w_ih_t_ref, b_ih_ref, w_hh_ref,
-                    hh_scale_ref, b_hh_ref, lengths_ref, out_f_ref,
-                    out_b_ref, h_scratch, *, quant):
-        i = pl.program_id(0)
-        n_blocks = pl.num_programs(0)
-
-        @pl.when(i == 0)
-        def _init():
-            h_scratch[...] = jnp.zeros_like(h_scratch)
-
-        hidden = h_scratch.shape[-2]
-        lengths = lengths_ref[...]          # (1, B)
-
-        def cell(h, xp, w, sc, b):
-            if quant:
-                hq = jnp.round(h * 127.0).astype(jnp.int8)
-                hp = jnp.dot(w, hq, preferred_element_type=jnp.int32
-                             ).astype(jnp.float32) * sc + b
-            else:
-                hp = jnp.dot(w, h.astype(w.dtype),
-                             preferred_element_type=jnp.float32) + b
-            r = jax.nn.sigmoid(xp[:hidden] + hp[:hidden])
-            z = jax.nn.sigmoid(
-                xp[hidden:2 * hidden] + hp[hidden:2 * hidden])
-            n = jnp.tanh(xp[2 * hidden:] + r * hp[2 * hidden:])
-            return (1.0 - z) * n + z * h
-
-        def emit(h, ref):
-            if quant:
-                ref[0] = jnp.round(h * 127.0).astype(jnp.int8)
-            else:
-                ref[0] = h.astype(ref.dtype)
-
-        def xproj(x_ref, k):
-            return (jnp.dot(w_ih_t_ref[k], x_ref[0],
-                            preferred_element_type=jnp.float32)
-                    + b_ih_ref[k])
-
-        h_f = cell(h_scratch[0], xproj(x_f_ref, 0), w_hh_ref[0],
-                   hh_scale_ref[0], b_hh_ref[0])
-        h_b = cell(h_scratch[1], xproj(x_b_ref, 1), w_hh_ref[1],
-                   hh_scale_ref[1], b_hh_ref[1])
-        h_f = jnp.where(lengths > i, h_f, h_scratch[0])
-        h_b = jnp.where(lengths > n_blocks - 1 - i, h_b, h_scratch[1])
-        emit(h_f, out_f_ref)
-        emit(h_b, out_b_ref)
-        h_scratch[0] = h_f
-        h_scratch[1] = h_b
-
-    @functools.partial(jax.jit, static_argnames=("quant",))
-    def l1t_fused(xt, w_ih, b_ih, w_hh, b_hh, lengths, quant=True):
-        """xt: (T, IN, B) transposed input."""
-        Tl, INl, Bl = xt.shape
-        Hl = w_hh.shape[-1]
-        lengths2d = lengths.astype(jnp.int32).reshape(1, Bl)
-        w_ih_m = w_ih.astype(jnp.bfloat16)            # (2, 3H, IN)
-        b_ih_col = b_ih.astype(jnp.float32).reshape(2, 3 * Hl, 1)
-        w_hh_m = w_hh                                  # (2, 3H, H)
-        if quant:
-            col = jnp.max(jnp.abs(w_hh_m.astype(jnp.float32)),
-                          axis=-1, keepdims=True) / 127.0
-            col = jnp.maximum(col, 1e-12)
-            hh_scale = (col / 127.0).astype(jnp.float32)  # (2, 3H, 1)
-            w_hh_m = jnp.round(
-                w_hh_m.astype(jnp.float32) / col).astype(jnp.int8)
-        else:
-            hh_scale = jnp.ones((2, 3 * Hl, 1), jnp.float32)
-            w_hh_m = w_hh_m.astype(jnp.bfloat16)
-        b_hh_col = b_hh.astype(jnp.float32).reshape(2, 3 * Hl, 1)
-        fwd_idx = lambda i: (i, 0, 0)                  # noqa: E731
-        bwd_idx = lambda i: (Tl - 1 - i, 0, 0)         # noqa: E731
-        out_dtype = jnp.int8 if quant else xt.dtype
-        kernel = functools.partial(_l1t_kernel, quant=quant)
-        return pl.pallas_call(
-            kernel,
-            grid=(Tl,),
-            in_specs=[
-                pl.BlockSpec((1, INl, Bl), fwd_idx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, INl, Bl), bwd_idx,
-                             memory_space=pltpu.VMEM),
-            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            out_specs=(
-                pl.BlockSpec((1, Hl, Bl), fwd_idx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hl, Bl), bwd_idx,
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((Tl, Hl, Bl), out_dtype),
-                jax.ShapeDtypeStruct((Tl, Hl, Bl), out_dtype),
-            ),
-            scratch_shapes=[pltpu.VMEM((2, Hl, Bl), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
-        )(xt, xt, w_ih_m, b_ih_col, w_hh_m, hh_scale, b_hh_col,
-          lengths2d)
-
-    ns["l1t_fused"] = l1t_fused
-
-    def _l2ht_kernel(pf_f_ref, pb_f_ref, pf_b_ref, pb_b_ref, w_in_ref,
-                     in_scale_ref, b_ih_ref, w_hh_ref, hh_scale_ref,
-                     b_hh_ref, w_head_ref, lengths_ref, lg_f_ref,
-                     lg_b_ref, h_scratch, *, quant):
-        i = pl.program_id(0)
-        n_blocks = pl.num_programs(0)
-
-        @pl.when(i == 0)
-        def _init():
-            h_scratch[...] = jnp.zeros_like(h_scratch)
-
-        hidden = h_scratch.shape[-2]
-        lengths = lengths_ref[...]
-
-        def proj(a_ref, b_ref, wa, wb, sa, sb, bias):
-            if quant:
-                pa = jnp.dot(wa, a_ref[0],
-                             preferred_element_type=jnp.int32
-                             ).astype(jnp.float32) * sa
-                pb = jnp.dot(wb, b_ref[0],
-                             preferred_element_type=jnp.int32
-                             ).astype(jnp.float32) * sb
-            else:
-                pa = jnp.dot(wa, a_ref[0].astype(wa.dtype),
-                             preferred_element_type=jnp.float32)
-                pb = jnp.dot(wb, b_ref[0].astype(wb.dtype),
-                             preferred_element_type=jnp.float32)
-            return pa + pb + bias
-
-        def cell(h, xp, w, sc, b):
-            if quant:
-                hq = jnp.round(h * 127.0).astype(jnp.int8)
-                hp = jnp.dot(w, hq, preferred_element_type=jnp.int32
-                             ).astype(jnp.float32) * sc + b
-            else:
-                hp = jnp.dot(w, h.astype(w.dtype),
-                             preferred_element_type=jnp.float32) + b
-            r = jax.nn.sigmoid(xp[:hidden] + hp[:hidden])
-            z = jax.nn.sigmoid(
-                xp[hidden:2 * hidden] + hp[hidden:2 * hidden])
-            n = jnp.tanh(xp[2 * hidden:] + r * hp[2 * hidden:])
-            return (1.0 - z) * n + z * h
-
-        xp_f = proj(pf_f_ref, pb_f_ref, w_in_ref[0], w_in_ref[1],
-                    in_scale_ref[0], in_scale_ref[1], b_ih_ref[0])
-        xp_b = proj(pf_b_ref, pb_b_ref, w_in_ref[2], w_in_ref[3],
-                    in_scale_ref[2], in_scale_ref[3], b_ih_ref[1])
-        h_f = cell(h_scratch[0], xp_f, w_hh_ref[0], hh_scale_ref[0],
-                   b_hh_ref[0])
-        h_b = cell(h_scratch[1], xp_b, w_hh_ref[1], hh_scale_ref[1],
-                   b_hh_ref[1])
-        h_f = jnp.where(lengths > i, h_f, h_scratch[0])
-        h_b = jnp.where(lengths > n_blocks - 1 - i, h_b, h_scratch[1])
-        lg_f_ref[0] = jnp.dot(
-            w_head_ref[0], h_f.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
-        lg_b_ref[0] = jnp.dot(
-            w_head_ref[1], h_b.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
-        h_scratch[0] = h_f
-        h_scratch[1] = h_b
-
-    @functools.partial(jax.jit, static_argnames=("quant",))
-    def l2ht_fused(prev_f, prev_b, w_ih, b_ih, w_hh, b_hh, w_head,
-                   lengths, quant=True):
-        """prev_f/prev_b: (T, H, B) transposed layer-1 outputs."""
-        Tl, Hl, Bl = prev_f.shape
-        lengths2d = lengths.astype(jnp.int32).reshape(1, Bl)
-        # rows [fwd<-f, fwd<-b, bwd<-f, bwd<-b], each (3H, H)
-        w_split = jnp.stack([
-            w_ih[0, :, :Hl], w_ih[0, :, Hl:],
-            w_ih[1, :, :Hl], w_ih[1, :, Hl:]])
-        if quant:
-            col = jnp.max(jnp.abs(w_split.astype(jnp.float32)),
-                          axis=-1, keepdims=True) / 127.0
-            col = jnp.maximum(col, 1e-12)
-            in_scale = (col / 127.0).astype(jnp.float32)
-            w_in = jnp.round(
-                w_split.astype(jnp.float32) / col).astype(jnp.int8)
-        else:
-            w_in = w_split.astype(jnp.bfloat16)
-            in_scale = jnp.ones((4, 3 * Hl, 1), jnp.float32)
-        b_ih_col = b_ih.astype(jnp.float32).reshape(2, 3 * Hl, 1)
-        w_hh_m = w_hh
-        if quant:
-            colh = jnp.max(jnp.abs(w_hh_m.astype(jnp.float32)),
-                           axis=-1, keepdims=True) / 127.0
-            colh = jnp.maximum(colh, 1e-12)
-            hh_scale = (colh / 127.0).astype(jnp.float32)
-            w_hh_m = jnp.round(
-                w_hh_m.astype(jnp.float32) / colh).astype(jnp.int8)
-        else:
-            hh_scale = jnp.ones((2, 3 * Hl, 1), jnp.float32)
-            w_hh_m = w_hh_m.astype(jnp.bfloat16)
-        b_hh_col = b_hh.astype(jnp.float32).reshape(2, 3 * Hl, 1)
-        w_head_split = jnp.stack(
-            [w_head[:, :Hl], w_head[:, Hl:]]).astype(jnp.bfloat16)
-        Cl = w_head.shape[0]
-        fwd_idx = lambda i: (i, 0, 0)                  # noqa: E731
-        bwd_idx = lambda i: (Tl - 1 - i, 0, 0)         # noqa: E731
-        kernel = functools.partial(_l2ht_kernel, quant=quant)
-        return pl.pallas_call(
-            kernel,
-            grid=(Tl,),
-            in_specs=[
-                pl.BlockSpec((1, Hl, Bl), fwd_idx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hl, Bl), fwd_idx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hl, Bl), bwd_idx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hl, Bl), bwd_idx,
-                             memory_space=pltpu.VMEM),
-            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-            out_specs=(
-                pl.BlockSpec((1, Cl, Bl), fwd_idx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Cl, Bl), bwd_idx,
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((Tl, Cl, Bl), jnp.float32),
-                jax.ShapeDtypeStruct((Tl, Cl, Bl), jnp.float32),
-            ),
-            scratch_shapes=[pltpu.VMEM((2, Hl, Bl), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
-        )(prev_f, prev_b, prev_f, prev_b, w_in, in_scale, b_ih_col,
-          w_hh_m, hh_scale, b_hh_col, w_head_split, lengths2d)
-
-    ns["l2ht_fused"] = l2ht_fused
+    ns["l1t_fused"] = bigru_l1_split_t
+    ns["l2ht_fused"] = bigru_l2head_t
     ns["bigru_pallas_fullfused"] = bigru_pallas_fullfused
     return ns
 
