@@ -556,8 +556,7 @@ class BamReader:
             yield vo, BamRecord(raw)
 
     def __iter__(self) -> Iterator[BamRecord]:
-        self._bgzf.prefetch(
-            self._data_voffset, len(self._bgzf._data) << 16)
+        self._bgzf.prefetch_all(self._data_voffset)
         return (rec for _, rec in self._records_from(self._data_voffset))
 
     # --- index ---

@@ -213,12 +213,25 @@ class BgzfReader:
         self._payload_pos = len(self._payload)
         return b"".join(chunks)
 
+    def prefetch_all(self, voffset: int = 0):
+        """Hint a scan from ``voffset`` to the end of the file.
+
+        Windows are still inflated ``PREFETCH_WINDOW`` bytes at a time
+        as the reader advances; this only sets the end hint.
+        """
+        self.prefetch(voffset, len(self._data) << 16)
+
     def close(self):
-        """Release the mapping and the underlying file."""
+        """Release the mapping, the block cache and the underlying file."""
         if not isinstance(self._data, bytes):
             self._data.close()
         self._data = b""
         self._payload = b""
+        # drop the prefetch cache: it can pin a full window (~200 MB
+        # decompressed) and would otherwise serve stale blocks instead
+        # of EOF after close
+        self._cache = {}
+        self._hint_end = 0
         if getattr(self, "_fh", None) is not None:
             self._fh.close()
             self._fh = None

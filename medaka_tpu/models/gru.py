@@ -155,6 +155,7 @@ class GRUModel:
                 compute_dtype == jnp.bfloat16
                 and jax.default_backend() not in ("cpu",))
         if (fused and not training and self.bidirectional
+                and compute_dtype == jnp.bfloat16
                 and len(params["gru"]) == 2
                 and x.shape[0] >= 32
                 and params["gru"][0]["fwd"]["w_hh"].shape[-1] % 128 == 0

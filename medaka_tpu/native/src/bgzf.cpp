@@ -43,6 +43,7 @@ int64_t mt_bgzf_scan(const uint8_t* data, int64_t size, int64_t offset,
             uint16_t slen;
             std::memcpy(&slen, data + pos + 2, 2);
             if (data[pos] == 66 && data[pos + 1] == 67 && slen == 2) {
+                if (pos + 6 > end) return -1;  // truncated BC payload
                 uint16_t bs;
                 std::memcpy(&bs, data + pos + 4, 2);
                 bsize = static_cast<int32_t>(bs) + 1;
@@ -52,6 +53,10 @@ int64_t mt_bgzf_scan(const uint8_t* data, int64_t size, int64_t offset,
         if (bsize < 26 || offset + bsize > size) return -1;
         uint32_t isize;
         std::memcpy(&isize, data + offset + bsize - 4, 4);
+        // BGZF caps the uncompressed payload at 64 KiB; anything larger
+        // is corrupt framing, and letting it through would turn the
+        // int32 cast / output-offset arithmetic into a buffer overflow
+        if (isize > 65536u) return -1;
         coffs[n] = offset;
         bsizes[n] = bsize;
         isizes[n] = static_cast<int32_t>(isize);

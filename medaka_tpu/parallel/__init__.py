@@ -147,7 +147,7 @@ def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16):
             lengths=lengths, **fence)
 
     if model_par == 1 and n_dev > 1:
-        from jax.experimental.shard_map import shard_map
+        shard_map = jax.shard_map
         data_axes = tuple(
             ax for ax in mesh.axis_names if ax != MODEL_AXIS) or \
             (DATA_AXIS,)
@@ -155,7 +155,7 @@ def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16):
         sharded = shard_map(
             forward, mesh=mesh,
             in_specs=(P(), pspec_b, pspec_b), out_specs=pspec_b,
-            check_rep=False)
+            check_vma=False)
         return jax.jit(sharded)
 
     return jax.jit(

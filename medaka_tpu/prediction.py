@@ -339,13 +339,12 @@ class Predictor:
             # (including fused Pallas kernels) on its local slice —
             # the canonical pallas-under-SPMD pattern; plain GSPMD
             # would have to partition the kernels' custom calls.
-            from jax.experimental.shard_map import shard_map
             pspec_b = jax.sharding.PartitionSpec(mesh.axis_names)
-            self._forward = jax.jit(shard_map(
+            self._forward = jax.jit(jax.shard_map(
                 forward, mesh=mesh,
                 in_specs=(jax.sharding.PartitionSpec(),
                           pspec_b, pspec_b),
-                out_specs=pspec_b, check_rep=False))
+                out_specs=pspec_b, check_vma=False))
         else:
             self._forward = jax.jit(
                 forward,
@@ -418,11 +417,27 @@ def auto_batch_size(model, backend=None, chunk_len: int = 10000,
         if not hbm_bytes:
             hbm_bytes = 16 << 30
     hidden = getattr(model, "gru_size", 256)
-    # two int8 inter-layer buffers + two 8-sublane f32 logit partials
-    per_row = chunk_len * (2 * hidden + 2 * 8 * 4)
-    budget = int(0.87 * hbm_bytes)
+    split_path = (
+        getattr(model, "bidirectional", True)
+        and getattr(model, "n_layers", 2) == 2
+        and hidden % 128 == 0)
+    if split_path:
+        # two int8 inter-layer buffers + two 8-sublane f32 logit
+        # partials (the transposed split path's peak phase)
+        per_row = chunk_len * (2 * hidden + 2 * 8 * 4)
+        budget = int(0.87 * hbm_bytes)
+        cap = 2560
+    else:
+        # legacy fullfused kernels: two live (T, B, 2H) bf16
+        # inter-layer concat buffers (B=1024 verified to fail at the
+        # default geometry under this model)
+        width = 2 * hidden if getattr(model, "bidirectional", True) \
+            else hidden
+        per_row = 2 * chunk_len * width * 2
+        budget = int(0.62 * hbm_bytes)
+        cap = 512
     batch = (budget // per_row) // 64 * 64
-    return int(max(32, min(2560, batch)))
+    return int(max(32, min(cap, batch)))
 
 
 def run_prediction(

@@ -81,6 +81,41 @@ class TestBgzf:
             assert fast.read(64) == payload[400000:400064]
 
 
+    def test_corrupt_isize_rejected_cleanly(self, tmp_path):
+        """A member whose ISIZE footer exceeds the BGZF 64 KiB cap (or
+        goes negative through the int32 cast) must fail the native scan
+        with a clean error, not corrupt memory in the inflate pool."""
+        import pytest
+
+        from medaka_tpu import native
+
+        path = str(tmp_path / "x.bgz")
+        with BgzfWriter(path) as w:
+            w.write(b"a" * 1000)
+        raw = bytearray(open(path, "rb").read())
+        # first member's ISIZE is the 4 bytes before the second member;
+        # locate it via the BC subfield (bsize = BC + 1)
+        bsize = int.from_bytes(raw[16:18], "little") + 1
+        for evil in (0x80000000, 0x00020000):  # negative via cast; >64KiB
+            raw[bsize - 4:bsize] = int(evil).to_bytes(4, "little")
+            open(path, "wb").write(bytes(raw))
+            with pytest.raises(native.NativeBuildError,
+                               match="malformed BGZF"):
+                native.bgzf_inflate_range(bytes(raw), 0, len(raw))
+
+    def test_close_drops_block_cache(self, tmp_path):
+        path = str(tmp_path / "x.bgz")
+        with BgzfWriter(path) as w:
+            w.write(b"x" * 100000)
+        r = BgzfReader(path)
+        assert r.read_all_from(0)
+        assert r._cache
+        r.close()
+        assert not r._cache
+        r.seek_virtual(0)
+        assert r.read(10) == b""  # EOF, not stale cached bytes
+
+
 class TestBamRecord:
     def test_build_and_parse(self):
         rec = BamRecord.build(

@@ -125,10 +125,10 @@ def test_fused_kernels_inside_shard_map_match_unsharded(setup):
     GSPMD cannot partition the kernels' custom calls). Prove the
     pattern end-to-end on the virtual mesh with interpret-mode kernels:
     the sharded result must equal the unsharded kernel result."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from medaka_tpu.ops.pallas_gru import bigru_head_fullfused
+    shard_map = jax.shard_map
 
     model, params, x, lengths = setup
     want = np.asarray(bigru_head_fullfused(
@@ -144,7 +144,7 @@ def test_fused_kernels_inside_shard_map_match_unsharded(setup):
 
     sharded = jax.jit(shard_map(
         fwd, mesh=mesh, in_specs=(P(), P("data"), P("data")),
-        out_specs=P("data"), check_rep=False))
+        out_specs=P("data"), check_vma=False))
     got = np.asarray(sharded(
         jax.tree_util.tree_map(jnp.asarray, params),
         jnp.asarray(x), jnp.asarray(lengths)))

@@ -286,7 +286,6 @@ class TestCrossChunkBoundary:
         # identical: the chunks differ only by a row permutation
         def row_sorted(m):
             flat = m.reshape(m.shape[0], m.shape[1], -1)
-            keys = [tuple(row) for col in flat for row in col]
             return np.sort(
                 flat.view([("", flat.dtype)] * flat.shape[-1]).reshape(
                     m.shape[0], m.shape[1]), axis=1)
