@@ -302,7 +302,16 @@ def main(argv=None):
     p.add_argument(
         "--full_precision", action="store_true",
         help="Train in float32 throughout (disables bf16 compute).")
-    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="EXPERIMENTAL: tensor-parallel mesh axis over the "
+             "recurrent gate dimension. Values > 1 force the GSPMD "
+             "scan path — roughly 7x slower per chip than the fused "
+             "Pallas kernels (docs/kernels.md) — because the fused "
+             "kernels are validated unsharded only. Data parallelism "
+             "(the default; batch over all chips) is the supported "
+             "scale-out axis and is strictly faster for these model "
+             "sizes.")
     p.add_argument(
         "--validate_only", action="store_true",
         help="Evaluate --model on the validation split; no training.")
@@ -310,6 +319,9 @@ def main(argv=None):
         "--resume", action="store_true",
         help="Continue a killed run from train_name's resume snapshot "
              "(params + optimizer state + epoch), losslessly.")
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="Train on the CPU backend.")
     p.set_defaults(func=_cmd_train)
 
     # --- consensus (full pipeline) --------------------------------------
@@ -801,6 +813,14 @@ def _cmd_features(args):
 
 
 def _cmd_train(args):
+    if getattr(args, "cpu", False):
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:
+            raise RuntimeError(
+                "--cpu must be the first JAX-touching option; a device "
+                "backend is already initialised: {}".format(e))
     from medaka_tpu import training
     training.train(args)
     return 0

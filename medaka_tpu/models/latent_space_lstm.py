@@ -249,20 +249,30 @@ class LatentSpaceLSTM:
 
     # --- forward ---
 
+    has_batch_stats = True
+
     def apply(self, params: Dict, x: jnp.ndarray, normalise: bool = True,
               compute_dtype=None, lengths=None,
               training: bool = False,
-              fused: Optional[bool] = None) -> jnp.ndarray:
+              fused: Optional[bool] = None,
+              bn_stats: Optional[list] = None) -> jnp.ndarray:
         """Forward pass.
 
         :param x: (batch, positions, reads, channels) int8 read-level
             features; channels [base, qual, strand, mapq(, dwell)].
         :param training: batch-norm uses batch statistics when True
-            (running statistics otherwise).
+            (running statistics otherwise). Unlike torch BatchNorm1d,
+            training-mode statistics are masked to non-empty read rows,
+            so they do not depend on how far the static ``max_reads``
+            padding exceeds the true depth.
         :param fused: use the fused Pallas recurrent kernels. Default
             (None): on for bf16 on TPU backends, off elsewhere. Callers
             running under a tensor-parallel mesh must pass False — the
             Pallas kernels are validated unsharded only.
+        :param bn_stats: mutable list; when given (with
+            ``training=True``) the per-conv-layer batch ``(mean, var)``
+            is appended so the train step can maintain running
+            statistics (see ``parallel.make_train_step``).
         :returns: (batch, positions, num_classes).
         """
         cd = compute_dtype or jnp.float32
@@ -321,8 +331,18 @@ class LatentSpaceLSTM:
             feats = feats + layer["conv"]["b"].astype(cd)
             feats = jax.nn.relu(feats)
             if training:
-                mean = jnp.mean(feats, axis=(0, 1))
-                var = jnp.var(feats, axis=(0, 1))
+                # masked batch statistics over real read rows only
+                row_w = non_empty.reshape(B * R)[:, None, None].astype(
+                    jnp.float32)
+                n_elems = jnp.maximum(row_w.sum() * P, 1.0)
+                f32 = feats.astype(jnp.float32)
+                mean = (f32 * row_w).sum(axis=(0, 1)) / n_elems
+                var = (jnp.square(f32 - mean) * row_w).sum(
+                    axis=(0, 1)) / n_elems
+                if bn_stats is not None:
+                    bn_stats.append((mean, var))
+                mean = mean.astype(cd)
+                var = var.astype(cd)
             else:
                 mean = bn["mean"].astype(cd)
                 var = bn["var"].astype(cd)

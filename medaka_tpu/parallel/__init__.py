@@ -220,6 +220,12 @@ def make_train_step(model, optimizer, mesh: Mesh,
     """
     bspec = batch_sharding(mesh)
     fence = _tp_kernel_fence(model, mesh)
+    # models with batch-normalisation (LatentSpaceLSTM) expose their
+    # per-batch statistics so the step can maintain running mean/var —
+    # the analogue of torch BatchNorm1d's momentum update; without it
+    # eval-mode normalisation would forever use the init (0, 1) stats
+    collect_bn = getattr(model, "has_batch_stats", False)
+    bn_momentum = 0.1
 
     @functools.partial(
         jax.jit,
@@ -230,14 +236,27 @@ def make_train_step(model, optimizer, mesh: Mesh,
                        replicated(mesh)),
         donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
-        (loss, (n_correct, n_total)), grads = jax.value_and_grad(
-            lambda p: cross_entropy_loss(
+        def loss_fn(p):
+            stats: list = []
+            kwargs = dict(fence)
+            if collect_bn:
+                kwargs["bn_stats"] = stats
+            loss, (n_correct, n_total) = cross_entropy_loss(
                 model, p, batch, compute_dtype=compute_dtype,
-                apply_kwargs=fence),
-            has_aux=True)(params)
+                apply_kwargs=kwargs)
+            return loss, (n_correct, n_total, stats)
+
+        (loss, (n_correct, n_total, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype), params, updates)
+        for i, (mean, var) in enumerate(stats):
+            bn = params["convs"][i]["bn"]
+            bn["mean"] = ((1 - bn_momentum) * bn["mean"]
+                          + bn_momentum * mean.astype(bn["mean"].dtype))
+            bn["var"] = ((1 - bn_momentum) * bn["var"]
+                         + bn_momentum * var.astype(bn["var"].dtype))
         return params, opt_state, loss, n_correct, n_total
 
     return train_step

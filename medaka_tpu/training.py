@@ -173,26 +173,69 @@ class TrainBatcher:
             samples=self.train_samples[:1]))
         self.time_steps = first.features.shape[0]
         self.feat_dim = first.features.shape[-1]
-        self.logger.info(
-            "%d train / %d valid samples of shape (%d, %d).",
-            len(self.train_samples), len(self.valid_samples),
-            self.time_steps, self.feat_dim)
+        # read-level feature files hold (positions, reads, channels)
+        # int8 tensors (reference trains LatentSpaceLSTM on these,
+        # ``medaka/torch_ext.py:111-166``); batches get a STATIC reads
+        # dim — the encoder's max_reads cap — so XLA compiles one
+        # program shape per run (the reference instead pads to the
+        # per-batch max depth).
+        self.is_read_level = first.features.ndim == 3
+        if self.is_read_level:
+            fenc = self.meta.get("feature_encoder")
+            self.max_reads = int(
+                getattr(fenc, "max_reads", 0)
+                or first.features.shape[1])
+            self.logger.info(
+                "%d train / %d valid read-level samples of shape "
+                "(%d, <=%d, %d).",
+                len(self.train_samples), len(self.valid_samples),
+                self.time_steps, self.max_reads, self.feat_dim)
+        else:
+            self.max_reads = None
+            self.logger.info(
+                "%d train / %d valid samples of shape (%d, %d).",
+                len(self.train_samples), len(self.valid_samples),
+                self.time_steps, self.feat_dim)
 
     def _load(self, sample_names) -> Dict[str, np.ndarray]:
-        feats = np.zeros(
-            (self.batch_size, self.time_steps, self.feat_dim), np.float32)
+        if self.is_read_level:
+            feats = np.zeros(
+                (self.batch_size, self.time_steps, self.max_reads,
+                 self.feat_dim), np.int8)
+        else:
+            feats = np.zeros(
+                (self.batch_size, self.time_steps, self.feat_dim),
+                np.float32)
         labels = np.zeros((self.batch_size, self.time_steps), np.int32)
         mask = np.zeros((self.batch_size, self.time_steps), np.float32)
         lengths = np.zeros((self.batch_size,), np.int32)
+        baseline = (
+            np.zeros((self.batch_size, self.time_steps), np.int32)
+            if self.is_read_level else None)
         for i, sample in enumerate(self._index.yield_from_feature_files(
                 samples=sample_names)):
             n = min(sample.features.shape[0], self.time_steps)
-            feats[i, :n] = sample.features[:n]
+            if self.is_read_level:
+                r = min(sample.features.shape[1], self.max_reads)
+                feats[i, :n, :r] = sample.features[:n, :r]
+                # majority-vote baseline precomputed host-side per
+                # sample (the reference does the same in its loader
+                # workers, ``medaka/training.py:440-458``): the exact
+                # counts_matrix derivation needs the (major, minor)
+                # position structure, which does not ride into the
+                # device batch
+                baseline[i, :n] = np.argmax(
+                    sample.majority_vote_probs[:n], axis=-1)
+            else:
+                feats[i, :n] = sample.features[:n]
             labels[i, :n] = np.asarray(sample.labels[:n]).reshape(n)
             mask[i, :n] = 1.0
             lengths[i] = n
-        return {"features": feats, "labels": labels, "mask": mask,
-                "lengths": lengths}
+        out = {"features": feats, "labels": labels, "mask": mask,
+               "lengths": lengths}
+        if baseline is not None:
+            out["baseline_pred"] = baseline
+        return out
 
     def batches(self, split: str = "train", shuffle: bool = True,
                 seed: int = 0, prefetch: int = 4):
@@ -314,11 +357,15 @@ def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
     total_loss, total_correct, total_count, n_batches = 0.0, 0.0, 0.0, 0
     base_correct = 0.0
     baseline_fn = _baseline_fn()
-    is_counts = batcher.feat_dim == 10
+    is_counts = batcher.feat_dim == 10 and not batcher.is_read_level
+    has_baseline = is_counts or batcher.is_read_level
     t0 = now()
     for batch in batcher.batches(split, shuffle=is_training, seed=epoch):
         if max_batches is not None and n_batches >= max_batches:
             break
+        # host-side majority argmax for read-level batches (see
+        # TrainBatcher._load); stays out of the jitted batch pytree
+        host_baseline = batch.pop("baseline_pred", None)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         if is_training:
             params, opt_state, loss, n_c, n_t = step_fn(
@@ -335,6 +382,11 @@ def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
             b_c, _b_t = baseline_fn(jbatch)
             base_correct += float(b_c)
             row["baseline_acc"] = float(b_c) / max(1.0, float(n_t))
+        elif host_baseline is not None:
+            b_c = float(np.sum(
+                (host_baseline == batch["labels"]) * batch["mask"]))
+            base_correct += b_c
+            row["baseline_acc"] = b_c / max(1.0, float(n_t))
         total_loss += float(loss)
         total_correct += float(n_c)
         total_count += float(n_t)
@@ -343,7 +395,7 @@ def run_epoch(step_fn, params, opt_state, batcher, split, epoch,
             csv_logger.append(row)
     acc = total_correct / max(1.0, total_count)
     mean_loss = total_loss / max(1, n_batches)
-    if is_counts:
+    if has_baseline:
         base_acc = base_correct / max(1.0, total_count)
         logger.info(
             "[%s] epoch %d: loss %.4f acc %.4f (Q%.1f; baseline %.4f "
@@ -449,13 +501,31 @@ def run_training(
     logger = common.get_named_logger("Training")
     os.makedirs(train_name, exist_ok=True)
 
-    if model_dict is None:
-        model_dict = dict(models_mod.DEFAULT_MODEL_DICT)
-        model_dict["kwargs"] = dict(model_dict["kwargs"])
-        model_dict["kwargs"]["num_features"] = batcher.feat_dim
-    model = models_mod.model_from_dict(model_dict)
     feature_encoder = batcher.meta.get("feature_encoder")
     label_scheme = batcher.meta.get("label_scheme")
+    if model_dict is None:
+        if batcher.is_read_level:
+            # read-level default: the reference's rl_lstm384 geometry
+            # (``options.py:175-182``, ``latent_space_lstm.py:47-59``),
+            # dwell channel following the encoder
+            use_dwells = bool(getattr(
+                feature_encoder, "include_dwells", batcher.feat_dim >= 5))
+            model_dict = {
+                "type": "LatentSpaceLSTM",
+                "kwargs": {"lstm_size": 384, "use_dwells": use_dwells}}
+        else:
+            model_dict = dict(models_mod.DEFAULT_MODEL_DICT)
+            model_dict["kwargs"] = dict(model_dict["kwargs"])
+            model_dict["kwargs"]["num_features"] = batcher.feat_dim
+    model = models_mod.model_from_dict(model_dict)
+    if batcher.is_read_level != (
+            getattr(model, "input_kind", "counts") == "reads"):
+        raise ValueError(
+            "Model {} expects {} features but the feature files hold {} "
+            "ones.".format(
+                type(model).__name__,
+                getattr(model, "input_kind", "counts"),
+                "read-level" if batcher.is_read_level else "counts"))
 
     if mesh is None:
         import math
@@ -583,9 +653,18 @@ def train(args):
     model_dict = None
     initial_params = None
     if getattr(args, "model", None):
-        bundle = models_mod.open_model(models_mod.resolve_model(args.model))
-        model_dict = bundle.model.to_dict()
-        initial_params = bundle.params
+        if args.model.endswith(".toml"):
+            # architecture-only config, random init (reference
+            # ``training.py:77-86`` accepts the same)
+            import tomllib
+            with open(args.model, "rb") as fh:
+                doc = tomllib.load(fh)
+            model_dict = doc.get("model", doc)
+        else:
+            bundle = models_mod.open_model(
+                models_mod.resolve_model(args.model))
+            model_dict = bundle.model.to_dict()
+            initial_params = bundle.params
     # bf16 mixed precision is the default (the reference's --amp
     # equivalent); --full_precision / --no-amp force float32
     amp = getattr(args, "amp", None)

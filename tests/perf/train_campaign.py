@@ -1,4 +1,4 @@
-"""Round-3 training campaign: beat majority-vote by >= 2Q.
+"""Training campaign: beat majority-vote by >= 2Q.
 
 Builds a labelled training set entirely with this framework's own
 tools from the real workflow reads (the reference ships 450x real ONT
@@ -18,7 +18,16 @@ the TPU when available). Held-out drafts (every 5th) form the
 validation split; the campaign reports model Q vs the majority-vote
 baseline Q on that split.
 
+``--read-level`` switches the whole pipeline to the read-level family
+the reference trains in-tree (``ReadAlignmentFeatureEncoder`` 3-D
+int8 features -> LatentSpaceLSTM; reference ``torch_ext.py:111-166``,
+``training.py:440-458``): shorter chunks (richer per-sample tensors),
+no dwell channel (the workflow reads carry no ``mv`` tags), and the
+majority baseline computed host-side from each sample's counts
+derivation.
+
 Usage: python tests/perf/train_campaign.py [out_dir] [n_drafts] [epochs]
+           [--read-level] [--lstm-size N]
 """
 import gzip
 import json
@@ -65,7 +74,7 @@ def subsample_reads(out_path, keep_frac, rng):
     return n
 
 
-def build_draft_set(out_dir, n_drafts, threads=4):
+def build_draft_set(out_dir, n_drafts, threads=4, read_level=False):
     """Per-draft labelled feature files; returns (train, valid) lists."""
     from medaka_tpu import mapping
     from medaka_tpu.features import create_samples
@@ -76,6 +85,18 @@ def build_draft_set(out_dir, n_drafts, threads=4):
     truth_fa = str(out_dir / "truth.fasta")
     with FastaWriter(truth_fa) as fw:
         fw.write("truth_lambda", ref_seq)
+
+    enc_kwargs = {}
+    if read_level:
+        # shorter chunks: a read-level sample is 40x larger per
+        # column than counts; the workflow reads carry no mv tags
+        enc_kwargs = {
+            "feature_encoder_name": "ReadAlignmentFeatureEncoder",
+            "feature_encoder_args": {
+                "include_dwells": False, "max_reads": 100},
+            "chunk_len": 500, "chunk_ovlp": 100}
+    else:
+        enc_kwargs = {"chunk_len": 1000, "chunk_ovlp": 200}
 
     rates = [0.002, 0.005, 0.01]
     depths = [20, 30, 45, 60]
@@ -99,7 +120,7 @@ def build_draft_set(out_dir, n_drafts, threads=4):
         feats = str(ddir / "feats.hdf5")
         n = create_samples(
             reads_bam, feats, truth_bam=truth_bam,
-            chunk_len=1000, chunk_ovlp=200, threads=threads)
+            threads=threads, **enc_kwargs)
         (valid if k % 5 == 4 else train).append(feats)
         print("draft {:02d}: rate={} depth={}x -> {} samples".format(
             k, rate, depth, n), flush=True)
@@ -121,12 +142,19 @@ def evaluate(batcher, model, params, compute_dtype):
             model, p, b, compute_dtype=compute_dtype, training=False))
     n_c = n_t = mj_c = mj_t = 0.0
     for batch in batcher.batches("validation", shuffle=False):
+        # read-level batches carry the exact host-side majority argmax
+        baseline_pred = batch.pop("baseline_pred", None)
         _, (c, t) = eval_fn(params, batch)
         n_c += float(c)
         n_t += float(t)
-        c, t = parallel.majority_baseline_accuracy(batch)
-        mj_c += float(c)
-        mj_t += float(t)
+        if baseline_pred is not None:
+            mj_c += float(np.sum(
+                (baseline_pred == batch["labels"]) * batch["mask"]))
+            mj_t += float(batch["mask"].sum())
+        else:
+            c, t = parallel.majority_baseline_accuracy(batch)
+            mj_c += float(c)
+            mj_t += float(t)
     return n_c / max(1, n_t), mj_c / max(1, mj_t)
 
 
@@ -136,10 +164,16 @@ def main():
 
     from medaka_tpu import training
 
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    read_level = "--read-level" in sys.argv
+    lstm_size = 128
+    for a in sys.argv[1:]:
+        if a.startswith("--lstm-size"):
+            lstm_size = int(a.split("=", 1)[1])
     out_dir = pathlib.Path(
-        sys.argv[1] if len(sys.argv) > 1 else "/tmp/train_campaign")
-    n_drafts = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+        args[0] if len(args) > 0 else "/tmp/train_campaign")
+    n_drafts = int(args[1]) if len(args) > 1 else 40
+    epochs = int(args[2]) if len(args) > 2 else 300
     out_dir.mkdir(parents=True, exist_ok=True)
 
     marker = out_dir / "dataset.json"
@@ -149,24 +183,33 @@ def main():
         print("Reusing dataset: {} train / {} valid files".format(
             len(train), len(valid)), flush=True)
     else:
-        train, valid = build_draft_set(out_dir, n_drafts)
+        train, valid = build_draft_set(
+            out_dir, n_drafts, read_level=read_level)
         marker.write_text(json.dumps({"train": train, "valid": valid}))
 
     # the reference's bundled labelled features (1.16 Mb of a real
     # assembly, same 1000-column geometry) add volume and a second
-    # genome; validation stays purely on the held-out drafts
+    # genome; validation stays purely on the held-out drafts.
+    # (Counts-only: the bundled file holds 2-D features.)
     ref_feats = ("/root/reference/medaka/test/data/"
                  "training_features.hdf5")
-    if os.path.exists(ref_feats) and not os.environ.get(
-            "CAMPAIGN_NO_REF_FEATURES"):
+    if (not read_level and os.path.exists(ref_feats)
+            and not os.environ.get("CAMPAIGN_NO_REF_FEATURES")):
         train = list(train) + [ref_feats]
 
+    batch_size = 32 if read_level else 128
     batcher = training.TrainBatcher(
-        train, validation=valid, batch_size=128, seed=0)
+        train, validation=valid, batch_size=batch_size, seed=0)
     compute_dtype = (
         jnp.bfloat16 if jax.default_backend() != "cpu" else None)
+    model_dict = None
+    if read_level:
+        model_dict = {
+            "type": "LatentSpaceLSTM",
+            "kwargs": {"lstm_size": lstm_size, "use_dwells": False}}
     model, params = training.run_training(
         str(out_dir / "train"), batcher, epochs=epochs,
+        model_dict=model_dict,
         compute_dtype=compute_dtype, early_stop_epochs=60)
 
     acc, mj = evaluate(batcher, model, params, compute_dtype)

@@ -233,6 +233,49 @@ class TestLatentSpaceLSTMParity:
             model.check_feature_encoder_compatibility(
                 CountsFeatureEncoder())
 
+    def test_export_round_trip_logit_parity(self, tmp_path):
+        """`tools export` on a read-level checkpoint yields a torch
+        state dict a reference-architecture torch model loads and
+        reproduces our probabilities with (the reference serialises
+        any torch model, ``torch_ext.py:474-533``)."""
+        import tarfile
+
+        import torch
+
+        from medaka_tpu.models import export_model, save_model
+
+        model = LatentSpaceLSTM(
+            lstm_size=16, cnn_size=12, kernel_sizes=[1, 17],
+            use_dwells=False)
+        params = model.init_params(jax.random.PRNGKey(7))
+        src = str(tmp_path / "model.tar.gz")
+        save_model(
+            src, model, params,
+            feature_encoder=ReadAlignmentFeatureEncoder(
+                include_dwells=False))
+        out = export_model(src, str(tmp_path / "exported"))
+        xdir = tmp_path / "x"
+        with tarfile.open(out) as tar:
+            tar.extractall(xdir)
+        cfg = open(str(xdir / "model" / "config.toml")).read()
+        assert "LatentSpaceLSTM" in cfg
+        state = torch.load(
+            str(xdir / "model" / "weights.pt"), weights_only=True)
+        tm = _torch_latent_lstm(
+            use_dwells=False, lstm_size=16, cnn_size=12)
+        result = tm.load_state_dict(state, strict=False)
+        # only torch's bookkeeping counters may be absent
+        assert all(
+            "num_batches_tracked" in k for k in result.missing_keys)
+        assert not result.unexpected_keys
+        rng = np.random.default_rng(11)
+        x = rng.integers(0, 5, (2, 30, 6, 4)).astype(np.int8)
+        x[..., 2] = rng.choice([-1, 1], (2, 30, 6))
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x.astype(np.float32))).numpy()
+        got = np.asarray(model.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
 
 class TestCrossChunkBoundary:
     """Row-assignment semantics across featurization chunk joins.

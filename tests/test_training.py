@@ -132,6 +132,175 @@ def test_training_reproducible(tmp_path):
     assert losses[0] == losses[1]
 
 
+# ---------------------------------------------------------------------------
+# read-level (LatentSpaceLSTM) training — the reference trains this family
+# in-tree (``medaka/torch_ext.py:111-166``, ``training.py:440-458``,
+# ``test/test_architectures.py:58-106``)
+# ---------------------------------------------------------------------------
+
+_RL_KWARGS = {"lstm_size": 8, "cnn_size": 8, "kernel_sizes": [1, 3],
+              "use_dwells": False}
+
+_ARCH_CASES = [
+    ({"type": "GRUModel",
+      "kwargs": {"num_features": 10, "gru_size": 8}}, "counts"),
+    ({"type": "LatentSpaceLSTM", "kwargs": dict(_RL_KWARGS)}, "reads"),
+    ({"type": "LatentSpaceLSTM",
+      "kwargs": dict(_RL_KWARGS, bidirectional=False)}, "reads"),
+    ({"type": "LatentSpaceLSTM",
+      "kwargs": dict(_RL_KWARGS, use_dwells=True)}, "reads"),
+]
+
+
+def _random_batch(kind, use_dwells=False, B=4, T=16, R=6, seed=0):
+    rng = np.random.default_rng(seed)
+    if kind == "counts":
+        feats = rng.random((B, T, 10)).astype(np.float32)
+    else:
+        C = 5 if use_dwells else 4
+        feats = np.zeros((B, T, R, C), np.int8)
+        feats[..., 0] = rng.integers(0, 6, (B, T, R))
+        feats[..., 1] = rng.integers(1, 40, (B, T, R))
+        feats[..., 2] = rng.choice([-1, 1], (B, T, R))
+        feats[..., 3] = 30
+        if use_dwells:
+            feats[..., 4] = rng.integers(1, 9, (B, T, R))
+        # a couple of empty read rows to exercise masked pooling/BN
+        feats[:, :, -1] = 0
+    return {
+        "features": feats,
+        "labels": rng.integers(0, 5, (B, T)).astype(np.int32),
+        "mask": np.ones((B, T), np.float32),
+        "lengths": np.full((B,), T, np.int32)}
+
+
+@pytest.mark.parametrize("model_dict,kind", _ARCH_CASES)
+def test_train_step_per_architecture(model_dict, kind):
+    """Every trainable architecture takes optimizer steps that reduce
+    the loss on a fixed batch, and still runs inference afterwards
+    (reference ``test_architectures.py:58-106``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medaka_tpu import parallel
+    from medaka_tpu.models import model_from_dict
+
+    model = model_from_dict(model_dict)
+    batch = _random_batch(
+        kind, use_dwells=model_dict["kwargs"].get("use_dwells", False))
+    mesh = parallel.make_mesh(jax.devices()[:1])
+    opt = training.build_optimizer(
+        "adam", optim_args={"learning_rate": 1e-2})
+    params = parallel.shard_params(
+        model.init_params(jax.random.PRNGKey(0)), mesh)
+    opt_state = opt.init(params)
+    step = parallel.make_train_step(model, opt, mesh, compute_dtype=None)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = []
+    for _ in range(6):
+        params, opt_state, loss, n_c, n_t = step(params, opt_state, jbatch)
+        losses.append(float(loss))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    probs = model.apply(params, jnp.asarray(batch["features"]))
+    assert probs.shape == batch["labels"].shape + (5,)
+    assert np.all(np.isfinite(np.asarray(probs)))
+
+
+def _write_read_level_features(path, chunk_len=4, overlap=2):
+    """Labelled read-level feature HDF5 from the mock 8 bp BAM."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from mock_data import create_simple_bam, create_truth_bam
+
+    from medaka_tpu import datastore
+    from medaka_tpu.common import Region
+    from medaka_tpu.features import (
+        ReadAlignmentFeatureEncoder, SampleGenerator)
+    from medaka_tpu.labels import HaploidLabelScheme
+
+    d = os.path.dirname(path)
+    bam = create_simple_bam(os.path.join(d, "reads.bam"))
+    truth = create_truth_bam(os.path.join(d, "truth.bam"))
+    encoder = ReadAlignmentFeatureEncoder(
+        include_dwells=False, max_reads=10)
+    scheme = HaploidLabelScheme()
+    gen = SampleGenerator(
+        bam, Region("ref", 0, 8), encoder, truth_bam=truth,
+        label_scheme=scheme, chunk_len=chunk_len, chunk_overlap=overlap,
+        min_truth_length=0)
+    samples = gen.samples
+    assert len(samples) >= 3
+    with datastore.DataStore(path, "w") as ds:
+        ds.set_meta(encoder, "feature_encoder")
+        ds.set_meta(scheme, "label_scheme")
+        for s in samples:
+            ds.write_sample(s)
+        ds.write_registry()
+    return path
+
+
+class TestReadLevelTraining:
+    def test_batcher_serves_4d_batches(self, tmp_path):
+        feats = _write_read_level_features(str(tmp_path / "rl.hdf5"))
+        b = training.TrainBatcher(
+            [feats], validation=0.25, batch_size=2)
+        assert b.is_read_level
+        assert b.max_reads == 10  # encoder's static cap, not batch max
+        batch = next(b.batches("train"))
+        assert batch["features"].shape == (2, b.time_steps, 10, 4)
+        assert batch["features"].dtype == np.int8
+        assert batch["labels"].max() <= 4
+        # host-side majority baseline rides with read-level batches
+        assert batch["baseline_pred"].shape == (2, b.time_steps)
+        # on the clean mock pileup, majority vote is mostly right
+        agree = (batch["baseline_pred"] == batch["labels"]) * batch["mask"]
+        assert agree.sum() / batch["mask"].sum() > 0.5
+
+    def test_end_to_end_read_level_training(self, tmp_path):
+        """`train` on read-level features: loss drops, BN running stats
+        move off init, the checkpoint round-trips and predicts."""
+        feats = _write_read_level_features(str(tmp_path / "rl.hdf5"))
+        b = training.TrainBatcher([feats], validation=0.25, batch_size=2)
+        out = str(tmp_path / "train")
+        model, params = training.run_training(
+            out, b,
+            model_dict={"type": "LatentSpaceLSTM",
+                        "kwargs": dict(_RL_KWARGS)},
+            epochs=3, optimizer="adam",
+            optim_args={"learning_rate": 5e-3}, compute_dtype=None)
+        rows = open(os.path.join(out, "training.csv")).read().splitlines()
+        header = rows[0].split(",")
+        assert "baseline_acc" in header
+        li = header.index("loss")
+        train_rows = [r for r in rows[1:] if r.startswith("train,")]
+        assert float(train_rows[-1].split(",")[li]) < \
+            float(train_rows[0].split(",")[li])
+        # BN running stats were updated by the train step
+        bn = params["convs"][0]["bn"]
+        assert np.abs(np.asarray(bn["mean"])).max() > 0
+        assert np.abs(np.asarray(bn["var"]) - 1.0).max() > 1e-6
+        bundle = load_model(os.path.join(out, "model-2.tar.gz"))
+        assert type(bundle.model).__name__ == "LatentSpaceLSTM"
+        assert bundle.feature_encoder.max_reads == 10
+        probs = bundle.model.apply(
+            bundle.params, np.zeros((1, 8, 10, 4), np.int8))
+        assert probs.shape == (1, 8, 5)
+
+    def test_default_model_is_read_level(self, tmp_path):
+        """model_dict=None on a read-level batcher selects the
+        LatentSpaceLSTM family (reference rl_lstm384 geometry) and a
+        counts model is rejected outright."""
+        feats = _write_read_level_features(str(tmp_path / "rl.hdf5"))
+        b = training.TrainBatcher([feats], validation=0.25, batch_size=2)
+        with pytest.raises(ValueError, match="read-level"):
+            training.run_training(
+                str(tmp_path / "bad"), b,
+                model_dict={"type": "GRUModel", "kwargs": {}}, epochs=1)
+
+
 def test_kill_and_resume_matches_uninterrupted(tmp_path):
     """Lossless resume: 2+2 epochs (resumed) == 4 epochs straight.
 
