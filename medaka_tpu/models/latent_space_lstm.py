@@ -49,6 +49,38 @@ def _bn_params(ch):
         "var": jnp.ones((ch,), jnp.float32)}
 
 
+@jax.custom_vjp
+def _conv1d_f32acc(x, w):
+    """`SAME` NWC conv with f32 MXU accumulation and a working VJP.
+
+    ``preferred_element_type=f32`` on bf16 operands is the fast forward
+    (measured 69.2 vs 74.8 ms at the production geometry) but JAX's
+    conv transpose rule rejects the resulting f32 cotangent against
+    bf16 operands, so the backward convs run at the operands' dtype
+    (the MXU still accumulates f32 internally either way).
+    """
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding="SAME",
+        dimension_numbers=("NWC", "OIW", "NWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _conv1d_f32acc_fwd(x, w):
+    return _conv1d_f32acc(x, w), (x, w)
+
+
+def _conv1d_f32acc_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda x_, w_: jax.lax.conv_general_dilated(
+            x_, w_, window_strides=(1,), padding="SAME",
+            dimension_numbers=("NWC", "OIW", "NWC")), x, w)
+    return vjp(g.astype(x.dtype))
+
+
+_conv1d_f32acc.defvjp(_conv1d_f32acc_fwd, _conv1d_f32acc_bwd)
+
+
 @register_model
 class LatentSpaceLSTM:
     """Functional read-level model: params pytree + pure ``apply``."""
@@ -321,13 +353,9 @@ class LatentSpaceLSTM:
         for layer in params["convs"]:
             bn = layer["bn"]
             w = layer["conv"]["w"].astype(cd)  # (out, in, k)
-            feats = jax.lax.conv_general_dilated(
-                feats, w, window_strides=(1,),
-                padding="SAME",
-                dimension_numbers=("NWC", "OIW", "NWC"),
-                # MXU accumulates f32 natively; bf16 accumulation is
-                # both slower to lower and less accurate
-                preferred_element_type=jnp.float32).astype(cd)
+            # MXU accumulates f32 natively; bf16 accumulation is both
+            # slower to lower and less accurate (see _conv1d_f32acc)
+            feats = _conv1d_f32acc(feats, w).astype(cd)
             feats = feats + layer["conv"]["b"].astype(cd)
             feats = jax.nn.relu(feats)
             if training:

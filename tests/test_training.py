@@ -207,6 +207,45 @@ def test_train_step_per_architecture(model_dict, kind):
     assert np.all(np.isfinite(np.asarray(probs)))
 
 
+def test_read_level_train_step_bf16():
+    """The bf16 train step (the TPU path) must differentiate through
+    the f32-accumulating conv: JAX's conv transpose rule rejects a
+    float32 cotangent against bfloat16 operands, so the model routes
+    convs through a custom-VJP wrapper (``_conv1d_f32acc``). Loss and
+    grads must stay finite and match the f32 step closely."""
+    import jax
+    import jax.numpy as jnp
+
+    from medaka_tpu import parallel
+    from medaka_tpu.models import model_from_dict
+
+    model = model_from_dict(
+        {"type": "LatentSpaceLSTM", "kwargs": _RL_KWARGS})
+    batch = _random_batch("reads")
+    params = model.init_params(jax.random.PRNGKey(0))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def loss_at(dtype):
+        def loss_fn(p):
+            loss, _ = parallel.cross_entropy_loss(
+                model, p, jbatch, compute_dtype=dtype, training=True)
+            return loss
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        flat = np.concatenate([
+            np.asarray(g, np.float32).ravel()
+            for g in jax.tree_util.tree_leaves(grads)])
+        return float(loss), flat
+
+    loss16, g16 = loss_at(jnp.bfloat16)
+    loss32, g32 = loss_at(None)
+    assert np.isfinite(loss16) and np.all(np.isfinite(g16))
+    assert abs(loss16 - loss32) < 0.05 * max(1.0, abs(loss32))
+    # direction agreement: bf16 grads point the same way as f32
+    cos = np.dot(g16, g32) / max(
+        1e-9, np.linalg.norm(g16) * np.linalg.norm(g32))
+    assert cos > 0.97
+
+
 def _write_read_level_features(path, chunk_len=4, overlap=2):
     """Labelled read-level feature HDF5 from the mock 8 bp BAM."""
     import os
