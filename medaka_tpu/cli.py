@@ -119,6 +119,13 @@ def main(argv=None):
         help="Batch size (default: auto — 512 for counts models on TPU, 128 otherwise).")
     p.add_argument("--bam_workers", type=int, default=2)
     p.add_argument(
+        "--output_shards", type=int, default=1,
+        help="Write probability samples round-robin across this many "
+             "shard files with parallel writer threads; the named "
+             "output keeps the metadata + shard manifest and all "
+             "downstream commands read it unchanged. Lifts the "
+             "single-file HDF5 write ceiling on fast hosts.")
+    p.add_argument(
         "--feature_processes", type=int, default=0,
         help="Featurize regions in this many worker processes instead "
              "of threads (threads win on few-core hosts; see PARITY.md).")
@@ -720,15 +727,16 @@ def _cmd_inference(args):
             full_precision=args.full_precision,
             feature_processes=args.feature_processes,
             encoder_overrides=overrides or None,
-            save_features=args.save_features)
+            save_features=args.save_features,
+            output_shards=args.output_shards)
     if args.check_output:
-        # read-only: mode "a" would create a missing file and pass
+        # DataIndex opens read-only and expands shard manifests
         from medaka_tpu import datastore as ds_mod
-        with ds_mod.DataStore(args.output, "r") as ds:
-            if not ds.sample_registry:
-                # legal for e.g. a shard with an uncovered work share
-                common.get_named_logger("CheckOutput").warning(
-                    "Output %s contains no samples.", args.output)
+        index = ds_mod.DataIndex(args.output)
+        if not index.samples:
+            # legal for e.g. a shard with an uncovered work share
+            common.get_named_logger("CheckOutput").warning(
+                "Output %s contains no samples.", args.output)
     return 0
 
 
@@ -755,7 +763,8 @@ def _cmd_variant_pipeline(args):
             bam, probs, model_path=models.resolve_model(args.model),
             batch_size=args.batch_size, chunk_len=args.chunk_len,
             chunk_overlap=args.chunk_ovlp,
-            bam_workers=max(1, args.threads // 2))
+            bam_workers=max(1, args.threads // 2),
+            output_shards=max(1, min(4, args.threads // 2)))
     vcf_raw = os.path.join(args.output, "medaka.vcf")
     variant.variants_from_hdf(probs, args.ref_fasta, vcf_raw)
     if args.annotate:
@@ -904,7 +913,8 @@ def _cmd_consensus_joint(args):
             merged, probs, model_path=models.resolve_model(args.model),
             batch_size=args.batch_size, chunk_len=args.chunk_len,
             chunk_overlap=args.chunk_ovlp,
-            bam_workers=max(1, args.threads // 2))
+            bam_workers=max(1, args.threads // 2),
+            output_shards=max(1, min(4, args.threads // 2)))
     ext = "fastq" if args.qualities else "fasta"
     out = os.path.join(args.output, "consensus." + ext)
     stitch.stitch_to_fasta(

@@ -337,6 +337,149 @@ class DataStore:
             json.dumps(sorted(self.sample_registry)).encode())
 
 
+def _shard_writer_main(path, compression, queue, err_queue):
+    """Shard writer process: drain samples until the None sentinel.
+
+    Runs in a spawned subprocess so each shard file gets its own HDF5
+    library instance — h5py serialises every call in-process on one
+    global lock, which makes thread-sharding worthless.
+    """
+    try:
+        with DataStore(path, "a", compression=compression) as ds:
+            while True:
+                item = queue.get()
+                if item is None:
+                    ds.write_registry()
+                    break
+                ds.write_sample(item)
+        err_queue.put(None)
+    except Exception as e:  # pragma: no cover - disk full etc.
+        err_queue.put("{}: {}".format(type(e).__name__, e))
+
+
+class ShardedDataStore:
+    """Round-robin writer over N shard files in writer processes.
+
+    h5py holds a process-global lock around every HDF5 call, so a
+    single process cannot exceed one file's write rate no matter how
+    many threads it uses (measured ~7 Mcols/s vs a ~19 Mcols/s disk
+    ceiling for the probability-sample payload). Each shard therefore
+    writes from its own spawned process fed over a bounded queue; the
+    base file holds the shared metadata plus a shard manifest that
+    :class:`DataIndex` expands transparently, so every downstream
+    consumer (stitch, variant decode, training) keeps its single-path
+    signature.
+
+    Spawn (not fork) start method: the caller usually holds a live
+    TPU client, which is not fork-safe.
+
+    The reference has no analogue — its pipeline writes one HDF5 per
+    process (``medaka/datastore.py:278-299``) and asks users to merge
+    by hand for scale-out.
+    """
+
+    def __init__(self, filename: str, shards: int = 2,
+                 compression: Optional[str] = None):
+        import multiprocessing as mp
+        self.filename = filename
+        self.base = DataStore(filename, "a", compression=compression)
+        self.shard_names = [
+            "{}.shard{:02d}".format(filename, k) for k in range(shards)]
+        self.base.fh.attrs["shard_files"] = json.dumps(
+            [os.path.basename(n) for n in self.shard_names])
+        ctx = mp.get_context("spawn")
+        # 64 x ~200 KB samples ≈ 12 MB buffered per shard; deep enough
+        # to amortise the semaphore round trips (measured 3x put
+        # throughput vs maxsize 16), small enough to bound memory
+        self._queues = [ctx.Queue(maxsize=64) for _ in self.shard_names]
+        self._err_queue = ctx.Queue()
+        self._procs = [
+            ctx.Process(
+                target=_shard_writer_main,
+                args=(name, compression, q, self._err_queue),
+                daemon=True)
+            for name, q in zip(self.shard_names, self._queues)]
+        for p in self._procs:
+            p.start()
+        self._next = 0
+        self._closed = False
+
+    def set_meta(self, obj, name: str):
+        """Store metadata in the base file (shards hold samples only)."""
+        self.base.set_meta(obj, name)
+
+    def write_sample(self, sample: Sample):
+        """Queue the sample on the next shard (round-robin)."""
+        self._queues[self._next].put(sample)
+        self._next = (self._next + 1) % len(self._queues)
+
+    def write_registry(self):
+        """No-op: each shard persists its registry at close."""
+
+    def close(self):
+        """Drain the writers, then close the base file."""
+        if self._closed:
+            return
+        self._closed = True
+        for q in self._queues:
+            q.put(None)
+        import queue as queue_mod
+        errors = []
+        for _ in self._procs:
+            try:
+                err = self._err_queue.get(timeout=600)
+            except queue_mod.Empty:  # a writer died without reporting
+                errors.append("shard writer did not acknowledge close")
+                break
+            if err is not None:
+                errors.append(err)
+        for p in self._procs:
+            p.join(timeout=60)
+            if p.is_alive():  # pragma: no cover - hung writer
+                p.terminate()
+                errors.append("shard writer hung and was terminated")
+        # metadata must reach the shards too (DataIndex reads the
+        # base first, but each shard stays independently loadable)
+        for name in self.shard_names:
+            with DataStore(name, "a") as ds:
+                ds.copy_meta(self.base)
+        self.base.close()
+        if errors:
+            raise IOError(
+                "Shard writer failed: {}".format("; ".join(errors)))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def expand_shards(filenames) -> List[str]:
+    """Expand shard manifests in a file list.
+
+    A file written by :class:`ShardedDataStore` carries a
+    ``shard_files`` attribute naming its sibling shard files; replace
+    it by base + shards so callers can keep passing the single path.
+    """
+    if isinstance(filenames, str):
+        filenames = [filenames]
+    out: List[str] = []
+    for fname in filenames:
+        out.append(fname)
+        try:
+            with h5py.File(fname, "r") as fh:
+                names = json.loads(fh.attrs.get("shard_files", "[]"))
+        except Exception:
+            names = []
+        base_dir = os.path.dirname(fname)
+        for name in names:
+            path = os.path.join(base_dir, name)
+            if os.path.exists(path):
+                out.append(path)
+    return out
+
+
 class _IndexEntry(tuple):
     """(sample_name, filename) with parsed coordinates."""
 
@@ -354,10 +497,12 @@ class DataIndex:
     """
 
     def __init__(self, filenames, threads: int = 4):
-        """Build an index over ``filenames`` (list or single path)."""
-        if isinstance(filenames, str):
-            filenames = [filenames]
-        self.filenames = list(filenames)
+        """Build an index over ``filenames`` (list or single path).
+
+        Shard-manifest files (:class:`ShardedDataStore`) expand to
+        their shard set automatically.
+        """
+        self.filenames = expand_shards(filenames)
         self.logger = common.get_named_logger("DataIndex")
         self._meta: Optional[Dict] = None
         self._index: Optional[Dict[str, List[_IndexEntry]]] = None

@@ -247,6 +247,71 @@ def _weibull_fractions(rec: BamRecord, qpos: np.ndarray, num_qstrat: int,
     return out
 
 
+def _split_counts_blocks(counts, majors, minors):
+    """Split kernel output into contiguous blocks on major-coord gaps."""
+    positions = make_positions(majors, minors)
+    if len(majors) == 0:
+        return [(counts, positions)]
+    block_bounds = np.flatnonzero(np.diff(majors) > 1) + 1
+    if len(block_bounds) == 0:
+        return [(counts, positions)]
+    out = []
+    for piece in np.split(np.arange(len(majors)), block_bounds):
+        out.append((counts[piece], positions[piece]))
+    return out
+
+
+def _pileup_counts_payload(reader, region, num_qstrat, min_mapq,
+                           tag_name, tag_value, keep_missing,
+                           read_group):
+    """Fully native single-dtype pileup: BGZF bytes -> counts.
+
+    Inflates the region's index-chunk span in one multi-threaded
+    native pass (``BamReader.region_payload``), scans + filters the
+    records in C++ (``native/src/bam_scan.cpp`` — the reference's
+    ``medaka_bamiter.c`` filters), and feeds the surviving record
+    offsets straight to the pileup kernel. No ``BamRecord`` objects
+    are created. Returns None when any native stage is unavailable
+    (callers use the record-object path).
+    """
+    try:
+        from medaka_tpu import native
+    except Exception:  # pragma: no cover
+        return None
+    if not native.available():
+        return None
+    try:
+        rp = reader.region_payload(region.ref_name, region.start,
+                                   region.end)
+    except Exception:
+        return None
+    if rp is None:
+        return None
+    payload, seg_start, seg_end, tid = rp
+    try:
+        rec_off = native.bam_scan_filter(
+            payload, seg_start, seg_end, tid, region.start, region.end,
+            min_mapq=min_mapq, tag_name=tag_name,
+            tag_value=tag_value if tag_value is not None else 0,
+            keep_missing=keep_missing, read_group=read_group)
+    except native.LongCigarInPayload:
+        return None  # cigar-expanding fallback handles CG records
+    except Exception:
+        return None
+    if len(rec_off) == 0:
+        return [(
+            np.empty((0, FEATLEN * num_qstrat), dtype=np.int32),
+            make_positions([], []))]
+    rec_off = np.append(rec_off, payload.size)
+    try:
+        counts, majors, minors = native.pileup_counts_raw(
+            payload, rec_off, np.zeros(len(rec_off) - 1, np.int32),
+            region.start, region.end, 1, num_qstrat)
+    except native.NativeBuildError:  # pragma: no cover
+        return None
+    return _split_counts_blocks(counts, majors, minors)
+
+
 def _pileup_counts_native(reads, start, end, dtypes, dtype_index,
                           num_qstrat):
     """Accumulate counts with the native kernel; None on unavailability.
@@ -289,17 +354,7 @@ def _pileup_counts_native(reads, start, end, dtypes, dtype_index,
             num_qstrat)
     except native.NativeBuildError:  # pragma: no cover
         return None
-    positions = make_positions(majors, minors)
-    if len(majors) == 0:
-        return [(counts, positions)]
-    # contiguity split on gaps in major coordinates
-    block_bounds = np.flatnonzero(np.diff(majors) > 1) + 1
-    if len(block_bounds) == 0:
-        return [(counts, positions)]
-    out = []
-    for piece in np.split(np.arange(len(majors)), block_bounds):
-        out.append((counts[piece], positions[piece]))
-    return out
+    return _split_counts_blocks(counts, majors, minors)
 
 
 def pileup_counts(
@@ -345,6 +400,14 @@ def pileup_counts(
 
     reader = bam if isinstance(bam, BamReader) else BamReader(bam)
     try:
+        if num_dtypes == 1 and not weibull_summation:
+            # hot path: record scan + filter + pileup fully in C++
+            # over the inflated payload, no BamRecord objects at all
+            payload_result = _pileup_counts_payload(
+                reader, region, num_qstrat, min_mapq, tag_name,
+                tag_value, keep_missing, read_group)
+            if payload_result is not None:
+                return payload_result
         reads = [
             rec for rec in reader.fetch(region.ref_name, start, end)
             if filter_read(
@@ -645,6 +708,22 @@ class CountsFeatureEncoder(BaseFeatureEncoder):
             self.logger.warning(
                 "Pileup counts do not span requested region, requested {}, "
                 "received {}-{}.".format(region, start, end))
+
+        if (self.normalise == "total" and not self.sym_indels
+                and counts.dtype == np.int32):
+            # hot path: depth + normalisation in one native pass
+            # (no per-column numpy temporaries)
+            try:
+                from medaka_tpu import native
+                if native.available():
+                    feats, depth = native.counts_norm_total(
+                        counts, positions["minor"])
+                    return Sample(
+                        ref_name=region.ref_name, features=feats,
+                        labels=None, ref_seq=None, positions=positions,
+                        label_probs=None, depth=depth)
+            except Exception:  # pragma: no cover - fall through to numpy
+                pass
 
         minor_inds = np.where(positions["minor"] > 0)
         major_at_minor = positions["major"][minor_inds]

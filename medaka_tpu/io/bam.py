@@ -610,6 +610,69 @@ class BamReader:
                 if rec.pos >= beg or rec.reference_end > beg:
                     yield rec
 
+    def region_payload(self, ref_name: str, start: Optional[int] = None,
+                       end: Optional[int] = None,
+                       max_compressed_span: int = 256 << 20):
+        """Inflate a region's index-chunk span in one native pass.
+
+        The featurization hot path hands the result straight to the
+        native record scan + pileup kernels, so a region goes BGZF
+        bytes -> counts without materialising ``BamRecord`` objects
+        (reference context: P1/P2, ``medaka/features.py:199-255``).
+
+        :returns: ``(payload, seg_start, seg_end, tid)`` — inflated
+            payload bytes (uint8 array) and, per index chunk, the
+            payload-coordinate window bounding its records — or
+            ``None`` when there is no .bai, the native library is
+            unavailable, or the compressed span exceeds
+            ``max_compressed_span`` (callers fall back to
+            :meth:`fetch`).
+        """
+        from medaka_tpu import native
+        tid = self.get_tid(ref_name)
+        if tid < 0:
+            raise KeyError("Unknown reference {}".format(ref_name))
+        index = self._load_index()
+        if not index or not native.available():
+            return None
+        beg = 0 if start is None else max(0, start)
+        stop = self.lengths[tid] if end is None else end
+        chunks = index.query(tid, beg, stop)
+        data_len = len(self._bgzf._data)
+        span = sum(
+            min((ce >> 16) + 1, data_len) - (cb >> 16)
+            for cb, ce in chunks)
+        if span > max_compressed_span:
+            return None
+        payloads, seg_start, seg_end = [], [], []
+        base = 0
+        nthreads = self._bgzf._nthreads
+        for cbeg, cend in chunks:
+            c0 = cbeg >> 16
+            limit = min((cend >> 16) + 1, data_len)
+            try:
+                payload, coffs, poffs, _nxt = native.bgzf_inflate_range(
+                    self._bgzf._data, c0, limit, nthreads)
+            except Exception:
+                return None
+            eb = cend >> 16
+            j = int(np.searchsorted(coffs, eb))
+            if j < len(coffs) and coffs[j] == eb:
+                e = int(poffs[j]) + (cend & 0xFFFF)
+            else:
+                e = int(poffs[-1])
+            payloads.append(payload)
+            seg_start.append(base + (cbeg & 0xFFFF))
+            seg_end.append(base + e)
+            base += payload.size
+        if not payloads:
+            return (np.empty(0, np.uint8), np.empty(0, np.int64),
+                    np.empty(0, np.int64), tid)
+        payload = (payloads[0] if len(payloads) == 1
+                   else np.concatenate(payloads))
+        return (payload, np.asarray(seg_start, np.int64),
+                np.asarray(seg_end, np.int64), tid)
+
     def close(self):
         """Close the underlying BGZF reader."""
         self._bgzf.close()

@@ -24,7 +24,7 @@ from typing import List, Optional, Sequence
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _SOURCES = (
     "align.cpp", "poa.cpp", "mapper.cpp", "pileup.cpp", "read_matrix.cpp",
-    "bgzf.cpp")
+    "bgzf.cpp", "bam_scan.cpp")
 _LOCK = threading.Lock()
 _LIB = None
 
@@ -346,6 +346,99 @@ def _load_pileup_raw_symbols(lib):
     lib._pileup_raw_ready = True
 
 
+def counts_norm_total(counts, minors):
+    """Native "total" normalisation: (features f32, depth i64).
+
+    Mirrors the numpy post-process in
+    ``features._post_process_pileup`` for ``normalise='total'``.
+    """
+    import numpy as np
+
+    lib = _load()
+    if not getattr(lib, "_norm_ready", False):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.mt_counts_norm_total.restype = ctypes.c_int
+        lib.mt_counts_norm_total.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), i64p,
+            ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), i64p]
+        lib._norm_ready = True
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    minors = np.ascontiguousarray(minors, dtype=np.int64)
+    n_cols, col_feat = counts.shape
+    feats = np.empty((n_cols, col_feat), np.float32)
+    depth = np.empty(n_cols, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.mt_counts_norm_total(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        minors.ctypes.data_as(i64p), n_cols, col_feat,
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        depth.ctypes.data_as(i64p))
+    return feats, depth
+
+
+def _load_bam_scan_symbols(lib):
+    if getattr(lib, "_bam_scan_ready", False):
+        return
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.mt_bam_scan_filter.restype = ctypes.c_int64
+    lib.mt_bam_scan_filter.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,     # payload, payload_len
+        i64p, i64p, ctypes.c_int,            # seg_start, seg_end, n_seg
+        ctypes.c_int32,                      # tid
+        ctypes.c_int64, ctypes.c_int64,      # start, end
+        ctypes.c_int,                        # min_mapq
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,  # tag filter
+        ctypes.c_char_p,                     # read_group
+        i64p, ctypes.c_int64,                # rec_off_out, cap
+    ]
+    lib._bam_scan_ready = True
+
+
+class LongCigarInPayload(Exception):
+    """A record in the scanned span carries a CG-style long cigar."""
+
+
+def bam_scan_filter(payload, seg_start, seg_end, tid, start, end,
+                    min_mapq=1, tag_name=None, tag_value=0,
+                    keep_missing=False, read_group=None):
+    """Filtered record offsets within an inflated BAM payload.
+
+    ``payload`` holds inflated BGZF bytes; ``seg_start``/``seg_end``
+    bound the record windows (payload offsets) of the region's index
+    chunks. Returns int64 payload offsets of each passing record's
+    refID field — the layout :func:`pileup_counts_raw` and
+    :func:`read_matrix_raw` consume directly.
+
+    :raises LongCigarInPayload: when a passing record uses the CG
+        long-cigar encoding (caller falls back to the Python parser).
+    """
+    import numpy as np
+
+    lib = _load()
+    _load_bam_scan_symbols(lib)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    seg_start = np.ascontiguousarray(seg_start, dtype=np.int64)
+    seg_end = np.ascontiguousarray(seg_end, dtype=np.int64)
+    # smallest possible record is 4 (block_size) + 32 (fixed) + 1 byte
+    cap = max(1, int(payload.size) // 37 + 1)
+    rec_off = np.empty(cap, np.int64)
+    n = lib.mt_bam_scan_filter(
+        payload.ctypes.data_as(ctypes.c_char_p), payload.size,
+        seg_start.ctypes.data_as(i64p), seg_end.ctypes.data_as(i64p),
+        len(seg_start), tid, start, end, min_mapq,
+        tag_name.encode() if tag_name else None, tag_value,
+        int(keep_missing),
+        read_group.encode() if read_group is not None else None,
+        rec_off.ctypes.data_as(i64p), cap)
+    if n == -2:
+        raise LongCigarInPayload()
+    if n < 0:
+        raise NativeBuildError("malformed BAM record framing in scan")
+    return rec_off[:n].copy()
+
+
 def _load_read_matrix_symbols(lib):
     if getattr(lib, "_read_matrix_ready", False):
         return
@@ -507,6 +600,8 @@ def pileup_counts_raw(records: bytes, rec_off, read_dtype, start, end,
     n_cols = ctypes.c_int64()
     rec_off = np.ascontiguousarray(rec_off, dtype=np.int64)
     read_dtype = np.ascontiguousarray(read_dtype, dtype=np.int32)
+    if isinstance(records, np.ndarray):
+        records = records.ctypes.data_as(ctypes.c_char_p)
     rv = lib.mt_pileup_counts_raw(
         len(rec_off) - 1, records,
         rec_off.ctypes.data_as(i64p),

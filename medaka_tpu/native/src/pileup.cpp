@@ -232,4 +232,30 @@ int mt_pileup_counts_raw(
     return 0;
 }
 
+// "total" depth normalisation of a counts matrix (the default
+// CountsFeatureEncoder post-process, features.py:_post_process_pileup):
+// depth is the row sum, minor (insertion) columns inherit their anchor
+// major column's depth, features = counts / max(1, depth) as float32.
+// Columns arrive ordered, so the anchor is simply the last minor==0
+// row seen — no searchsorted needed.
+int mt_counts_norm_total(
+        const int32_t* counts, const int64_t* minors,
+        int64_t n_cols, int col_feat,
+        float* feats_out, int64_t* depth_out) {
+    if (n_cols <= 0) return 0;
+    int64_t anchor_depth = 0;
+    for (int64_t c = 0; c < n_cols; ++c) {
+        const int32_t* row = counts + c * col_feat;
+        int64_t d = 0;
+        for (int f = 0; f < col_feat; ++f) d += row[f];
+        if (minors[c] == 0) anchor_depth = d;
+        else d = anchor_depth;
+        depth_out[c] = d;
+        const float inv = 1.0f / (float)(d > 1 ? d : 1);
+        float* out = feats_out + c * col_feat;
+        for (int f = 0; f < col_feat; ++f) out[f] = row[f] * inv;
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -447,13 +447,20 @@ def run_prediction(
         chunk_len: int = 10000, chunk_overlap: int = 1000,
         bam_workers: int = 2, compute_dtype=jnp.bfloat16,
         mesh=None, full_precision: bool = False,
-        save_features: bool = False, feature_processes: int = 0):
+        save_features: bool = False, feature_processes: int = 0,
+        output_shards: int = 1):
     """Run inference and write probability samples to ``output``.
 
     Reference: ``medaka/prediction.py:14-81``.
 
     :param batch_size: rows per device batch (None: auto, see
         :func:`auto_batch_size`).
+    :param output_shards: >1 writes samples round-robin across that
+        many shard files with parallel writer threads
+        (:class:`datastore.ShardedDataStore`); ``output`` then holds
+        the metadata + shard manifest and downstream consumers expand
+        it transparently via ``DataIndex``. Lifts the single-file
+        HDF5 write ceiling for fast hosts.
     :returns: (n_samples, n_columns) processed.
     """
     logger = common.get_named_logger("PWorker")
@@ -475,7 +482,12 @@ def run_prediction(
     n_columns = 0
     mbases_done = 0.0
 
-    with datastore_mod.DataStore(output, "a") as ds:
+    if output_shards > 1:
+        store = datastore_mod.ShardedDataStore(
+            output, shards=output_shards)
+    else:
+        store = datastore_mod.DataStore(output, "a")
+    with store as ds:
         if feature_encoder is not None:
             ds.set_meta(feature_encoder, "feature_encoder")
         if label_scheme is not None:
@@ -564,7 +576,8 @@ def predict(
         chunk_overlap: int = 1000, bam_workers: int = 2,
         bam_chunk: int = 1_000_000, full_precision: bool = False,
         mesh=None, encoder_overrides: Optional[Dict] = None,
-        save_features: bool = False, feature_processes: int = 0):
+        save_features: bool = False, feature_processes: int = 0,
+        output_shards: int = 1):
     """Top-level inference entry (reference ``prediction.py:84-222``).
 
     Either ``model_path`` (native tarball or reference ``.tar.gz``) or an
@@ -613,7 +626,8 @@ def predict(
         chunk_len=chunk_len, chunk_overlap=chunk_overlap,
         bam_workers=bam_workers, full_precision=full_precision,
         mesh=mesh, save_features=save_features,
-        feature_processes=feature_processes)
+        feature_processes=feature_processes,
+        output_shards=output_shards)
 
 
 def predict_from_features(

@@ -34,25 +34,68 @@ def bench_loader(bam, workers, region):
     return cols, dt
 
 
-def bench_writes(codec, n=200, t=10000):
+def _prob_samples(n, t):
     rng = np.random.default_rng(0)
     pos = np.zeros(t, dtype=POSITIONS_DTYPE)
     pos["major"] = np.arange(t)
-    with tempfile.NamedTemporaryFile(suffix=".hdf") as fh:
+    out = []
+    for i in range(n):
+        p = pos.copy()
+        p["major"] += i * t
+        out.append(Sample(
+            ref_name="x", features=None, labels=None,
+            ref_seq=None, positions=p,
+            label_probs=rng.random((t, 5), np.float32)
+            .astype(np.float16),
+            depth=np.full(t, 30, np.uint16)))
+    return out
+
+
+def bench_writes(codec, n=200, t=10000, shards=1):
+    samples = _prob_samples(n, t)
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/probs.hdf"
         t0 = time.perf_counter()
-        with datastore.DataStore(fh.name, "a", compression=codec) as ds:
-            for i in range(n):
-                p = pos.copy()
-                p["major"] += i * t
-                ds.write_sample(Sample(
-                    ref_name="x", features=None, labels=None,
-                    ref_seq=None, positions=p,
-                    label_probs=rng.random((t, 5), np.float32)
-                    .astype(np.float16),
-                    depth=np.full(t, 30, np.uint16)))
+        if shards > 1:
+            store = datastore.ShardedDataStore(path, shards=shards)
+        else:
+            store = datastore.DataStore(path, "a", compression=codec)
+        with store as ds:
+            for s in samples:
+                ds.write_sample(s)
             ds.write_registry()
         dt = time.perf_counter() - t0
     return n * t, dt
+
+
+def bench_e2e_host(bam, workers, region, shards):
+    """Featurize + write concurrently: the co-located host pipeline."""
+    from medaka_tpu.prediction import plan_work
+    enc = CountsFeatureEncoder()
+    work = plan_work([region], bam)
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/probs.hdf"
+        t0 = time.perf_counter()
+        if shards > 1:
+            store = datastore.ShardedDataStore(path, shards=shards)
+        else:
+            store = datastore.DataStore(path, "a")
+        loader = DataLoader(
+            bam, work, enc, batch_size=32, chunk_len=10000,
+            chunk_overlap=1000, bam_workers=workers)
+        cols = 0
+        with store as ds:
+            for batch in loader:
+                for s in batch.samples:
+                    cols += s.size
+                    probs = rng.random(
+                        (s.size, 5), np.float32).astype(np.float16)
+                    ds.write_sample(s.amend(
+                        features=None, label_probs=probs))
+            ds.write_registry()
+        dt = time.perf_counter() - t0
+    return cols, dt
 
 
 def main():
@@ -75,6 +118,19 @@ def main():
         cols, dt = bench_writes(codec)
         print("write codec={}: {:.2f} Mcols/s".format(
             codec, cols / dt / 1e6))
+    for shards in (2, 4):
+        cols, dt = bench_writes(None, shards=shards)
+        print("write shards={}: {:.2f} Mcols/s".format(
+            shards, cols / dt / 1e6))
+    for w, shards in ((2, 2), (4, 4)):
+        best = (0, 1.0)
+        for _ in range(2):
+            cols, dt = bench_e2e_host(bam, w, region, shards)
+            if cols / dt > best[0] / best[1]:
+                best = (cols, dt)
+        cols, dt = best
+        print("e2e workers={} shards={}: {:.2f} Mcols/s".format(
+            w, shards, cols / dt / 1e6))
 
 
 if __name__ == "__main__":

@@ -77,6 +77,48 @@ class TestPileupCounts:
             keep_missing=True)
         assert counts[0].sum() == 3
 
+    @pytest.mark.parametrize("filters", [
+        dict(),
+        dict(min_mapq=11),
+        dict(tag_name="AA", tag_value=1, keep_missing=False),
+        dict(tag_name="AA", tag_value=1, keep_missing=True),
+        dict(read_group="rg1"),
+    ])
+    def test_payload_path_matches_record_path(self, mock_bam, filters):
+        """The fully native payload path (region_payload ->
+        bam_scan_filter -> pileup kernel) must reproduce the
+        record-object path bit for bit under every filter."""
+        from medaka_tpu import features as feat_mod
+        from medaka_tpu.io.bam import BamReader
+
+        region = Region(REF_NAME, 0, 8)
+        with BamReader(mock_bam) as br:
+            res_pay = feat_mod._pileup_counts_payload(
+                br, region, 1,
+                filters.get("min_mapq", 1), filters.get("tag_name"),
+                filters.get("tag_value"), filters.get(
+                    "keep_missing", False), filters.get("read_group"))
+        assert res_pay is not None, "payload path must be available"
+        with BamReader(mock_bam) as br:
+            reads = [
+                r for r in br.fetch(REF_NAME, 0, 8)
+                if feat_mod.filter_read(
+                    r, filters.get("min_mapq", 1),
+                    filters.get("tag_name"), filters.get("tag_value"),
+                    filters.get("keep_missing", False),
+                    filters.get("read_group"))]
+            res_rec = feat_mod._pileup_counts_native(
+                reads, 0, 8, [""], {"": 0}, 1)
+        if res_rec is None:  # no native lib: nothing to compare
+            pytest.skip("native library unavailable")
+        if not reads:
+            assert res_pay[0][0].shape[0] == 0
+            return
+        assert len(res_pay) == len(res_rec)
+        for (c1, p1), (c2, p2) in zip(res_pay, res_rec):
+            np.testing.assert_array_equal(c1, c2)
+            np.testing.assert_array_equal(p1, p2)
+
     def test_dtype_split(self, mock_bam):
         # DT: r9 for basecalls 1-3, r10 for basecall 4
         [(counts, positions)] = pileup_counts(

@@ -106,6 +106,33 @@ class TestDataStore:
             regions=[Region("contig1", 100, 150)]))
         assert len(got) == 1
 
+    def test_sharded_store_round_trip(self, tmp_path):
+        """ShardedDataStore spreads samples over shard files; DataIndex
+        expands the base file's manifest so single-path consumers see
+        every sample with shared metadata."""
+        path = str(tmp_path / "sharded.hdf5")
+        samples = [
+            make_sample(start=90 * i, seed=i) for i in range(7)]
+        with datastore.ShardedDataStore(path, shards=3) as ds:
+            ds.set_meta(HaploidLabelScheme(), "label_scheme")
+            for s in samples:
+                ds.write_sample(s)
+            ds.write_registry()
+        import glob
+        shard_files = sorted(glob.glob(path + ".shard*"))
+        assert len(shard_files) == 3
+        # every shard got some samples (round-robin)
+        for f in shard_files:
+            with datastore.DataStore(f, "r") as one:
+                assert one.n_samples >= 2
+        di = datastore.DataIndex(path)  # single base path only
+        assert len(di.samples) == len(samples)
+        assert isinstance(
+            di.get_metadata("label_scheme"), HaploidLabelScheme)
+        got = list(di.yield_from_feature_files())
+        assert sorted(s.first_pos[0] for s in got) == [
+            90 * i for i in range(7)]
+
     def test_read_reference_file(self):
         di = datastore.DataIndex(STITCH_HDFS)
         assert len(di.samples) == 4
