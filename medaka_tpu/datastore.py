@@ -408,6 +408,24 @@ class ShardedDataStore:
         """Store metadata in the base file (shards hold samples only)."""
         self.base.set_meta(obj, name)
 
+    def wait_ready(self, timeout: float = 60.0):
+        """Block until every writer process has opened its shard file.
+
+        Spawned children pay ~2 s of interpreter+package import before
+        their first write. Pipelines that create the store up front
+        (run_prediction does, before featurization and the first
+        device compile) hide this entirely; benchmarks call this to
+        separate startup from steady-state throughput.
+        """
+        import time as time_mod
+        deadline = time_mod.monotonic() + timeout
+        for name in self.shard_names:
+            while not os.path.exists(name):
+                if time_mod.monotonic() > deadline:  # pragma: no cover
+                    raise TimeoutError(
+                        "Shard writer for {} did not start.".format(name))
+                time_mod.sleep(0.05)
+
     def write_sample(self, sample: Sample):
         """Queue the sample on the next shard (round-robin)."""
         self._queues[self._next].put(sample)

@@ -63,14 +63,29 @@ class Batch:
 
         2-D counts samples produce (B, T, F) float32; 3-D read-level
         samples produce (B, T, R, C) int8 with the reads dim padded to
-        the static ``max_reads`` (keeping one XLA program shape; the
-        reference instead pads to the per-batch max depth,
-        ``torch_ext.py:127-140``).
+        a *read bucket*: the smallest of {max_reads/4, max_reads/2,
+        max_reads} covering the batch's true depth. The read-level
+        model's masked mean-pool ignores all-empty read rows exactly,
+        so bucketing is output-invariant while skipping the conv FLOPs
+        the static ``max_reads`` padding would spend on padding rows
+        (~2x at a typical 30x depth vs max_reads 100; each bucket is
+        one XLA program shape, three at most). The reference instead
+        pads every batch to its own max depth — one shape *per batch*
+        (``torch_ext.py:127-140``), which on TPU would recompile
+        constantly.
         """
         first = samples[0].features
         lengths = np.zeros((batch_size,), dtype=np.int32)
         if first.ndim == 3:
-            reads = max_reads or max(s.features.shape[1] for s in samples)
+            actual = max(s.features.shape[1] for s in samples)
+            if max_reads:
+                reads = next(
+                    b for b in (
+                        max(1, max_reads // 4), max(1, max_reads // 2),
+                        max_reads)
+                    if b >= min(actual, max_reads))
+            else:
+                reads = actual
             feats = np.zeros(
                 (batch_size, chunk_len, reads, first.shape[-1]),
                 dtype=np.int8)

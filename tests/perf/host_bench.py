@@ -51,15 +51,16 @@ def _prob_samples(n, t):
     return out
 
 
-def bench_writes(codec, n=200, t=10000, shards=1):
+def bench_writes(codec, n=600, t=10000, shards=1):
     samples = _prob_samples(n, t)
     with tempfile.TemporaryDirectory() as d:
         path = d + "/probs.hdf"
-        t0 = time.perf_counter()
         if shards > 1:
             store = datastore.ShardedDataStore(path, shards=shards)
+            store.wait_ready()
         else:
             store = datastore.DataStore(path, "a", compression=codec)
+        t0 = time.perf_counter()
         with store as ds:
             for s in samples:
                 ds.write_sample(s)
@@ -76,11 +77,12 @@ def bench_e2e_host(bam, workers, region, shards):
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as d:
         path = d + "/probs.hdf"
-        t0 = time.perf_counter()
         if shards > 1:
             store = datastore.ShardedDataStore(path, shards=shards)
+            store.wait_ready()
         else:
             store = datastore.DataStore(path, "a")
+        t0 = time.perf_counter()
         loader = DataLoader(
             bam, work, enc, batch_size=32, chunk_len=10000,
             chunk_overlap=1000, bam_workers=workers)

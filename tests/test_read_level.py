@@ -353,6 +353,41 @@ class TestCrossChunkBoundary:
 
 
 class TestReadLevelPrediction:
+    def test_read_bucket_collate_output_invariant(self):
+        """Batch.collate buckets the reads dim to the smallest of
+        {max_reads/4, max_reads/2, max_reads} covering the batch's
+        true depth; the masked mean-pool makes the model output
+        identical to full max_reads padding while skipping the conv
+        FLOPs spent on padding rows."""
+        from medaka_tpu.common import Sample, POSITIONS_DTYPE
+        from medaka_tpu.prediction import Batch
+
+        rng = np.random.default_rng(0)
+        T, rows, C, max_reads = 12, 9, 4, 40
+        samples = []
+        for i in range(3):
+            feats = np.zeros((T, rows, C), np.int8)
+            feats[..., 0] = rng.integers(1, 5, (T, rows))
+            feats[..., 1] = rng.integers(1, 40, (T, rows))
+            feats[..., 2] = rng.choice([-1, 1], (T, rows))
+            pos = np.zeros(T, POSITIONS_DTYPE)
+            pos["major"] = np.arange(T) + i * T
+            samples.append(Sample(
+                ref_name="c", features=feats, labels=None,
+                ref_seq=None, positions=pos, label_probs=None))
+        batch = Batch.collate(samples, 3, T, max_reads=max_reads)
+        assert batch.features.shape == (3, T, max_reads // 4, C)
+        full = Batch.collate(samples, 3, T, max_reads=None)
+        padded = np.zeros((3, T, max_reads, C), np.int8)
+        padded[:, :, :rows] = full.features
+        model = LatentSpaceLSTM(
+            num_classes=5, lstm_size=8, cnn_size=8, use_dwells=False)
+        params = model.init_params(jax.random.PRNGKey(1))
+        out_bucket = np.asarray(
+            model.apply(params, jnp.asarray(batch.features)))
+        out_full = np.asarray(model.apply(params, jnp.asarray(padded)))
+        np.testing.assert_allclose(out_bucket, out_full, atol=1e-6)
+
     def test_predict_read_level_end_to_end(self, simple_bam, tmp_path):
         """Full predict() with the read-level encoder + LSTM model."""
         from medaka_tpu import prediction
