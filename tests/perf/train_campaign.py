@@ -74,17 +74,70 @@ def subsample_reads(out_path, keep_frac, rng):
     return n
 
 
-def build_draft_set(out_dir, n_drafts, threads=4, read_level=False):
+def make_gcrep_genome(rng, core_kb=14):
+    """GC-skewed, repeat-dense synthetic truth genome.
+
+    A second, independent training/eval condition (the reference's
+    bundled models span many genome/chemistry conditions,
+    ``options.py:29-103``; no second real read set ships in-tree, so
+    this condition is fully synthetic with its own seed): 70% GC
+    background, three dispersed ~2 kb repeat copies at ~2% mutual
+    divergence, and a 200 bp x 15 tandem array — the hard cases for
+    a mapper+consensus stack.
+    """
+    gc_bases = np.array(list("ACGT"))
+    p = [0.15, 0.35, 0.35, 0.15]
+    core = rng.choice(gc_bases, size=core_kb * 1000, p=p)
+    unit = rng.choice(gc_bases, size=2000, p=p)
+    copies = []
+    for _ in range(3):
+        cp = unit.copy()
+        div = rng.random(len(cp)) < 0.02
+        cp[div] = rng.choice(gc_bases, size=int(div.sum()))
+        copies.append(cp)
+    tandem_unit = rng.choice(gc_bases, size=200, p=p)
+    tandem = np.tile(tandem_unit, 15)
+    third = len(core) // 3
+    parts = [core[:third], copies[0], core[third:2 * third], copies[1],
+             tandem, core[2 * third:], copies[2]]
+    return "".join("".join(x) for x in parts)
+
+
+def simulate_reads_fq(truth_seq, depth, rng, out_fq, read_len=3000):
+    """~96%-identity long reads from the truth, written as fastq."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(__file__), ".."))
+    from mock_data import simulate_synth_read
+    ref_arr = np.frombuffer(truth_seq.encode(), np.uint8).copy()
+    n_reads = max(1, int(len(truth_seq) * depth / read_len))
+    n = 0
+    with open(out_fq, "w") as fh:
+        for i in range(n_reads):
+            length = min(read_len, len(truth_seq) - 1)
+            start = int(rng.integers(0, len(truth_seq) - length))
+            seq, _cigar = simulate_synth_read(ref_arr, start, length, rng)
+            fh.write("@sr{}\n{}\n+\n{}\n".format(i, seq, "5" * len(seq)))
+            n += 1
+    return n
+
+
+def build_draft_set(out_dir, n_drafts, threads=4, read_level=False,
+                    condition="lambda"):
     """Per-draft labelled feature files; returns (train, valid) lists."""
     from medaka_tpu import mapping
     from medaka_tpu.features import create_samples
     from medaka_tpu.io.fastx import FastaReader, FastaWriter
 
-    ref_seq = FastaReader(WORKFLOW + "/reference.fasta").fetch(
-        "lambda_5kb")
+    if condition == "gcrep":
+        ref_seq = make_gcrep_genome(np.random.default_rng(77))
+        contig = "gcrep"
+    else:
+        ref_seq = FastaReader(WORKFLOW + "/reference.fasta").fetch(
+            "lambda_5kb")
+        contig = "lambda_5kb"
     truth_fa = str(out_dir / "truth.fasta")
     with FastaWriter(truth_fa) as fw:
-        fw.write("truth_lambda", ref_seq)
+        fw.write("truth_" + contig, ref_seq)
 
     enc_kwargs = {}
     if read_level:
@@ -109,9 +162,12 @@ def build_draft_set(out_dir, n_drafts, threads=4, read_level=False):
         ddir.mkdir(exist_ok=True)
         draft_fa = str(ddir / "draft.fasta")
         with FastaWriter(draft_fa) as fw:
-            fw.write("lambda_5kb", mutate(ref_seq, rng, rate))
+            fw.write(contig, mutate(ref_seq, rng, rate))
         reads_fq = str(ddir / "reads.fq")
-        subsample_reads(reads_fq, depth / 450.0, rng)
+        if condition == "gcrep":
+            simulate_reads_fq(ref_seq, depth, rng, reads_fq)
+        else:
+            subsample_reads(reads_fq, depth / 450.0, rng)
         reads_bam = str(ddir / "reads.bam")
         mapping.align_reads(
             reads_fq, draft_fa, reads_bam, threads=threads)
@@ -158,6 +214,43 @@ def evaluate(batcher, model, params, compute_dtype):
     return n_c / max(1, n_t), mj_c / max(1, mj_t)
 
 
+def cross_eval(dirs):
+    """Q-vs-majority matrix: each dir's model on each dir's validation.
+
+    Every quality claim must rest on more than one genome condition
+    (VERDICT r3 item 4; the reference's bar is its multi-condition
+    model catalogue, ``options.py:29-103``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from medaka_tpu import models, training
+
+    compute_dtype = (
+        jnp.bfloat16 if jax.default_backend() != "cpu" else None)
+    matrix = {}
+    for model_dir in dirs:
+        bundle = models.load_model(
+            str(pathlib.Path(model_dir) / "train" /
+                "model-best_val_loss.tar.gz"))
+        for data_dir in dirs:
+            sets = json.loads(
+                (pathlib.Path(data_dir) / "dataset.json").read_text())
+            batcher = training.TrainBatcher(
+                sets["valid"], validation=sets["valid"],
+                batch_size=128, seed=0)
+            acc, mj = evaluate(
+                batcher, bundle.model, bundle.params, compute_dtype)
+            key = "{}->{}".format(
+                pathlib.Path(model_dir).name, pathlib.Path(data_dir).name)
+            matrix[key] = {
+                "model_q": round(q_from_acc(acc), 2),
+                "majority_q": round(q_from_acc(mj), 2),
+                "margin": round(q_from_acc(acc) - q_from_acc(mj), 2)}
+            print(key, json.dumps(matrix[key]), flush=True)
+    print("MATRIX " + json.dumps(matrix), flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -167,9 +260,15 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     read_level = "--read-level" in sys.argv
     lstm_size = 128
+    condition = "lambda"
     for a in sys.argv[1:]:
         if a.startswith("--lstm-size"):
             lstm_size = int(a.split("=", 1)[1])
+        if a.startswith("--condition"):
+            condition = a.split("=", 1)[1]
+        if a.startswith("--cross-eval"):
+            cross_eval(a.split("=", 1)[1].split(","))
+            return
     out_dir = pathlib.Path(
         args[0] if len(args) > 0 else "/tmp/train_campaign")
     n_drafts = int(args[1]) if len(args) > 1 else 40
@@ -184,7 +283,8 @@ def main():
             len(train), len(valid)), flush=True)
     else:
         train, valid = build_draft_set(
-            out_dir, n_drafts, read_level=read_level)
+            out_dir, n_drafts, read_level=read_level,
+            condition=condition)
         marker.write_text(json.dumps({"train": train, "valid": valid}))
 
     # the reference's bundled labelled features (1.16 Mb of a real
@@ -193,7 +293,8 @@ def main():
     # (Counts-only: the bundled file holds 2-D features.)
     ref_feats = ("/root/reference/medaka/test/data/"
                  "training_features.hdf5")
-    if (not read_level and os.path.exists(ref_feats)
+    if (not read_level and condition == "lambda"
+            and os.path.exists(ref_feats)
             and not os.environ.get("CAMPAIGN_NO_REF_FEATURES")):
         train = list(train) + [ref_feats]
 

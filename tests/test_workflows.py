@@ -431,6 +431,51 @@ class TestTrainedModelFullLoop:
             WORKFLOW + "/reference.fasta").fetch("lambda_5kb")
         assert native.edit_distance(cons, draft) <= 6
 
+    def test_cross_genome_generalisation(self, tmp_path):
+        """The lambda-trained counts bundle generalises to an unseen
+        random genome: full consensus workflow (map -> featurize ->
+        infer -> stitch) over synthetic ~96%-identity reads of a
+        100 kb genome the model never saw, pinned at Q>=30 (<=0.1%
+        edits). Promotes the round-3 8 Mb CLI smoke (Q33 on the real
+        chip) to a committed test at CPU-friendly scale."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from mock_data import simulate_synth_read
+
+        from medaka_tpu import mapping, models, native
+        from medaka_tpu.io.fastx import FastaReader, FastaWriter
+
+        rng = np.random.default_rng(123)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        ref_arr = bases[rng.integers(0, 4, 100_000)]
+        ref_seq = ref_arr.tobytes().decode()
+        ref_fa = str(tmp_path / "genome.fasta")
+        with FastaWriter(ref_fa) as fw:
+            fw.write("genomeX", ref_seq)
+        reads_fq = str(tmp_path / "reads.fq")
+        with open(reads_fq, "w") as fh:
+            for i in range(int(100_000 * 30 / 3000)):
+                start = int(rng.integers(0, len(ref_seq) - 3000))
+                seq, _ = simulate_synth_read(ref_arr, start, 3000, rng)
+                fh.write("@sr{}\n{}\n+\n{}\n".format(
+                    i, seq, "5" * len(seq)))
+
+        bundle = models.load_model(
+            models.resolve_model("gru256_lambda_demo"))
+        out = mapping.consensus_workflow(
+            reads_fq, ref_fa, str(tmp_path / "wf"),
+            model=bundle.model, params=bundle.params,
+            feature_encoder=bundle.feature_encoder,
+            label_scheme=bundle.label_scheme,
+            threads=4, batch_size=32, chunk_len=4000, chunk_ovlp=400)
+        cons = FastaReader(out).fetch("genomeX")
+        edits = native.edit_distance(cons, ref_seq)
+        # Q30 = 0.1% of 100 kb; the round-3 8 Mb run measured Q33
+        assert edits <= 100, "cross-genome edit rate {} > Q30".format(
+            edits)
+
     def test_bundled_read_level_model_polishes_workflow(self, tmp_path):
         """The round-4 read-level (LatentSpaceLSTM) campaign bundle —
         validation Q39.7 vs the Q29.03 majority baseline (+10.67Q) on
