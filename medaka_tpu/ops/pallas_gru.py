@@ -1309,8 +1309,11 @@ def bigru_l2head(prev_f, prev_b, w_ih, b_ih, w_hh, b_hh, w_head,
 # matmuls, gate math as sublane row slices, lengths broadcast over
 # lanes.  Measured on v5e (tests/perf/kernel_lab.py v6): 40.4M cols/s
 # at B=512 (parity with the row-major path), then past the old wall:
-# 46.0M at B=1024, 49.8M at B=2048, 50.8M at B=2560 (~82% of the bf16
-# speed of light).  Numerics are the same int8/bf16 scheme, so the
+# 46.0M at B=1024, 49.8M at B=2048, 50.8M at B=2560, 52.7M with the
+# round-4 merged projection issue (~85% of the bf16 speed of light;
+# ~43% of the int8-adjusted ~123M roofline these mostly-int8 kernels
+# are honestly measured against — budget in docs/kernels.md).
+# Numerics are the same int8/bf16 scheme, so the
 # measured probability error matches the row-major path (5e-4 / 1e-4).
 
 
@@ -1438,23 +1441,25 @@ def _bigru_l2head_t_kernel(
     hidden = h_scratch.shape[-2]
     lengths = lengths_ref[...]
 
-    def proj(a_ref, b_ref, wa, wb, sa, sb, bias):
+    def proj(a_ref, b_ref, w, sc, bias):
+        # merged (3H, 2H) @ ([a; b], B): one weight-stationary MXU
+        # issue instead of two (3H, H) issues — measured +1.7 us/step
+        # at B=2560 (per-issue weight-reload/pipeline-drain overhead;
+        # kernel lab v6_mproj, round 4).  The VMEM concat costs less
+        # than the saved issue.
+        op = jnp.concatenate([a_ref[0], b_ref[0]], axis=0)
         if quant:
-            pa = jnp.dot(wa, a_ref[0], preferred_element_type=jnp.int32
-                         ).astype(jnp.float32) * sa
-            pb = jnp.dot(wb, b_ref[0], preferred_element_type=jnp.int32
-                         ).astype(jnp.float32) * sb
+            p = jnp.dot(w, op, preferred_element_type=jnp.int32
+                        ).astype(jnp.float32) * sc
         else:
-            pa = jnp.dot(wa, a_ref[0].astype(wa.dtype),
-                         preferred_element_type=jnp.float32)
-            pb = jnp.dot(wb, b_ref[0].astype(wb.dtype),
-                         preferred_element_type=jnp.float32)
-        return pa + pb + bias
+            p = jnp.dot(w, op.astype(w.dtype),
+                        preferred_element_type=jnp.float32)
+        return p + bias
 
-    xp_f = proj(pf_f_ref, pb_f_ref, w_in_ref[0], w_in_ref[1],
-                in_scale_ref[0], in_scale_ref[1], b_ih_ref[0])
-    xp_b = proj(pf_b_ref, pb_b_ref, w_in_ref[2], w_in_ref[3],
-                in_scale_ref[2], in_scale_ref[3], b_ih_ref[1])
+    xp_f = proj(pf_f_ref, pb_f_ref, w_in_ref[0], in_scale_ref[0],
+                b_ih_ref[0])
+    xp_b = proj(pf_b_ref, pb_b_ref, w_in_ref[1], in_scale_ref[1],
+                b_ih_ref[1])
     h_f = _gru_cell_t(h_scratch[0], xp_f, w_hh_ref[0], hh_scale_ref[0],
                       b_hh_ref[0], hidden, quant)
     h_b = _gru_cell_t(h_scratch[1], xp_b, w_hh_ref[1], hh_scale_ref[1],
@@ -1480,16 +1485,15 @@ def bigru_l2head_t(prev_f, prev_b, w_ih, b_ih, w_hh, b_hh, w_head,
     if lengths is None:
         lengths = jnp.full((B,), T, dtype=jnp.int32)
     lengths2d = lengths.astype(jnp.int32).reshape(1, B)
-    # rows [fwd<-f, fwd<-b, bwd<-f, bwd<-b], each (3H, H)
-    w_split = jnp.stack([
-        w_ih[0, :, :H], w_ih[0, :, H:],
-        w_ih[1, :, :H], w_ih[1, :, H:]])
+    # (2, 3H, 2H): per direction one merged input-projection matrix
+    # (columns [:H] act on prev_f, [H:] on prev_b) — consumed as a
+    # single MXU issue per step (see proj() in the kernel)
     if quant:
-        w_in, in_scale = _quantize_rows(w_split)
+        w_in, in_scale = _quantize_rows(w_ih)
         w_hh_m, hh_scale = _quantize_rows(w_hh)
     else:
-        w_in = w_split.astype(jnp.bfloat16)
-        in_scale = jnp.ones((4, 3 * H, 1), jnp.float32)
+        w_in = w_ih.astype(jnp.bfloat16)
+        in_scale = jnp.ones((2, 3 * H, 1), jnp.float32)
         w_hh_m = w_hh.astype(jnp.bfloat16)
         hh_scale = jnp.ones((2, 3 * H, 1), jnp.float32)
     b_ih_col = b_ih.astype(jnp.float32).reshape(2, 3 * H, 1)

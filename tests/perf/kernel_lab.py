@@ -395,6 +395,255 @@ def _build():
     ns["l1t_fused"] = bigru_l1_split_t
     ns["l2ht_fused"] = bigru_l2head_t
     ns["bigru_pallas_fullfused"] = bigru_pallas_fullfused
+
+    # --- transposed experiments (round 4): budget-term attacks ----------
+    # Lab-local copies of the production transposed kernels, each tweak
+    # isolating one term of the per-step budget
+    # (tests/perf/step_budget.py):
+    #   tb=2  : two timesteps per grid step — halves the per-grid-step
+    #           loop/DMA-issue floor (the row-major tb4/tb8 negatives
+    #           block-batched the projections; this keeps per-step math
+    #           identical and only widens the DMA blocks).
+    #   mproj : layer-2 input projections as one (3H, 2H) @ (2H, B)
+    #           matmul per direction instead of two (3H, H) @ (H, B) —
+    #           halves MXU issue count for 50% of all FLOPs (costs one
+    #           VMEM concat per direction per step).
+    #   rz    : r and z sigmoids in one (2H, B) VPU call.
+    from medaka_tpu.ops.pallas_gru import _quantize_rows
+
+    def cell_t(h, xp, w, sc, b, hidden, rz_fused, gates_bf16=False):
+        hq = jnp.round(h * 127.0).astype(jnp.int8)
+        hp = jnp.dot(w, hq, preferred_element_type=jnp.int32
+                     ).astype(jnp.float32) * sc + b
+        if gates_bf16:
+            # transcendentals on bf16 (packed VPU lanes); the h carry
+            # and the gate *blend* stay f32 so quantisation error does
+            # not compound over 10k serial steps
+            rz = jax.nn.sigmoid(
+                (xp[:2 * hidden] + hp[:2 * hidden]).astype(jnp.bfloat16))
+            r = rz[:hidden].astype(jnp.float32)
+            z = rz[hidden:].astype(jnp.float32)
+            n = jnp.tanh(
+                (xp[2 * hidden:] + r * hp[2 * hidden:]
+                 ).astype(jnp.bfloat16)).astype(jnp.float32)
+            return (1.0 - z) * n + z * h
+        if rz_fused:
+            rz = jax.nn.sigmoid(xp[:2 * hidden] + hp[:2 * hidden])
+            r = rz[:hidden]
+            z = rz[hidden:]
+        else:
+            r = jax.nn.sigmoid(xp[:hidden] + hp[:hidden])
+            z = jax.nn.sigmoid(
+                xp[hidden:2 * hidden] + hp[hidden:2 * hidden])
+        n = jnp.tanh(xp[2 * hidden:] + r * hp[2 * hidden:])
+        return (1.0 - z) * n + z * h
+
+    def _l1t_x_kernel(x_f_ref, x_b_ref, w_ih_ref, b_ih_ref, w_hh_ref,
+                      hh_scale_ref, b_hh_ref, lengths_ref, out_f_ref,
+                      out_b_ref, h_scratch, *, tb, rz_fused,
+                      gates_bf16):
+        i = pl.program_id(0)
+        n_blocks = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _init():
+            h_scratch[...] = jnp.zeros_like(h_scratch)
+
+        hidden = h_scratch.shape[-2]
+        lengths = lengths_ref[...]          # (1, B)
+        total = n_blocks * tb
+        h_f = h_scratch[0]
+        h_b = h_scratch[1]
+        for s in range(tb):
+            sb = tb - 1 - s
+            xp_f = (jnp.dot(w_ih_ref[0], x_f_ref[s],
+                            preferred_element_type=jnp.float32)
+                    + b_ih_ref[0])
+            xp_b = (jnp.dot(w_ih_ref[1], x_b_ref[sb],
+                            preferred_element_type=jnp.float32)
+                    + b_ih_ref[1])
+            nh_f = cell_t(h_f, xp_f, w_hh_ref[0], hh_scale_ref[0],
+                          b_hh_ref[0], hidden, rz_fused, gates_bf16)
+            nh_b = cell_t(h_b, xp_b, w_hh_ref[1], hh_scale_ref[1],
+                          b_hh_ref[1], hidden, rz_fused, gates_bf16)
+            h_f = jnp.where(lengths > i * tb + s, nh_f, h_f)
+            h_b = jnp.where(lengths > total - 1 - (i * tb + s),
+                            nh_b, h_b)
+            out_f_ref[s] = jnp.round(h_f * 127.0).astype(jnp.int8)
+            out_b_ref[sb] = jnp.round(h_b * 127.0).astype(jnp.int8)
+        h_scratch[0] = h_f
+        h_scratch[1] = h_b
+
+    @functools.partial(jax.jit, static_argnames=("tb", "rz_fused",
+                                                 "gates_bf16"))
+    def l1t_x(xt, w_ih, b_ih, w_hh, b_hh, lengths, tb=1,
+              rz_fused=False, gates_bf16=False):
+        Tl, INl, Bl = xt.shape
+        Hl = w_hh.shape[-1]
+        n_blocks = Tl // tb
+        lengths2d = lengths.astype(jnp.int32).reshape(1, Bl)
+        w_ih_m = w_ih.astype(jnp.bfloat16)
+        b_ih_col = b_ih.astype(jnp.float32).reshape(2, 3 * Hl, 1)
+        w_hh_m, hh_scale = _quantize_rows(w_hh)
+        b_hh_col = b_hh.astype(jnp.float32).reshape(2, 3 * Hl, 1)
+        fwd_idx = lambda i: (i, 0, 0)                      # noqa: E731
+        bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)       # noqa: E731
+        kernel = functools.partial(
+            _l1t_x_kernel, tb=tb, rz_fused=rz_fused,
+            gates_bf16=gates_bf16)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((tb, INl, Bl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, INl, Bl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=(
+                pl.BlockSpec((tb, Hl, Bl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, Hl, Bl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((Tl, Hl, Bl), jnp.int8),
+                jax.ShapeDtypeStruct((Tl, Hl, Bl), jnp.int8),
+            ),
+            scratch_shapes=[pltpu.VMEM((2, Hl, Bl), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
+        )(xt, xt, w_ih_m, b_ih_col, w_hh_m, hh_scale, b_hh_col,
+          lengths2d)
+
+    ns["l1t_x"] = l1t_x
+
+    # Rejected without benching: merging the recurrence INTO the mproj
+    # matmul (one (3H, 3H) @ ([pf; pb; h_q], B) issue) is blocked by
+    # the torch-GRU algebra — n = tanh(xp_n + r * hp_n) needs hp_n
+    # separate from xp_n, so only the r/z rows could merge and the
+    # n rows would split back into two extra issues (net +1 per
+    # direction vs mproj).  mproj is the issue-count floor for L2.
+    def _l2ht_x_kernel(
+            pf_f_ref, pb_f_ref, pf_b_ref, pb_b_ref, w_in_ref,
+            in_scale_ref, b_ih_ref, w_hh_ref, hh_scale_ref, b_hh_ref,
+            w_head_ref, lengths_ref, lg_f_ref, lg_b_ref, h_scratch, *,
+            tb, mproj, rz_fused, gates_bf16):
+        i = pl.program_id(0)
+        n_blocks = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _init():
+            h_scratch[...] = jnp.zeros_like(h_scratch)
+
+        hidden = h_scratch.shape[-2]
+        lengths = lengths_ref[...]
+        total = n_blocks * tb
+        h_f = h_scratch[0]
+        h_b = h_scratch[1]
+        for s in range(tb):
+            sb = tb - 1 - s
+            if mproj:
+                # merged (3H, 2H) @ (2H, B): one issue per direction
+                a = jnp.concatenate([pf_f_ref[s], pb_f_ref[s]], axis=0)
+                xp_f = (jnp.dot(w_in_ref[0], a,
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32)
+                        * in_scale_ref[0] + b_ih_ref[0])
+                bb = jnp.concatenate(
+                    [pf_b_ref[sb], pb_b_ref[sb]], axis=0)
+                xp_b = (jnp.dot(w_in_ref[1], bb,
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32)
+                        * in_scale_ref[1] + b_ih_ref[1])
+            else:
+                xp_f = (jnp.dot(w_in_ref[0], pf_f_ref[s],
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * in_scale_ref[0]
+                        + jnp.dot(w_in_ref[1], pb_f_ref[s],
+                                  preferred_element_type=jnp.int32
+                                  ).astype(jnp.float32)
+                        * in_scale_ref[1] + b_ih_ref[0])
+                xp_b = (jnp.dot(w_in_ref[2], pf_b_ref[sb],
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.float32) * in_scale_ref[2]
+                        + jnp.dot(w_in_ref[3], pb_b_ref[sb],
+                                  preferred_element_type=jnp.int32
+                                  ).astype(jnp.float32)
+                        * in_scale_ref[3] + b_ih_ref[1])
+            nh_f = cell_t(h_f, xp_f, w_hh_ref[0], hh_scale_ref[0],
+                          b_hh_ref[0], hidden, rz_fused, gates_bf16)
+            nh_b = cell_t(h_b, xp_b, w_hh_ref[1], hh_scale_ref[1],
+                          b_hh_ref[1], hidden, rz_fused, gates_bf16)
+            h_f = jnp.where(lengths > i * tb + s, nh_f, h_f)
+            h_b = jnp.where(lengths > total - 1 - (i * tb + s),
+                            nh_b, h_b)
+            lg_f_ref[s] = jnp.dot(
+                w_head_ref[0], h_f.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            lg_b_ref[sb] = jnp.dot(
+                w_head_ref[1], h_b.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        h_scratch[0] = h_f
+        h_scratch[1] = h_b
+
+    @functools.partial(jax.jit, static_argnames=("tb", "mproj",
+                                                 "rz_fused",
+                                                 "gates_bf16"))
+    def l2ht_x(prev_f, prev_b, w_ih, b_ih, w_hh, b_hh, w_head, lengths,
+               tb=1, mproj=False, rz_fused=False, gates_bf16=False):
+        Tl, Hl, Bl = prev_f.shape
+        n_blocks = Tl // tb
+        lengths2d = lengths.astype(jnp.int32).reshape(1, Bl)
+        if mproj:
+            # one (3H, 2H) weight per direction, one scale row over 2H
+            w_in, in_scale = _quantize_rows(w_ih)         # (2, 3H, 2H)
+        else:
+            w_split = jnp.stack([
+                w_ih[0, :, :Hl], w_ih[0, :, Hl:],
+                w_ih[1, :, :Hl], w_ih[1, :, Hl:]])
+            w_in, in_scale = _quantize_rows(w_split)      # (4, 3H, H)
+        w_hh_m, hh_scale = _quantize_rows(w_hh)
+        b_ih_col = b_ih.astype(jnp.float32).reshape(2, 3 * Hl, 1)
+        b_hh_col = b_hh.astype(jnp.float32).reshape(2, 3 * Hl, 1)
+        w_head_split = jnp.stack(
+            [w_head[:, :Hl], w_head[:, Hl:]]).astype(jnp.bfloat16)
+        Cl = w_head.shape[0]
+        fwd_idx = lambda i: (i, 0, 0)                      # noqa: E731
+        bwd_idx = lambda i: (n_blocks - 1 - i, 0, 0)       # noqa: E731
+        kernel = functools.partial(
+            _l2ht_x_kernel, tb=tb, mproj=mproj, rz_fused=rz_fused,
+            gates_bf16=gates_bf16)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((tb, Hl, Bl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, Hl, Bl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, Hl, Bl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, Hl, Bl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=(
+                pl.BlockSpec((tb, Cl, Bl), fwd_idx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, Cl, Bl), bwd_idx,
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((Tl, Cl, Bl), jnp.float32),
+                jax.ShapeDtypeStruct((Tl, Cl, Bl), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((2, Hl, Bl), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_FULLFUSED_VMEM_LIMIT),
+        )(prev_f, prev_b, prev_f, prev_b, w_in, in_scale, b_ih_col,
+          w_hh_m, hh_scale, b_hh_col, w_head_split, lengths2d)
+
+    ns["l2ht_x"] = l2ht_x
     return ns
 
 
@@ -455,6 +704,30 @@ def make_variant(name, params):
             return jax.nn.softmax(logits, axis=-1)
         return fwd
 
+    def stack_tx(tb=1, mproj=False, rz_fused=False, gates_bf16=False):
+        def fwd(params, x, lengths):
+            xt = jnp.transpose(x, (1, 2, 0)).astype(jnp.bfloat16)
+            w_ih1 = jnp.stack([l1["fwd"]["w_ih"], l1["bwd"]["w_ih"]])
+            b_ih1 = jnp.stack([l1["fwd"]["b_ih"], l1["bwd"]["b_ih"]])
+            w_hh1 = jnp.stack([l1["fwd"]["w_hh"], l1["bwd"]["w_hh"]])
+            b_hh1 = jnp.stack([l1["fwd"]["b_hh"], l1["bwd"]["b_hh"]])
+            out_f, out_b = ns["l1t_x"](
+                xt, w_ih1, b_ih1, w_hh1, b_hh1, lengths, tb=tb,
+                rz_fused=rz_fused, gates_bf16=gates_bf16)
+            w_ih2 = jnp.stack([l2["fwd"]["w_ih"], l2["bwd"]["w_ih"]])
+            b_ih2 = jnp.stack([l2["fwd"]["b_ih"], l2["bwd"]["b_ih"]])
+            w_hh2 = jnp.stack([l2["fwd"]["w_hh"], l2["bwd"]["w_hh"]])
+            b_hh2 = jnp.stack([l2["fwd"]["b_hh"], l2["bwd"]["b_hh"]])
+            lg_f, lg_b = ns["l2ht_x"](
+                out_f, out_b, w_ih2, b_ih2, w_hh2, b_hh2, head["w"],
+                lengths, tb=tb, mproj=mproj, rz_fused=rz_fused,
+                gates_bf16=gates_bf16)
+            logits = lg_f + lg_b + head["b"].astype(
+                jnp.float32).reshape(1, -1, 1)
+            probs = jax.nn.softmax(logits, axis=1)   # (T, C, B)
+            return jnp.transpose(probs, (2, 0, 1))   # (B, T, C)
+        return fwd
+
     def stack_t(quant=True):
         def fwd(params, x, lengths):
             xt = jnp.transpose(x, (1, 2, 0)).astype(jnp.bfloat16)
@@ -499,6 +772,17 @@ def make_variant(name, params):
         # int8 recurrence on top of v2/v3
         "v2h": lambda: stack(quant_hh=True),
         "v4": lambda: stack(quant=True, quant_hh=True),
+        # round-4 budget-term attacks on the transposed path
+        "v6_x": lambda: stack_tx(),              # lab copy of v6 (control)
+        "v6_tb2": lambda: stack_tx(tb=2),
+        "v6_tb4": lambda: stack_tx(tb=4),
+        "v6_mproj": lambda: stack_tx(mproj=True),
+        "v6_rz": lambda: stack_tx(rz_fused=True),
+        "v6_all": lambda: stack_tx(tb=2, mproj=True, rz_fused=True),
+        "v6_mrz": lambda: stack_tx(mproj=True, rz_fused=True),
+        "v6_gbf": lambda: stack_tx(mproj=True, gates_bf16=True),
+        "v6_mgbf": lambda: stack_tx(mproj=True, rz_fused=True,
+                                    gates_bf16=True),
     }
     return variants[name]()
 

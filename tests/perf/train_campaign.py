@@ -103,8 +103,19 @@ def make_gcrep_genome(rng, core_kb=14):
     return "".join("".join(x) for x in parts)
 
 
+_RC = str.maketrans("ACGT", "TGCA")
+
+
 def simulate_reads_fq(truth_seq, depth, rng, out_fq, read_len=3000):
-    """~96%-identity long reads from the truth, written as fastq."""
+    """~96%-identity long reads from the truth, written as fastq.
+
+    Half the reads are reverse-complemented before writing: real
+    sequencing covers both strands, and the counts encoder keeps
+    per-strand channels — training on forward-only reads leaves the
+    reverse-strand channels identically zero, producing a model that
+    misreads any both-strand pileup (measured: Q4 vs Q29 majority on
+    the lambda condition before this fix).
+    """
     sys.path.insert(0, os.path.join(
         os.path.dirname(__file__), ".."))
     from mock_data import simulate_synth_read
@@ -116,6 +127,8 @@ def simulate_reads_fq(truth_seq, depth, rng, out_fq, read_len=3000):
             length = min(read_len, len(truth_seq) - 1)
             start = int(rng.integers(0, len(truth_seq) - length))
             seq, _cigar = simulate_synth_read(ref_arr, start, length, rng)
+            if rng.random() < 0.5:
+                seq = seq.translate(_RC)[::-1]
             fh.write("@sr{}\n{}\n+\n{}\n".format(i, seq, "5" * len(seq)))
             n += 1
     return n
@@ -219,7 +232,10 @@ def cross_eval(dirs):
 
     Every quality claim must rest on more than one genome condition
     (VERDICT r3 item 4; the reference's bar is its multi-condition
-    model catalogue, ``options.py:29-103``).
+    model catalogue, ``options.py:29-103``). Each spec is
+    ``campaign_dir`` (model at ``train/model-best_val_loss.tar.gz``)
+    or ``campaign_dir=model_path`` to pin a specific bundle (e.g. the
+    committed round-3 lambda model) to that condition.
     """
     import jax
     import jax.numpy as jnp
@@ -228,12 +244,15 @@ def cross_eval(dirs):
 
     compute_dtype = (
         jnp.bfloat16 if jax.default_backend() != "cpu" else None)
+    specs = []
+    for spec in dirs:
+        d, _, m = spec.partition("=")
+        specs.append((d, m or str(
+            pathlib.Path(d) / "train" / "model-best_val_loss.tar.gz")))
     matrix = {}
-    for model_dir in dirs:
-        bundle = models.load_model(
-            str(pathlib.Path(model_dir) / "train" /
-                "model-best_val_loss.tar.gz"))
-        for data_dir in dirs:
+    for model_dir, model_path in specs:
+        bundle = models.load_model(model_path)
+        for data_dir, _ in specs:
             sets = json.loads(
                 (pathlib.Path(data_dir) / "dataset.json").read_text())
             batcher = training.TrainBatcher(
