@@ -644,15 +644,20 @@ class BamReader:
             for cb, ce in chunks)
         if span > max_compressed_span:
             return None
-        payloads, seg_start, seg_end = [], [], []
+        # scan every chunk first (header walk only), then inflate all
+        # spans into ONE pre-sized buffer — the old per-chunk payloads
+        # + np.concatenate cost more in memcpy than the inflate itself
+        # on multi-chunk regions (measured 0.80s vs 0.54s on an 8 Mb
+        # region sweep)
+        scans, seg_start, seg_end = [], [], []
         base = 0
         nthreads = self._bgzf._nthreads
         for cbeg, cend in chunks:
             c0 = cbeg >> 16
             limit = min((cend >> 16) + 1, data_len)
             try:
-                payload, coffs, poffs, _nxt = native.bgzf_inflate_range(
-                    self._bgzf._data, c0, limit, nthreads)
+                coffs, bsizes, isizes, poffs = native.bgzf_scan_range(
+                    self._bgzf._data, c0, limit)
             except Exception:
                 return None
             eb = cend >> 16
@@ -661,15 +666,21 @@ class BamReader:
                 e = int(poffs[j]) + (cend & 0xFFFF)
             else:
                 e = int(poffs[-1])
-            payloads.append(payload)
+            scans.append((coffs, bsizes, isizes, poffs, base))
             seg_start.append(base + (cbeg & 0xFFFF))
             seg_end.append(base + e)
-            base += payload.size
-        if not payloads:
+            base += int(poffs[-1])
+        if not scans:
             return (np.empty(0, np.uint8), np.empty(0, np.int64),
                     np.empty(0, np.int64), tid)
-        payload = (payloads[0] if len(payloads) == 1
-                   else np.concatenate(payloads))
+        payload = np.empty(base, np.uint8)
+        try:
+            for coffs, bsizes, isizes, poffs, off in scans:
+                native.bgzf_inflate_into(
+                    self._bgzf._data, coffs, bsizes, isizes, poffs,
+                    payload, out_base=off, nthreads=nthreads)
+        except Exception:
+            return None
         return (payload, np.asarray(seg_start, np.int64),
                 np.asarray(seg_end, np.int64), tid)
 

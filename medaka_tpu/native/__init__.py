@@ -545,14 +545,11 @@ def _load_bgzf_symbols(lib):
     lib._bgzf_ready = True
 
 
-def bgzf_inflate_range(data, offset: int, limit: int, nthreads: int = 4):
-    """Scan + multi-thread-inflate the BGZF members in [offset, limit).
+def bgzf_scan_range(data, offset: int, limit: int):
+    """Scan BGZF member headers in [offset, limit) without inflating.
 
-    :param data: buffer holding the compressed file (bytes/mmap).
-    :returns: (payload uint8 array, member compressed offsets int64[n],
-        payload offsets int64[n+1], compressed offset after the last
-        member) — member i's payload is
-        ``payload[payload_offs[i]:payload_offs[i + 1]]``.
+    :returns: (member compressed offsets int64[n], compressed sizes
+        int32[n], inflated sizes int32[n], payload offsets int64[n+1]).
     """
     import numpy as np
 
@@ -567,22 +564,67 @@ def bgzf_inflate_range(data, offset: int, limit: int, nthreads: int = 4):
     coffs = np.empty(cap, np.int64)
     bsizes = np.empty(cap, np.int32)
     isizes = np.empty(cap, np.int32)
-    src_p = src.ctypes.data_as(ctypes.c_void_p)
     n = lib.mt_bgzf_scan(
-        src_p, src.size, offset, limit, coffs.ctypes.data_as(i64p),
-        bsizes.ctypes.data_as(i32p), isizes.ctypes.data_as(i32p), cap)
+        src.ctypes.data_as(ctypes.c_void_p), src.size, offset, limit,
+        coffs.ctypes.data_as(i64p), bsizes.ctypes.data_as(i32p),
+        isizes.ctypes.data_as(i32p), cap)
     if n < 0:
         raise NativeBuildError("malformed BGZF framing in scan")
     coffs, bsizes, isizes = coffs[:n], bsizes[:n], isizes[:n]
     payload_offs = np.zeros(n + 1, np.int64)
     np.cumsum(isizes, out=payload_offs[1:])
-    out = np.empty(int(payload_offs[-1]), np.uint8)
-    if n and lib.mt_bgzf_inflate_many(
-            src_p, n, coffs.ctypes.data_as(i64p),
-            bsizes.ctypes.data_as(i32p), isizes.ctypes.data_as(i32p),
-            payload_offs.ctypes.data_as(i64p),
-            out.ctypes.data_as(ctypes.c_void_p), nthreads) != 0:
+    return coffs, bsizes, isizes, payload_offs
+
+
+def bgzf_inflate_into(data, coffs, bsizes, isizes, payload_offs, out,
+                      out_base: int = 0, nthreads: int = 4):
+    """Inflate pre-scanned members into ``out`` at ``out_base``.
+
+    Lets callers assemble multiple scanned spans into one buffer with
+    zero copies (the old concatenate of per-span payloads cost more
+    than the inflate itself on multi-chunk regions).
+    """
+    import numpy as np
+
+    lib = _load()
+    _load_bgzf_symbols(lib)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = len(coffs)
+    if not n:
+        return
+    if out_base + int(payload_offs[-1]) > out.size:
+        raise ValueError("inflate target overflows output buffer")
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = ctypes.c_void_p(out.ctypes.data + out_base)
+    if lib.mt_bgzf_inflate_many(
+            src.ctypes.data_as(ctypes.c_void_p), n,
+            np.ascontiguousarray(coffs).ctypes.data_as(i64p),
+            np.ascontiguousarray(bsizes).ctypes.data_as(i32p),
+            np.ascontiguousarray(isizes).ctypes.data_as(i32p),
+            np.ascontiguousarray(payload_offs).ctypes.data_as(i64p),
+            dst, nthreads) != 0:
         raise NativeBuildError("corrupt BGZF member payload")
+
+
+def bgzf_inflate_range(data, offset: int, limit: int, nthreads: int = 4):
+    """Scan + multi-thread-inflate the BGZF members in [offset, limit).
+
+    :param data: buffer holding the compressed file (bytes/mmap).
+    :returns: (payload uint8 array, member compressed offsets int64[n],
+        payload offsets int64[n+1], compressed offset after the last
+        member) — member i's payload is
+        ``payload[payload_offs[i]:payload_offs[i + 1]]``.
+    """
+    import numpy as np
+
+    coffs, bsizes, isizes, payload_offs = bgzf_scan_range(
+        data, offset, limit)
+    out = np.empty(int(payload_offs[-1]), np.uint8)
+    bgzf_inflate_into(
+        data, coffs, bsizes, isizes, payload_offs, out,
+        nthreads=nthreads)
+    n = len(coffs)
     next_off = int(coffs[-1] + bsizes[-1]) if n else offset
     return out, coffs, payload_offs, next_off
 
