@@ -418,9 +418,14 @@ def _build():
         if gates_bf16:
             # transcendentals on bf16 (packed VPU lanes); the h carry
             # and the gate *blend* stay f32 so quantisation error does
-            # not compound over 10k serial steps
-            rz = jax.nn.sigmoid(
-                (xp[:2 * hidden] + hp[:2 * hidden]).astype(jnp.bfloat16))
+            # not compound over 10k serial steps.  sigmoid is expressed
+            # through tanh — Mosaic's bf16 `logistic` lowering fails
+            # verification (f32 broadcast into a bf16 vector), tanh
+            # lowers fine.
+            half = jnp.bfloat16(0.5)
+            rz_in = (xp[:2 * hidden] + hp[:2 * hidden]
+                     ).astype(jnp.bfloat16)
+            rz = half * (jnp.bfloat16(1.0) + jnp.tanh(rz_in * half))
             r = rz[:hidden].astype(jnp.float32)
             z = rz[hidden:].astype(jnp.float32)
             n = jnp.tanh(

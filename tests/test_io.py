@@ -103,6 +103,50 @@ class TestBgzf:
                                match="malformed BGZF"):
                 native.bgzf_inflate_range(bytes(raw), 0, len(raw))
 
+    def test_scan_then_inflate_into_matches_range(self, tmp_path):
+        """The zero-copy span assembly (scan every span, size one
+        buffer, inflate each span into place) must be byte-identical to
+        per-span ``bgzf_inflate_range`` + concatenate — the path
+        ``BamReader.region_payload`` uses for multi-chunk regions."""
+        import numpy as np
+
+        from medaka_tpu import native
+
+        path = str(tmp_path / "x.bgz")
+        rng = np.random.default_rng(7)
+        payload = rng.integers(0, 256, 300000, dtype=np.uint8).tobytes()
+        with BgzfWriter(path) as w:
+            for off in range(0, len(payload), 50000):
+                w.write(payload[off:off + 50000])
+                w.flush_block()
+        raw = open(path, "rb").read()
+        # two disjoint spans: members [0, mid) and [mid, end)
+        coffs_all, _, _, _ = native.bgzf_scan_range(raw, 0, len(raw))
+        mid = int(coffs_all[len(coffs_all) // 2])
+        spans = [(0, mid), (mid, len(raw))]
+        scans, total = [], 0
+        for off, lim in spans:
+            coffs, bsizes, isizes, poffs = native.bgzf_scan_range(
+                raw, off, lim)
+            scans.append((coffs, bsizes, isizes, poffs, total))
+            total += int(poffs[-1])
+        out = np.empty(total, np.uint8)
+        for coffs, bsizes, isizes, poffs, base in scans:
+            native.bgzf_inflate_into(
+                raw, coffs, bsizes, isizes, poffs, out, out_base=base)
+        want = np.concatenate([
+            native.bgzf_inflate_range(raw, off, lim)[0]
+            for off, lim in spans])
+        assert np.array_equal(out, want)
+        assert out.tobytes() == payload
+        # overflow guard: a too-small target must be rejected
+        import pytest
+        small = np.empty(total - 1, np.uint8)
+        coffs, bsizes, isizes, poffs, base = scans[-1]
+        with pytest.raises(ValueError, match="overflows"):
+            native.bgzf_inflate_into(
+                raw, coffs, bsizes, isizes, poffs, small, out_base=base)
+
     def test_close_drops_block_cache(self, tmp_path):
         path = str(tmp_path / "x.bgz")
         with BgzfWriter(path) as w:
