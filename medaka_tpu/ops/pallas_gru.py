@@ -1309,10 +1309,11 @@ def bigru_l2head(prev_f, prev_b, w_ih, b_ih, w_hh, b_hh, w_head,
 # matmuls, gate math as sublane row slices, lengths broadcast over
 # lanes.  Measured on v5e (tests/perf/kernel_lab.py v6): 40.4M cols/s
 # at B=512 (parity with the row-major path), then past the old wall:
-# 46.0M at B=1024, 49.8M at B=2048, 50.8M at B=2560, 52.7M with the
-# round-4 merged projection issue (~85% of the bf16 speed of light;
-# ~43% of the int8-adjusted ~123M roofline these mostly-int8 kernels
-# are honestly measured against — budget in docs/kernels.md).
+# 46.0M at B=1024, 49.8M at B=2048, 50.8M at B=2560 — then 52.7M
+# with the round-4 merged projection issue and 56.5M with bf16
+# tanh-form gates (~91% of the bf16 speed of light; ~46% of the
+# int8-adjusted ~123M roofline these mostly-int8 kernels are honestly
+# measured against — budget in docs/kernels.md).
 # Numerics are the same int8/bf16 scheme, so the
 # measured probability error matches the row-major path (5e-4 / 1e-4).
 
@@ -1332,14 +1333,35 @@ def _quantize_rows(w):
 
 
 def _gru_cell_t(h, xp, w, sc, b, hidden, quant):
-    """One transposed GRU cell step: all operands (rows, batch-lanes)."""
+    """One transposed GRU cell step: all operands (rows, batch-lanes).
+
+    On the quantised (production) path the gate transcendentals run in
+    bf16 — VPU lanes pack 2× and the gate math is ~half the per-step
+    residual (measured 52.2 → 56.5M cols/s at B=2560). sigmoid is
+    expressed through tanh because Mosaic's bf16 ``logistic`` lowering
+    fails verification (f32 broadcast into a bf16 vector); tanh lowers
+    clean. The h carry and the gate *blend* stay f32 so bf16
+    quantisation error cannot compound across 10k serial steps
+    (measured end-to-end max probability error vs the f32 scan at
+    B=256/T=10000 ragged: 6.8e-4 max / 7.6e-5 mean, vs 5.3e-4 for the
+    f32-gate int8 path; the real-workflow consensus sequence is
+    byte-identical to the f32-gate kernels').
+    """
     if quant:
         hq = jnp.round(h * 127.0).astype(jnp.int8)
         hp = jnp.dot(w, hq, preferred_element_type=jnp.int32
                      ).astype(jnp.float32) * sc + b
-    else:
-        hp = jnp.dot(w, h.astype(w.dtype),
-                     preferred_element_type=jnp.float32) + b
+        half = jnp.bfloat16(0.5)
+        rz_in = (xp[:2 * hidden] + hp[:2 * hidden]).astype(jnp.bfloat16)
+        rz = half * (jnp.bfloat16(1.0) + jnp.tanh(rz_in * half))
+        r = rz[:hidden].astype(jnp.float32)
+        z = rz[hidden:].astype(jnp.float32)
+        n = jnp.tanh(
+            (xp[2 * hidden:] + r * hp[2 * hidden:]
+             ).astype(jnp.bfloat16)).astype(jnp.float32)
+        return (1.0 - z) * n + z * h
+    hp = jnp.dot(w, h.astype(w.dtype),
+                 preferred_element_type=jnp.float32) + b
     r = jax.nn.sigmoid(xp[:hidden] + hp[:hidden])
     z = jax.nn.sigmoid(xp[hidden:2 * hidden] + hp[hidden:2 * hidden])
     n = jnp.tanh(xp[2 * hidden:] + r * hp[2 * hidden:])
