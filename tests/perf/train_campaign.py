@@ -104,52 +104,10 @@ def make_gcrep_genome(rng, core_kb=14):
 
 
 _RC = str.maketrans("ACGT", "TGCA")
-_BASES_U8 = np.frombuffer(b"ACGT", np.uint8)
-
-
-def simulate_hpbias_read(ref_arr, start, length, rng):
-    """ONT-like read with *systematic* homopolymer-deletion errors.
-
-    Uniform-error simulation makes majority vote near-optimal by
-    construction — at 30x coverage independent errors average out and
-    the NN has nothing left to add (measured: a model trained on such
-    reads lands 0.7Q *below* majority). Real nanopore error is
-    dominated by homopolymer truncation, which is correlated across
-    reads and exactly the signal the consensus model family exists to
-    exploit (the reference's premise). Here: substitutions 1.5% and
-    insertions 0.5% uniform; deletions 0.5% at run length 1 rising
-    3%/extra repeat, capped at 12%.
-    """
-    piece = ref_arr[start:start + length]
-    edges = np.flatnonzero(np.diff(piece)) + 1
-    run_starts = np.concatenate(([0], edges))
-    run_lens = np.diff(np.concatenate((run_starts, [len(piece)])))
-    runlen = np.repeat(run_lens, run_lens)
-    p_del = np.minimum(0.005 + 0.03 * (runlen - 1), 0.12)
-    u = rng.random(len(piece))
-    ev = np.zeros(len(piece), np.int8)        # 0 match
-    ev[u < p_del + 0.020] = 2                 # 2 ins (0.5%)
-    ev[u < p_del + 0.015] = 1                 # 1 sub (1.5%)
-    ev[u < p_del] = 3                         # 3 del
-    is_ins = ev == 2
-    n_out = np.where(is_ins, 2, np.where(ev == 3, 0, 1))
-    slot = np.concatenate(([0], np.cumsum(n_out)[:-1]))
-    out = np.empty(int(n_out.sum()), np.uint8)
-    keeps = ev != 3
-    out[slot[keeps] + is_ins[keeps]] = piece[keeps]
-    subs = np.flatnonzero(ev == 1)
-    if subs.size:
-        idx = np.searchsorted(_BASES_U8, piece[subs])
-        out[slot[subs]] = _BASES_U8[
-            (idx + rng.integers(1, 4, subs.size)) % 4]
-    ins = np.flatnonzero(is_ins)
-    if ins.size:
-        out[slot[ins]] = _BASES_U8[rng.integers(0, 4, ins.size)]
-    return out.tobytes().decode()
 
 
 def simulate_reads_fq(truth_seq, depth, rng, out_fq, read_len=3000):
-    """~96%-identity long reads from the truth, written as fastq.
+    """Systematic-error long reads from the truth, written as fastq.
 
     Half the reads are reverse-complemented before writing: real
     sequencing covers both strands, and the counts encoder keeps
@@ -158,6 +116,8 @@ def simulate_reads_fq(truth_seq, depth, rng, out_fq, read_len=3000):
     misreads any both-strand pileup (measured: Q4 vs Q29 majority on
     the lambda condition before this fix).
     """
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from mock_data import simulate_hpbias_read
     ref_arr = np.frombuffer(truth_seq.encode(), np.uint8).copy()
     n_reads = max(1, int(len(truth_seq) * depth / read_len))
     n = 0

@@ -476,6 +476,62 @@ class TestTrainedModelFullLoop:
         assert edits <= 100, "cross-genome edit rate {} > Q30".format(
             edits)
 
+    def test_gcrep_bundle_beats_majority_on_systematic_errors(
+            self, tmp_path):
+        """The second-condition (gcrep) bundle fixes errors majority
+        vote cannot: on reads with homopolymer-biased deletions (the
+        correlated real-nanopore error mode), majority consensus
+        inherits the bias while the gcrep-trained model corrects it.
+        Pinned claim: model consensus has at most half the majority
+        consensus's edits over the same pileup (measured 26 vs 141 =
+        Q31.9 vs Q24.5 on this 40 kb genome; 2x2 quality matrix in
+        PARITY.md; condition recipe tests/perf/train_campaign.py)."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from mock_data import simulate_hpbias_read
+
+        from medaka_tpu import mapping, models, native
+        from medaka_tpu.io.fastx import FastaReader, FastaWriter
+        from medaka_tpu.models.majority import MajorityVoteModel
+
+        rng = np.random.default_rng(99)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        # GC-skewed like the training condition, unseen sequence
+        ref_arr = bases[rng.choice(4, 40_000, p=[.15, .35, .35, .15])]
+        ref_seq = ref_arr.tobytes().decode()
+        ref_fa = str(tmp_path / "genome.fasta")
+        with FastaWriter(ref_fa) as fw:
+            fw.write("gx", ref_seq)
+        rc = str.maketrans("ACGT", "TGCA")
+        reads_fq = str(tmp_path / "reads.fq")
+        with open(reads_fq, "w") as fh:
+            for i in range(int(40_000 * 30 / 3000)):
+                start = int(rng.integers(0, len(ref_seq) - 3000))
+                seq = simulate_hpbias_read(ref_arr, start, 3000, rng)
+                if rng.random() < 0.5:
+                    seq = seq.translate(rc)[::-1]
+                fh.write("@sr{}\n{}\n+\n{}\n".format(
+                    i, seq, "5" * len(seq)))
+
+        bundle = models.load_model(
+            models.resolve_model("gru256_gcrep_demo"))
+        edits = {}
+        for name, model, params in (
+                ("model", bundle.model, bundle.params),
+                ("majority", MajorityVoteModel(), {})):
+            out = mapping.consensus_workflow(
+                reads_fq, ref_fa, str(tmp_path / ("wf_" + name)),
+                model=model, params=params,
+                feature_encoder=bundle.feature_encoder,
+                label_scheme=bundle.label_scheme,
+                threads=4, batch_size=32, chunk_len=4000,
+                chunk_ovlp=400)
+            edits[name] = native.edit_distance(
+                FastaReader(out).fetch("gx"), ref_seq)
+        assert edits["model"] * 2 <= edits["majority"], edits
+
     def test_bundled_read_level_model_polishes_workflow(self, tmp_path):
         """The round-4 read-level (LatentSpaceLSTM) campaign bundle —
         validation Q39.7 vs the Q29.03 majority baseline (+10.67Q) on
