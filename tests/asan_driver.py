@@ -1,11 +1,12 @@
 """Drive every native (C++) component under ASan+UBSan.
 
 The analog of the reference's valgrind memcheck target
-(``Makefile:237-248``): the four .cpp sources are rebuilt with
+(``Makefile:237-248``): all seven .cpp sources are rebuilt with
 ``-fsanitize=address,undefined -fno-sanitize-recover=all`` and all of
 align / edit distance / POA / mapper (incl. supplementary output) /
-pileup featurisation are exercised over real workflow data plus edge
-cases. Any overflow, use-after-free or UB aborts the process; the
+pileup featurisation / read matrices / BGZF scan+inflate (incl. the
+zero-copy span assembly) / in-payload record scanning are exercised
+over real workflow data plus edge cases. Any overflow, use-after-free or UB aborts the process; the
 pytest wrapper (tests/test_asan.py) runs this in a subprocess with the
 sanitizer runtimes preloaded.
 
@@ -74,6 +75,21 @@ def main():
     read_alignment_matrix(
         Region("lambda_5kb", 4900, 4970), bam, max_reads=5,
         row_per_read=True, include_haplotype=True)
+
+    # --- bgzf.cpp + bam_scan.cpp: scan / pooled inflate / zero-copy
+    # span assembly / in-payload record walk over the real BAM
+    raw = open(bam, "rb").read()
+    payload, coffs, poffs, nxt = native.bgzf_inflate_range(
+        raw, 0, len(raw), nthreads=3)
+    assert payload.size == int(poffs[-1]) and nxt <= len(raw)
+    c2, b2, i2, p2 = native.bgzf_scan_range(raw, 0, len(raw))
+    out = np.empty(int(p2[-1]), np.uint8)
+    native.bgzf_inflate_into(raw, c2, b2, i2, p2, out, nthreads=2)
+    assert out.tobytes() == payload.tobytes()
+    from medaka_tpu.io.bam import BamReader
+    with BamReader(bam) as br:
+        rp = br.region_payload("lambda_5kb", 100, 4800)
+        assert rp is not None and rp[0].size > 0
 
     print("ASAN_DRIVER_OK")
 

@@ -1,7 +1,7 @@
 """Memory-safety gate for the native layer (ASan + UBSan).
 
 Reference medaka valgrind-memchecks its C kernels
-(``Makefile:237-248``); this is the equivalent for the four
+(``Makefile:237-248``); this is the equivalent for the seven
 medaka_tpu .cpp sources, driven through the real ctypes marshalling
 paths by ``tests/asan_driver.py`` in a sanitizer-preloaded subprocess.
 """
