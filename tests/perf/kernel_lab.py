@@ -3,9 +3,11 @@ model at the production inference geometry (B=512, T=10000, H=256, 2
 layers, 5 classes).
 
 Round-2 left the single-chip rate at ~31.5M cols/s (~51% of the 62M
-cols/s bf16 speed of light).  The remaining budget (measured):
-~83 ms MXU-ideal + ~48 ms HBM traffic + ~2-3 us/grid-step overhead
-x 20k steps.  Variants attack each term:
+cols/s bf16 speed of light); round 3 shipped the transposed split
+path (50.8M); round 4's budget-term attacks (v6_*) shipped the merged
+projection issue and bf16 tanh-form gates (56.5M — per-step budget in
+docs/kernels.md, fit via tests/perf/step_budget.py).  Variants, oldest
+first:
 
 - v0          : production path (bigru_stack_fullfused + head einsum).
 - v0_tb{N}u   : v0 with time_block=N and the inner loop unrolled
