@@ -8,8 +8,8 @@ so existing medaka invocations translate directly:
     medaka_tpu vcf <probs.hdf...> <ref.fasta> <out.vcf>
     medaka_tpu snp / train / features / tools {...}
 
-Subcommands whose subsystems are not yet implemented raise a clear
-NotImplementedError naming the reference feature.
+All subcommands are fully implemented; see ``docs/quickstart.md`` for the
+workflow entry points and ``PARITY.md`` for the reference parity matrix.
 """
 from __future__ import annotations
 

@@ -128,7 +128,8 @@ class GRUModel:
               compute_dtype=None, lengths=None,
               fused: Optional[bool] = None,
               training: bool = False,
-              recurrent_quant: Optional[str] = None) -> jnp.ndarray:
+              recurrent_quant: Optional[str] = None,
+              interpret: bool = False) -> jnp.ndarray:
         """Forward pass.
 
         :param x: (batch, positions, num_features) counts features.
@@ -148,6 +149,10 @@ class GRUModel:
             tests/perf/kernel_lab.py); pass "none" for bf16-exact
             kernels. "bf16_gates"/"staggered" select legacy fullfused
             stack variants.
+        :param interpret: run the fused Pallas kernels in interpreter
+            mode (CPU validation of the production kernel path, e.g. the
+            driver's multichip dryrun); bypasses the batch/width perf
+            heuristics since interpret mode is never about speed.
         :returns: (batch, positions, num_classes).
         """
         if fused is None:
@@ -157,15 +162,17 @@ class GRUModel:
         if (fused and not training and self.bidirectional
                 and compute_dtype == jnp.bfloat16
                 and len(params["gru"]) == 2
-                and x.shape[0] >= 32
-                and params["gru"][0]["fwd"]["w_hh"].shape[-1] % 128 == 0
+                and (interpret or (
+                    x.shape[0] >= 32
+                    and params["gru"][0]["fwd"]["w_hh"].shape[-1] % 128
+                    == 0))
                 and recurrent_quant in (None, "int8", "none")):
             # flagship split path: layer-split kernels, fused head,
             # int8 inter-layer/projections/recurrence by default
             from medaka_tpu.ops.pallas_gru import bigru_head_fullfused
             logits = bigru_head_fullfused(
                 params["gru"], params["linear"], x, lengths=lengths,
-                quant=(recurrent_quant != "none"))
+                quant=(recurrent_quant != "none"), interpret=interpret)
             if normalise:
                 return jax.nn.softmax(logits, axis=-1)
             return logits

@@ -125,7 +125,8 @@ def _tp_kernel_fence(model, mesh: Mesh) -> Dict:
     return {"fused": False}
 
 
-def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16):
+def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16,
+                         apply_kwargs: Optional[Dict] = None):
     """Jit a forward pass with DP batch + TP param shardings.
 
     Pure-DP meshes (model axis absent or 1) run the per-shard forward
@@ -135,8 +136,14 @@ def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16):
     pallas-under-SPMD pattern; plain GSPMD would have to partition the
     kernel's custom call itself. Meshes with a model axis >1 keep the
     GSPMD path with the scan fence (:func:`_tp_kernel_fence`).
+
+    :param apply_kwargs: extra kwargs for ``model.apply`` (e.g.
+        ``{"fused": True, "interpret": True}`` to validate the fused
+        kernel path on a virtual CPU mesh). The TP fence wins on
+        conflicts.
     """
-    fence = _tp_kernel_fence(model, mesh)
+    fence = dict(apply_kwargs or {})
+    fence.update(_tp_kernel_fence(model, mesh))
     model_par = dict(
         zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
     n_dev = mesh.devices.size
