@@ -199,8 +199,296 @@ def q_from_acc(acc):
     return -10.0 * np.log10(max(1e-9, 1.0 - acc))
 
 
-def evaluate(batcher, model, params, compute_dtype):
-    """(model_acc, majority_acc) over the validation split."""
+# ---------------------------------------------------------------------------
+# Variant-calling campaign (round 5): the reference's second flagship
+# workflow (``scripts/medaka_variant:1-182`` — "Haploid variant calling
+# via neural networks" — and the diploid SNP decoder,
+# ``medaka/labels.py:1088-1244``). Two conditions:
+#
+#   --condition=variant      hom SNVs + 1-3 bp indels planted into a
+#                            synthetic genome; reads map to the
+#                            *reference*; HaploidLabelScheme training;
+#                            evaluated through the full
+#                            ``medaka_tpu variant`` pipeline with
+#                            SNP/indel precision/recall/F1 vs the truth
+#                            VCF (the haploid workflow's own regime).
+#   --condition=diploid_snp  het+hom SNVs on two haplotypes (50/50
+#                            reads); DiploidLabelScheme (15-class)
+#                            training with an HP-tagged truth BAM;
+#                            evaluated through ``medaka_tpu snp``
+#                            with SNP F1 + genotype concordance.
+
+
+def apply_edits(ref_seq, edits):
+    """Apply non-overlapping (pos, ref, alt) edits (VCF-style anchors)."""
+    out, cur = [], 0
+    for pos, ref, alt in sorted(edits):
+        out.append(ref_seq[cur:pos])
+        out.append(alt)
+        cur = pos + len(ref)
+    out.append(ref_seq[cur:])
+    return "".join(out)
+
+
+def plant_variants(ref_seq, rng, diploid=False, spacing=250):
+    """Plant isolated variants; returns (hap_seqs, records).
+
+    Records are dicts {pos (0-based), ref, alt, gt}; min separation
+    60 bp keeps truth records independent so normalized exact-match
+    scoring is unambiguous.
+    """
+    L = len(ref_seq)
+    records = []
+    p = 100
+    while True:
+        p += 60 + int(rng.integers(0, max(1, 2 * spacing - 60)))
+        if p >= L - 120:
+            break
+        base = ref_seq[p]
+        r = rng.random()
+        if diploid or r < 0.6:  # SNV
+            alt = str(rng.choice([b for b in "ACGT" if b != base]))
+            ref, altseq = base, alt
+        elif r < 0.8:  # insertion, 1-3 bp
+            ins = "".join(rng.choice(list("ACGT"),
+                                     size=int(rng.integers(1, 4))))
+            ref, altseq = base, base + ins
+        else:  # deletion, 1-3 bp
+            dlen = int(rng.integers(1, 4))
+            ref, altseq = ref_seq[p:p + 1 + dlen], base
+        if diploid:
+            gt = "0/1" if rng.random() < 0.5 else "1/1"
+        else:
+            gt = "1"
+        records.append({"pos": p, "ref": ref, "alt": altseq, "gt": gt})
+    if diploid:
+        # assign each het record to one haplotype
+        het_hap = {
+            id(rec): int(rng.integers(0, 2))
+            for rec in records if rec["gt"] == "0/1"}
+        haps = []
+        for h in (0, 1):
+            edits = [
+                (rec["pos"], rec["ref"], rec["alt"]) for rec in records
+                if rec["gt"] == "1/1" or het_hap[id(rec)] == h]
+            haps.append(apply_edits(ref_seq, edits))
+    else:
+        haps = [apply_edits(
+            ref_seq, [(r["pos"], r["ref"], r["alt"]) for r in records])]
+    return haps, records
+
+
+def write_truth_vcf(path, contig, contig_len, records):
+    from medaka_tpu import vcf as vcf_mod
+    variants = [
+        vcf_mod.Variant(
+            contig, rec["pos"], rec["ref"], rec["alt"], qual=70.0,
+            filt="PASS", genotype_data={"GT": rec["gt"]})
+        for rec in records]
+    with vcf_mod.VCFWriter(
+            path, "w", version="4.1",
+            contigs=["{},length={}".format(contig, contig_len)]) as vw:
+        vw.write_variants(variants, sort=True)
+
+
+def simulate_hap_reads(haps, depth, rng, out_fq, read_len=3000):
+    """hp-bias reads drawn evenly from the given haplotype sequences."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from mock_data import simulate_hpbias_read
+    n = 0
+    with open(out_fq, "w") as fh:
+        for h, hap in enumerate(haps):
+            arr = np.frombuffer(hap.encode(), np.uint8).copy()
+            n_reads = max(1, int(
+                len(hap) * depth / (read_len * len(haps))))
+            for i in range(n_reads):
+                length = min(read_len, len(hap) - 1)
+                start = int(rng.integers(0, len(hap) - length))
+                seq = simulate_hpbias_read(arr, start, length, rng)
+                if rng.random() < 0.5:
+                    seq = seq.translate(_RC)[::-1]
+                fh.write("@vr{}_{}\n{}\n+\n{}\n".format(
+                    h, i, seq, "5" * len(seq)))
+                n += 1
+    return n
+
+
+def build_variant_set(out_dir, n_genomes, condition, threads=4):
+    """Per-genome labelled features + eval manifest for the workflow."""
+    from medaka_tpu import common as mcommon
+    from medaka_tpu import mapping
+    from medaka_tpu.features import create_samples
+    from medaka_tpu.io.fastx import FastaWriter
+
+    diploid = condition == "diploid_snp"
+    depths = [20, 30, 45, 60]
+    genome_kb = 100
+    train, valid, evals = [], [], []
+    for k in range(n_genomes):
+        rng = np.random.default_rng(3000 + k)
+        contig = "vg{:02d}".format(k)
+        ref_seq = "".join(rng.choice(list("ACGT"), size=genome_kb * 1000))
+        gdir = out_dir / "genome{:02d}".format(k)
+        gdir.mkdir(exist_ok=True)
+        ref_fa = str(gdir / "ref.fasta")
+        with FastaWriter(ref_fa) as fw:
+            fw.write(contig, ref_seq)
+        haps, records = plant_variants(ref_seq, rng, diploid=diploid)
+        truth_vcf = str(gdir / "truth.vcf")
+        write_truth_vcf(truth_vcf, contig, len(ref_seq), records)
+        depth = depths[k % len(depths)]
+        reads_fq = str(gdir / "reads.fq")
+        simulate_hap_reads(haps, depth, rng, reads_fq)
+        reads_bam = str(gdir / "reads.bam")
+        mapping.align_reads(reads_fq, ref_fa, reads_bam, threads=threads)
+        hap_bams = []
+        for h, hap in enumerate(haps):
+            hap_fa = str(gdir / "hap{}.fasta".format(h))
+            with FastaWriter(hap_fa) as fw:
+                fw.write("hap{}_{}".format(h, contig), hap)
+            hap_bam = str(gdir / "hap{}.bam".format(h))
+            mapping.align_reads(hap_fa, ref_fa, hap_bam, md=True)
+            hap_bams.append(hap_bam)
+        if diploid:
+            truth_bam = str(gdir / "truth.bam")
+            mcommon.tag_merge_bams(
+                hap_bams, [1, 2], "HP", truth_bam, threads=threads)
+        else:
+            truth_bam = hap_bams[0]
+        feats = str(gdir / "feats.hdf5")
+        kwargs = {}
+        if diploid:
+            kwargs = {"label_scheme_name": "DiploidLabelScheme",
+                      "truth_haplotag": "HP"}
+        n = create_samples(
+            reads_bam, feats, truth_bam=truth_bam, threads=threads,
+            chunk_len=1000, chunk_ovlp=200, **kwargs)
+        held_out = k % 5 == 4
+        (valid if held_out else train).append(feats)
+        if held_out:
+            evals.append({
+                "dir": str(gdir), "ref": ref_fa, "reads": reads_fq,
+                "reads_bam": reads_bam, "truth_vcf": truth_vcf,
+                "depth": depth})
+        print("genome {:02d}: {} variants depth={}x -> {} samples".format(
+            k, len(records), depth, n), flush=True)
+    return train, valid, evals
+
+
+def _norm_vcf(path, ref_seqs):
+    """{(chrom, pos, ref, alt): zygosity} of normalized records."""
+    from medaka_tpu import vcf as vcf_mod
+    out = {}
+    for var in vcf_mod.VCFReader(path).fetch():
+        norm = var.normalize(ref_seqs[var.chrom])
+        gt = norm.gt
+        zyg = "hom"
+        if gt is not None and len(set(gt)) > 1:
+            zyg = "het"
+        for alt in norm.alt:
+            if alt in (".", norm.ref):
+                continue
+            out[(norm.chrom, norm.pos, norm.ref, alt)] = zyg
+    return out
+
+
+def score_vcf(truth_vcf, called_vcf, ref_fasta):
+    """SNP/indel precision/recall/F1 + genotype concordance."""
+    from medaka_tpu.io.fastx import FastaReader
+    fa = FastaReader(ref_fasta)
+    ref_seqs = {name: fa.fetch(name).upper() for name in fa.references}
+    truth = _norm_vcf(truth_vcf, ref_seqs)
+    called = _norm_vcf(called_vcf, ref_seqs)
+
+    def kind(key):
+        _, _, ref, alt = key
+        return "snp" if len(ref) == 1 and len(alt) == 1 else "indel"
+
+    res = {}
+    for k in ("snp", "indel"):
+        t = {key for key in truth if kind(key) == k}
+        c = {key for key in called if kind(key) == k}
+        if not t and not c:
+            continue
+        tp, fp, fn = len(t & c), len(c - t), len(t - c)
+        prec = tp / max(1, tp + fp)
+        rec = tp / max(1, tp + fn)
+        f1 = 2 * prec * rec / max(1e-9, prec + rec)
+        res[k] = {"tp": tp, "fp": fp, "fn": fn,
+                  "precision": round(prec, 4), "recall": round(rec, 4),
+                  "f1": round(f1, 4)}
+    matched = set(truth) & set(called)
+    gt_truth_known = [k for k in matched if truth[k] in ("het", "hom")]
+    if gt_truth_known and any(called[k] for k in gt_truth_known):
+        agree = sum(
+            1 for k in gt_truth_known if called[k] == truth[k])
+        res["gt_concordance"] = round(agree / len(gt_truth_known), 4)
+    return res
+
+
+def variant_eval(out_dir, model_path=None, condition=None,
+                 batch_size=256, threads=4):
+    """Full-workflow eval: predict + decode + score each eval genome."""
+    from medaka_tpu import models, prediction, variant
+
+    out_dir = pathlib.Path(out_dir)
+    sets = json.loads((out_dir / "dataset.json").read_text())
+    condition = condition or sets.get("condition", "variant")
+    evals = sets["eval"]
+    model_path = model_path or str(
+        out_dir / "train" / "model-best_val_loss.tar.gz")
+    diploid = condition == "diploid_snp"
+    agg = {}
+    for ev in evals:
+        gdir = pathlib.Path(ev["dir"])
+        probs = str(gdir / "eval_probs.hdf")
+        if os.path.exists(probs):
+            os.unlink(probs)
+        prediction.predict(
+            ev["reads_bam"], probs,
+            model_path=models.resolve_model(model_path),
+            batch_size=batch_size, chunk_len=1000, chunk_overlap=200,
+            bam_workers=max(1, threads // 2))
+        called = str(gdir / "called.vcf")
+        if diploid:
+            variant.snps_from_hdf(probs, ev["ref"], called)
+        else:
+            variant.variants_from_hdf(probs, ev["ref"], called)
+        score = score_vcf(ev["truth_vcf"], called, ev["ref"])
+        print("eval {} depth={}x {}".format(
+            gdir.name, ev["depth"], json.dumps(score)), flush=True)
+        for k, v in score.items():
+            if isinstance(v, dict):
+                for m in ("tp", "fp", "fn"):
+                    agg.setdefault(k, {}).setdefault(m, 0)
+                    agg[k][m] += v[m]
+            else:
+                agg.setdefault("gt_list", []).append(v)
+    for k in ("snp", "indel"):
+        if k not in agg:
+            continue
+        tp, fp, fn = agg[k]["tp"], agg[k]["fp"], agg[k]["fn"]
+        prec = tp / max(1, tp + fp)
+        rec = tp / max(1, tp + fn)
+        agg[k].update({
+            "precision": round(prec, 4), "recall": round(rec, 4),
+            "f1": round(2 * prec * rec / max(1e-9, prec + rec), 4)})
+    if "gt_list" in agg:
+        agg["gt_concordance"] = round(
+            float(np.mean(agg.pop("gt_list"))), 4)
+    print("VARIANT_EVAL " + json.dumps(agg), flush=True)
+    (out_dir / "variant_eval.json").write_text(json.dumps(agg, indent=1))
+    return agg
+
+
+def evaluate(batcher, model, params, compute_dtype, diploid_lut=None):
+    """(model_acc, majority_acc) over the validation split.
+
+    ``diploid_lut``: optional (5,) class-id LUT mapping the majority
+    base argmax to the DiploidLabelScheme's homozygous class — the
+    fair majority baseline for 15-class diploid labels (majority vote
+    has no heterozygous call to make).
+    """
     import jax
 
     from medaka_tpu import parallel
@@ -219,6 +507,15 @@ def evaluate(batcher, model, params, compute_dtype):
             mj_c += float(np.sum(
                 (baseline_pred == batch["labels"]) * batch["mask"]))
             mj_t += float(batch["mask"].sum())
+        elif diploid_lut is not None:
+            from medaka_tpu.models.majority import MajorityVoteModel
+            probs = np.asarray(
+                MajorityVoteModel().apply({}, batch["features"]))
+            pred = diploid_lut[np.argmax(probs, axis=-1)]
+            mj_c += float(np.sum(
+                (pred == np.asarray(batch["labels"]))
+                * np.asarray(batch["mask"])))
+            mj_t += float(np.asarray(batch["mask"]).sum())
         else:
             c, t = parallel.majority_baseline_accuracy(batch)
             mj_c += float(c)
@@ -279,6 +576,7 @@ def main():
     read_level = "--read-level" in sys.argv
     lstm_size = 128
     condition = "lambda"
+    eval_only = "--eval-only" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--lstm-size"):
             lstm_size = int(a.split("=", 1)[1])
@@ -289,21 +587,38 @@ def main():
             return
     out_dir = pathlib.Path(
         args[0] if len(args) > 0 else "/tmp/train_campaign")
-    n_drafts = int(args[1]) if len(args) > 1 else 40
+    variant_cond = condition in ("variant", "diploid_snp")
+    n_drafts = int(args[1]) if len(args) > 1 else (
+        20 if variant_cond else 40)
     epochs = int(args[2]) if len(args) > 2 else 300
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    if eval_only:
+        variant_eval(out_dir)
+        return
+
     marker = out_dir / "dataset.json"
+    evals = []
     if marker.exists():
         sets = json.loads(marker.read_text())
         train, valid = sets["train"], sets["valid"]
+        evals = sets.get("eval", [])
+        condition = sets.get("condition", condition)
+        variant_cond = condition in ("variant", "diploid_snp")
         print("Reusing dataset: {} train / {} valid files".format(
             len(train), len(valid)), flush=True)
+    elif variant_cond:
+        train, valid, evals = build_variant_set(
+            out_dir, n_drafts, condition)
+        marker.write_text(json.dumps({
+            "train": train, "valid": valid, "eval": evals,
+            "condition": condition}))
     else:
         train, valid = build_draft_set(
             out_dir, n_drafts, read_level=read_level,
             condition=condition)
-        marker.write_text(json.dumps({"train": train, "valid": valid}))
+        marker.write_text(json.dumps(
+            {"train": train, "valid": valid, "condition": condition}))
 
     # the reference's bundled labelled features (1.16 Mb of a real
     # assembly, same 1000-column geometry) add volume and a second
@@ -322,21 +637,35 @@ def main():
     compute_dtype = (
         jnp.bfloat16 if jax.default_backend() != "cpu" else None)
     model_dict = None
+    diploid_lut = None
     if read_level:
         model_dict = {
             "type": "LatentSpaceLSTM",
             "kwargs": {"lstm_size": lstm_size, "use_dwells": False}}
+    elif condition == "diploid_snp":
+        from medaka_tpu.labels import DiploidLabelScheme
+        scheme = DiploidLabelScheme()
+        model_dict = {
+            "type": "GRUModel",
+            "kwargs": {"num_features": 10,
+                       "num_classes": scheme.num_classes,
+                       "gru_size": 256}}
+        diploid_lut = np.array(
+            [scheme._encoding[(s, s)] for s in "*ACGT"])
     model, params = training.run_training(
         str(out_dir / "train"), batcher, epochs=epochs,
         model_dict=model_dict,
         compute_dtype=compute_dtype, early_stop_epochs=60)
 
-    acc, mj = evaluate(batcher, model, params, compute_dtype)
+    acc, mj = evaluate(
+        batcher, model, params, compute_dtype, diploid_lut=diploid_lut)
     print(json.dumps({
         "val_acc": acc, "val_q": round(q_from_acc(acc), 2),
         "majority_acc": mj, "majority_q": round(q_from_acc(mj), 2),
         "q_margin": round(q_from_acc(acc) - q_from_acc(mj), 2)}),
         flush=True)
+    if variant_cond:
+        variant_eval(out_dir, condition=condition)
 
 
 if __name__ == "__main__":
