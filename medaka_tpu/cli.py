@@ -348,6 +348,13 @@ def main(argv=None):
     p.add_argument("--chunk_len", type=int, default=10000)
     p.add_argument("--chunk_ovlp", type=int, default=1000)
     p.add_argument("--qualities", "-q", action="store_true")
+    p.add_argument(
+        "--direct", action="store_true",
+        help="Decode argmax+quality on the device and stitch "
+             "in-process: ~3x less device transfer and no probability "
+             "HDF5 round trip. Byte-identical output; the inference "
+             "stage is not resumable and no probability file remains "
+             "for 'medaka_tpu vcf'.")
     p.set_defaults(func=_cmd_consensus)
 
     p = subparsers.add_parser(
@@ -886,7 +893,7 @@ def _cmd_consensus(args):
         model_path=models.resolve_model(args.model),
         threads=args.threads, batch_size=args.batch_size,
         chunk_len=args.chunk_len, chunk_ovlp=args.chunk_ovlp,
-        qualities=args.qualities)
+        qualities=args.qualities, direct=args.direct)
     return 0
 
 

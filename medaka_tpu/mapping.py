@@ -147,13 +147,20 @@ def consensus_workflow(
         model_path: Optional[str] = None, model=None, params=None,
         feature_encoder=None, label_scheme=None, threads: int = 1,
         batch_size=None, chunk_len: int = 10000,
-        chunk_ovlp: int = 1000, qualities: bool = False) -> str:
+        chunk_ovlp: int = 1000, qualities: bool = False,
+        direct: bool = False) -> str:
     """The full polishing pipeline (``medaka_consensus`` equivalent).
 
     reads + draft -> BAM (native mapper) -> probabilities (predict) ->
     polished consensus (stitch). Stages are skipped when their outputs
     already exist, mirroring the resumable reference script
     (``scripts/medaka_consensus:185-199``).
+
+    ``direct=True`` decodes argmax + quality on the chip and stitches
+    in-process — ~3x less device transfer and no probability HDF5 is
+    written or re-read. Byte-identical output; the trade-off is that
+    the inference stage is no longer resumable and no probability file
+    remains for ``medaka_tpu vcf``.
 
     :returns: path of the polished fasta/fastq.
     """
@@ -168,6 +175,17 @@ def consensus_workflow(
         align_reads(reads_fastx, draft_fasta, bam, threads=threads)
     else:
         logger.info("Reusing existing %s.", bam)
+    out_ext = "fastq" if qualities else "fasta"
+    out = os.path.join(output_dir, "consensus." + out_ext)
+    if direct:
+        prediction.predict_direct(
+            bam, out, draft_fasta, model_path=model_path, model=model,
+            params=params, feature_encoder=feature_encoder,
+            label_scheme=label_scheme, batch_size=batch_size,
+            chunk_len=chunk_len, chunk_overlap=chunk_ovlp,
+            bam_workers=max(1, threads // 2), qualities=qualities)
+        logger.info("Polished consensus written to %s.", out)
+        return out
     probs = os.path.join(output_dir, "consensus_probs.hdf")
     if not os.path.exists(probs):
         prediction.predict(
@@ -178,8 +196,6 @@ def consensus_workflow(
             bam_workers=max(1, threads // 2))
     else:
         logger.info("Reusing existing %s.", probs)
-    out_ext = "fastq" if qualities else "fasta"
-    out = os.path.join(output_dir, "consensus." + out_ext)
     stitch.stitch_to_fasta(
         probs, draft_fasta, out, threads=threads, qualities=qualities)
     logger.info("Polished consensus written to %s.", out)

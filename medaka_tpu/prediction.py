@@ -50,6 +50,8 @@ class Batch:
     features: np.ndarray
     lengths: np.ndarray
     samples: List[Sample]
+    # work-region index per sample (direct mode; None on the HDF5 path)
+    region_ids: Optional[List[int]] = None
 
     @property
     def n_valid(self) -> int:
@@ -148,7 +150,12 @@ class DataLoader:
                  batch_size: int = 128, chunk_len: int = 10000,
                  chunk_overlap: int = 1000, bam_workers: int = 2,
                  sample_cache_size: int = 8, batch_cache_size: int = 8,
-                 feature_processes: int = 0):
+                 feature_processes: int = 0,
+                 emit_region_events: bool = False):
+        """``emit_region_events=True`` makes iteration yield
+        ``("rdone", region_index)`` markers after the last batch that
+        can contain a region's samples — the direct consensus path uses
+        them to flush stitch windows with bounded memory."""
         self.logger = common.get_named_logger("DataLoader")
         self.bam = bam
         self.regions = list(regions)
@@ -157,12 +164,13 @@ class DataLoader:
         self.chunk_len = chunk_len
         self.chunk_overlap = chunk_overlap
         self.bam_workers = max(1, bam_workers)
+        self.emit_region_events = emit_region_events
         self._sample_q: "queue.Queue" = queue.Queue(
             maxsize=sample_cache_size * batch_size)
         self._batch_q: "queue.Queue" = queue.Queue(maxsize=batch_cache_size)
         self._region_q: "queue.Queue" = queue.Queue()
-        for region in self.regions:
-            self._region_q.put(region)
+        for rid, region in enumerate(self.regions):
+            self._region_q.put((rid, region))
         self._errors: List[BaseException] = []
         self.n_samples = 0
         self.remainder_regions: List[Region] = []
@@ -193,29 +201,31 @@ class DataLoader:
             with concurrent.futures.ProcessPoolExecutor(
                     self.feature_processes, mp_context=ctx) as ex:
                 in_flight = collections.deque()
-                region_iter = iter(self.regions)
+                region_iter = iter(enumerate(self.regions))
                 exhausted = False
                 while in_flight or not exhausted:
                     while not exhausted and \
                             len(in_flight) < 2 * self.feature_processes:
                         try:
-                            region = next(region_iter)
+                            rid, region = next(region_iter)
                         except StopIteration:
                             exhausted = True
                             break
-                        in_flight.append(ex.submit(
+                        in_flight.append((rid, ex.submit(
                             _featurize_region_task, self.bam, region,
                             self.fencoder, self.chunk_len,
-                            self.chunk_overlap))
+                            self.chunk_overlap)))
                     if not in_flight:
                         break
-                    samples, quarantined = in_flight.popleft().result()
+                    rid, fut = in_flight.popleft()
+                    samples, quarantined = fut.result()
                     for sample in samples:
-                        self._sample_q.put(sample)
+                        self._sample_q.put((rid, sample))
                     for qregion, qsamples in quarantined:
                         self.remainder_regions.append(qregion)
                         for sample in qsamples:
-                            self._sample_q.put(sample)
+                            self._sample_q.put((rid, sample))
+                    self._sample_q.put(("rdone", rid))
         except BaseException as e:  # pragma: no cover
             self.logger.exception("Featurization process pool failed.")
             self._errors.append(e)
@@ -226,7 +236,7 @@ class DataLoader:
         try:
             while True:
                 try:
-                    region = self._region_q.get_nowait()
+                    rid, region = self._region_q.get_nowait()
                 except queue.Empty:
                     break
                 gen = features_mod.SampleGenerator(
@@ -234,7 +244,7 @@ class DataLoader:
                     chunk_len=self.chunk_len,
                     chunk_overlap=self.chunk_overlap)
                 for sample in gen.samples:
-                    self._sample_q.put(sample)
+                    self._sample_q.put((rid, sample))
                 # short regions were quarantined: featurize unchunked
                 for qregion, _size in gen._quarantined:
                     self.remainder_regions.append(qregion)
@@ -242,7 +252,8 @@ class DataLoader:
                         self.bam, qregion, self.fencoder,
                         enable_chunking=False)
                     for sample in sub.samples:
-                        self._sample_q.put(sample)
+                        self._sample_q.put((rid, sample))
+                self._sample_q.put(("rdone", rid))
         except BaseException as e:  # pragma: no cover - surfaced on join
             self.logger.exception("Featurization worker failed.")
             self._errors.append(e)
@@ -252,40 +263,66 @@ class DataLoader:
     def _batch_worker(self):
         done_workers = 0
         pending: List[Sample] = []
+        pending_rids: List[int] = []
+        held_events: List[int] = []
+
+        def flush_events():
+            if self.emit_region_events:
+                for done_rid in held_events:
+                    self._batch_q.put(("rdone", done_rid))
+            held_events.clear()
+
         try:
             while done_workers < len(self._workers):
                 item = self._sample_q.get()
                 if item is None:
                     done_workers += 1
                     continue
-                if item.size > self.chunk_len:
+                rid, payload = item
+                if rid == "rdone":
+                    # safe to forward once no pending sample belongs to
+                    # the finished region; otherwise hold until the
+                    # batch containing those samples is emitted
+                    if payload in pending_rids:
+                        held_events.append(payload)
+                    elif self.emit_region_events:
+                        self._batch_q.put(("rdone", payload))
+                    continue
+                if payload.size > self.chunk_len:
                     # unchunked sample wider than the static shape: split
-                    for piece in item.chunks(
+                    for piece in payload.chunks(
                             chunk_len=self.chunk_len,
                             overlap=self.chunk_overlap):
                         pending.append(piece)
+                        pending_rids.append(rid)
                         if len(pending) == self.batch_size:
-                            self._emit(pending)
-                            pending = []
+                            self._emit(pending, pending_rids)
+                            pending, pending_rids = [], []
+                            flush_events()
                     continue
-                pending.append(item)
+                pending.append(payload)
+                pending_rids.append(rid)
                 if len(pending) == self.batch_size:
-                    self._emit(pending)
-                    pending = []
+                    self._emit(pending, pending_rids)
+                    pending, pending_rids = [], []
+                    flush_events()
             if pending:
-                self._emit(pending)
+                self._emit(pending, pending_rids)
+                pending, pending_rids = [], []
+            flush_events()
         except BaseException as e:  # pragma: no cover
             self.logger.exception("Batcher failed.")
             self._errors.append(e)
         finally:
             self._batch_q.put(None)
 
-    def _emit(self, samples: List[Sample]):
+    def _emit(self, samples: List[Sample], region_ids: List[int]):
         self.n_samples += len(samples)
-        self._batch_q.put(
-            Batch.collate(
-                samples, self.batch_size, self.chunk_len,
-                max_reads=getattr(self.fencoder, "max_reads", None)))
+        batch = Batch.collate(
+            samples, self.batch_size, self.chunk_len,
+            max_reads=getattr(self.fencoder, "max_reads", None))
+        batch.region_ids = list(region_ids)
+        self._batch_q.put(batch)
 
     def __iter__(self):
         while True:
@@ -348,31 +385,51 @@ class Predictor:
                 params, x, normalise=True,
                 compute_dtype=compute_dtype, lengths=lengths)
 
-        if mesh.devices.size > 1:
-            # batch rows are independent: run the per-shard forward
-            # under shard_map so each device executes the model
-            # (including fused Pallas kernels) on its local slice —
-            # the canonical pallas-under-SPMD pattern; plain GSPMD
-            # would have to partition the kernels' custom calls.
-            pspec_b = jax.sharding.PartitionSpec(mesh.axis_names)
-            self._forward = jax.jit(jax.shard_map(
-                forward, mesh=mesh,
-                in_specs=(jax.sharding.PartitionSpec(),
-                          pspec_b, pspec_b),
-                out_specs=pspec_b, check_vma=False))
-        else:
-            self._forward = jax.jit(
-                forward,
-                in_shardings=(spec_repl, spec_batch, spec_batch),
-                out_shardings=spec_batch)
+        def forward_decode(params, x, lengths):
+            # on-device argmax decode: fetch 3 bytes/column (class +
+            # f16 best value) instead of 10 (5 x f16 log-probs). The
+            # f16 rounding of the log-probs is applied BEFORE the
+            # argmax/max so the result is the same as decoding the
+            # fetched probabilities host-side (the HDF5 path).
+            out = forward(params, x, lengths)
+            classes = jnp.argmax(out, axis=-1).astype(jnp.uint8)
+            best = jnp.max(out, axis=-1)
+            return classes, best
 
-    def dispatch(self, batch: Batch):
+        def build(fn, nout=1):
+            if mesh.devices.size > 1:
+                # batch rows are independent: run the per-shard forward
+                # under shard_map so each device executes the model
+                # (including fused Pallas kernels) on its local slice —
+                # the canonical pallas-under-SPMD pattern; plain GSPMD
+                # would have to partition the kernels' custom calls.
+                pspec_b = jax.sharding.PartitionSpec(mesh.axis_names)
+                out_specs = pspec_b if nout == 1 else (pspec_b,) * nout
+                return jax.jit(jax.shard_map(
+                    fn, mesh=mesh,
+                    in_specs=(jax.sharding.PartitionSpec(),
+                              pspec_b, pspec_b),
+                    out_specs=out_specs, check_vma=False))
+            out_shardings = spec_batch if nout == 1 \
+                else (spec_batch,) * nout
+            return jax.jit(
+                fn,
+                in_shardings=(spec_repl, spec_batch, spec_batch),
+                out_shardings=out_shardings)
+
+        self._forward = build(forward)
+        self._forward_decode = build(forward_decode, nout=2)
+
+    def dispatch(self, batch: Batch, decode: bool = False):
         """Asynchronously launch a batch; returns an opaque handle.
 
         JAX dispatch is asynchronous: this returns as soon as the
         transfer + computation are enqueued, so the caller can overlap
         device work with host-side featurization and output writing
         (fetch the previous batch while the next one runs).
+
+        ``decode=True`` runs the on-device argmax decode head; fetch
+        the handle with :meth:`fetch_decoded`.
         """
         n_dev = self.mesh.devices.size
         feats, lengths = batch.features, batch.lengths
@@ -386,8 +443,8 @@ class Predictor:
             feats_dev = jnp.asarray(feats, dtype=jnp.bfloat16)
         else:
             feats_dev = jnp.asarray(feats)
-        return self._forward(
-            self.params, feats_dev, jnp.asarray(lengths))
+        fwd = self._forward_decode if decode else self._forward
+        return fwd(self.params, feats_dev, jnp.asarray(lengths))
 
     def fetch(self, handle, n_valid: int) -> np.ndarray:
         """Block on a :meth:`dispatch` handle; (n_valid, T, C) probs."""
@@ -395,6 +452,23 @@ class Predictor:
         if self.compact_transfer:
             out = np.exp(out)
         return out
+
+    def fetch_decoded(self, handle, n_valid: int, phred_fn):
+        """Block on a ``dispatch(decode=True)`` handle.
+
+        :param phred_fn: error-probability -> phred mapping (the label
+            scheme's ``_phred``, run host-side in the same numpy
+            arithmetic as the HDF5 path's ``decode_consensus`` so the
+            quality characters are byte-identical).
+        :returns: (classes uint8 (n_valid, T), qual chars uint8).
+        """
+        classes, best = handle
+        classes = np.asarray(classes[:n_valid])
+        best = np.asarray(best[:n_valid]).astype(np.float32)
+        if self.compact_transfer:
+            best = np.exp(best)
+        quals = (phred_fn(1.0 - best).astype("u1") + 33)
+        return classes, quals
 
     def predict_on_batch(self, batch: Batch) -> np.ndarray:
         """Probabilities (n_valid, T, C) for the real rows of a batch."""
@@ -550,6 +624,153 @@ def run_prediction(
         loader.n_samples, n_columns, t1 - t0,
         n_columns / max(1e-9, t1 - t0))
     return loader.n_samples, n_columns
+
+
+def run_prediction_direct(
+        output_fastx: str, bam, regions: Sequence[Region], model, params,
+        feature_encoder, label_scheme, draft_path: str,
+        batch_size: Optional[int] = None,
+        chunk_len: int = 10000, chunk_overlap: int = 1000,
+        bam_workers: int = 2, compute_dtype=jnp.bfloat16,
+        mesh=None, full_precision: bool = False,
+        feature_processes: int = 0, min_depth: int = 0,
+        fillgaps: bool = True, fill_char: Optional[str] = None,
+        qualities: bool = False):
+    """Consensus-only fast path: argmax + qual decoded ON DEVICE.
+
+    The HDF5 contract (:func:`run_prediction` -> ``stitch``) fetches
+    (T, 5) float16 log-probabilities (10 bytes/column) and round-trips
+    them through a probability HDF5 that stitch immediately reduces to
+    argmax + quality. When the probabilities have no downstream
+    consumer (plain ``consensus``), this path computes the reduction
+    on the chip, fetches 3 bytes/column, and streams decoded samples
+    straight into :class:`stitch.DirectStitcher` — no probability file
+    is written or re-read. Output is byte-identical to the HDF5 path
+    (pinned by ``tests/test_workflows.py``).
+
+    :returns: (n_samples, n_columns).
+    """
+    from medaka_tpu import stitch as stitch_mod
+
+    logger = common.get_named_logger("PWorker")
+    if label_scheme is None:
+        raise ValueError(
+            "The direct consensus path needs the model bundle's label "
+            "scheme (argmax classes are decoded to its symbols).")
+    if full_precision:
+        compute_dtype = None
+    if batch_size is None:
+        batch_size = auto_batch_size(model, chunk_len=chunk_len)
+        logger.info("Auto batch size: %d.", batch_size)
+    predictor = Predictor(
+        model, params, mesh=mesh, compute_dtype=compute_dtype)
+    loader = DataLoader(
+        bam, regions, feature_encoder, batch_size=batch_size,
+        chunk_len=chunk_len, chunk_overlap=chunk_overlap,
+        bam_workers=bam_workers, feature_processes=feature_processes,
+        emit_region_events=True)
+    stitcher = stitch_mod.DirectStitcher(
+        draft_path, regions, label_scheme, output_fastx,
+        min_depth=min_depth, fillgaps=fillgaps, fill_char=fill_char,
+        qualities=qualities)
+
+    total_region_mbases = sum(r.size for r in regions) / 1e6
+    t0 = now()
+    tlast = t0
+    n_columns = 0
+    phred_fn = label_scheme._phred
+
+    def drain(item):
+        nonlocal n_columns, tlast
+        if item[0] == "rdone":
+            # ordered behind every batch holding this region's samples
+            stitcher.region_done(item[1])
+            return
+        pending_batch, handle = item
+        classes, quals = predictor.fetch_decoded(
+            handle, pending_batch.n_valid, phred_fn)
+        for i, sample in enumerate(pending_batch.samples):
+            n = sample.size
+            n_columns += n
+            decoded = np.empty((n, 2), dtype=np.uint8)
+            decoded[:, 0] = classes[i, :n]
+            decoded[:, 1] = quals[i, :n]
+            stitcher.add_sample(sample.amend(
+                features=None, labels=None, label_probs=decoded))
+        t1 = now()
+        if t1 - tlast > 10:
+            tlast = t1
+            logger.info(
+                "%.1f%% Done (~%.2f Mbases) in %.1fs",
+                100 * min(1.0, n_columns / 1e6 / max(
+                    1e-9, total_region_mbases)),
+                n_columns / 1e6, t1 - t0)
+
+    max_in_flight = 2
+    pending = collections.deque()
+    in_flight = 0
+    for item in loader:
+        if isinstance(item, tuple) and item and item[0] == "rdone":
+            # keep ordering with the batches ahead of it
+            pending.append(item)
+            continue
+        pending.append((item, predictor.dispatch(item, decode=True)))
+        in_flight += 1
+        while in_flight > max_in_flight:
+            head = pending.popleft()
+            if head[0] != "rdone":
+                in_flight -= 1
+            drain(head)
+    while pending:
+        head = pending.popleft()
+        drain(head)
+    stitcher.finish()
+
+    t1 = now()
+    logger.info(
+        "Processed %d samples (%d columns) in %.2fs (%.0f columns/s).",
+        loader.n_samples, n_columns, t1 - t0,
+        n_columns / max(1e-9, t1 - t0))
+    return loader.n_samples, n_columns
+
+
+def predict_direct(
+        bam, output_fastx: str, draft_path: str,
+        model_path: Optional[str] = None,
+        model=None, params=None, feature_encoder=None, label_scheme=None,
+        regions: Optional[Sequence[Region]] = None,
+        batch_size: Optional[int] = None, chunk_len: int = 10000,
+        chunk_overlap: int = 1000, bam_workers: int = 2,
+        bam_chunk: int = 1_000_000, full_precision: bool = False,
+        mesh=None, feature_processes: int = 0, min_depth: int = 0,
+        fillgaps: bool = True, fill_char: Optional[str] = None,
+        qualities: bool = False):
+    """BAM -> polished fasta/fastq with on-device decode (no HDF5)."""
+    logger = common.get_named_logger("Predict")
+    if model_path is not None:
+        from medaka_tpu import models as models_mod
+        bundle = models_mod.open_model(model_path)
+        model = bundle.model
+        params = bundle.params
+        feature_encoder = feature_encoder or bundle.feature_encoder
+        label_scheme = label_scheme or bundle.label_scheme
+    if model is None or params is None or feature_encoder is None:
+        raise ValueError(
+            "Provide model_path or explicit model/params/feature_encoder.")
+    model.check_feature_encoder_compatibility(feature_encoder)
+    work = plan_work(regions, bam, bam_chunk, chunk_overlap)
+    logger.info(
+        "Processing %d region chunk(s) over %d device(s) (direct "
+        "decode).", len(work),
+        len(jax.devices()) if mesh is None else mesh.devices.size)
+    return run_prediction_direct(
+        output_fastx, bam, work, model, params, feature_encoder,
+        label_scheme, draft_path, batch_size=batch_size,
+        chunk_len=chunk_len, chunk_overlap=chunk_overlap,
+        bam_workers=bam_workers, full_precision=full_precision,
+        mesh=mesh, feature_processes=feature_processes,
+        min_depth=min_depth, fillgaps=fillgaps, fill_char=fill_char,
+        qualities=qualities)
 
 
 def plan_work(regions, bam, bam_chunk: int = 1_000_000,

@@ -557,3 +557,91 @@ class TestTrainedModelFullLoop:
         draft = FastaReader(
             WORKFLOW + "/reference.fasta").fetch("lambda_5kb")
         assert native.edit_distance(cons, draft) <= 15
+
+
+class TestDirectConsensus:
+    """The on-device decode fast path (`consensus --direct`) must be
+    byte-identical to the HDF5 probability round trip: same fastq
+    bytes, same gaps bed. SURVEY §7 sketch item 4 — the chip computes
+    argmax + phred qual (3 bytes/column fetched instead of 10) and
+    DirectStitcher streams the decode straight to fastx."""
+
+    def test_byte_identical_on_workflow_data(self, tmp_path):
+        from medaka_tpu import mapping, models
+
+        WORKFLOW = "/root/reference/medaka/test/data/workflow"
+        bundle = models.load_model(
+            models.resolve_model("gru256_lambda_demo"))
+        kw = dict(
+            model=bundle.model, params=bundle.params,
+            feature_encoder=bundle.feature_encoder,
+            label_scheme=bundle.label_scheme,
+            threads=1, batch_size=8, chunk_len=2000, chunk_ovlp=200,
+            qualities=True)
+        out_hdf = mapping.consensus_workflow(
+            WORKFLOW + "/reads.fq.gz", WORKFLOW + "/reference.fasta",
+            str(tmp_path / "wf_hdf"), **kw)
+        out_direct = mapping.consensus_workflow(
+            WORKFLOW + "/reads.fq.gz", WORKFLOW + "/reference.fasta",
+            str(tmp_path / "wf_direct"), direct=True, **kw)
+        with open(out_hdf, "rb") as a, open(out_direct, "rb") as b:
+            assert a.read() == b.read()
+        suffix = ".gaps_in_draft_coords.bed"
+        with open(out_hdf + suffix, "rb") as a, \
+                open(out_direct + suffix, "rb") as b:
+            assert a.read() == b.read()
+
+    def test_byte_identical_multiwindow(self, tmp_path, monkeypatch):
+        """Shrunken bam_chunk and stitch windows force the hard paths:
+        samples spanning work-region overlaps, region completion events
+        arriving out of order, and window flushes that need samples
+        from two neighbouring work regions."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from mock_data import simulate_synth_read
+
+        from medaka_tpu import models, prediction
+        from medaka_tpu.io.fastx import FastaWriter
+
+        rng = np.random.default_rng(7)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        ref_arr = bases[rng.integers(0, 4, 30_000)]
+        ref_seq = ref_arr.tobytes().decode()
+        ref_fa = str(tmp_path / "genome.fasta")
+        with FastaWriter(ref_fa) as fw:
+            fw.write("genomeY", ref_seq)
+        reads_fq = str(tmp_path / "reads.fq")
+        with open(reads_fq, "w") as fh:
+            for i in range(int(30_000 * 25 / 3000)):
+                start = int(rng.integers(0, len(ref_seq) - 3000))
+                seq, _ = simulate_synth_read(ref_arr, start, 3000, rng)
+                fh.write("@sr{}\n{}\n+\n{}\n".format(
+                    i, seq, "5" * len(seq)))
+        bam = str(tmp_path / "reads.bam")
+        from medaka_tpu import mapping
+        mapping.align_reads(reads_fq, ref_fa, bam, threads=2)
+
+        monkeypatch.setattr(stitch, "MAX_REGION_SIZE", 7000)
+        bundle = models.load_model(
+            models.resolve_model("gru256_lambda_demo"))
+        kw = dict(
+            model=bundle.model, params=bundle.params,
+            feature_encoder=bundle.feature_encoder,
+            label_scheme=bundle.label_scheme,
+            batch_size=8, chunk_len=1000, chunk_overlap=100,
+            bam_chunk=9000, bam_workers=3)
+        probs = str(tmp_path / "probs.hdf")
+        prediction.predict(bam, probs, **kw)
+        out_hdf = str(tmp_path / "cons_hdf.fastq")
+        stitch.stitch_to_fasta(
+            probs, ref_fa, out_hdf, qualities=True)
+        out_direct = str(tmp_path / "cons_direct.fastq")
+        prediction.predict_direct(
+            bam, out_direct, ref_fa, qualities=True, **kw)
+        with open(out_hdf, "rb") as a, open(out_direct, "rb") as b:
+            assert a.read() == b.read()
+        suffix = ".gaps_in_draft_coords.bed"
+        with open(out_hdf + suffix, "rb") as a, \
+                open(out_direct + suffix, "rb") as b:
+            assert a.read() == b.read()
