@@ -60,7 +60,8 @@ def compute_md(ref_seq: str, pos: int, cigar: str, query: str,
 def align_reads(
         reads_fastx: str, draft_fasta: str, out_bam: str,
         threads: int = 1, band: int = 500,
-        min_score: Optional[int] = None, md: bool = False) -> dict:
+        min_score: Optional[int] = None, md: bool = False,
+        tags_by_read: Optional[dict] = None) -> dict:
     """Map reads to a draft and write a sorted, indexed BAM.
 
     :param reads_fastx: fasta/q(.gz) of reads.
@@ -70,6 +71,10 @@ def align_reads(
     :param md: write MD tags (required for truth-to-draft BAMs feeding
         label extraction; the reference runs minimap2 ``--MD`` for the
         same reason).
+    :param tags_by_read: optional {read_name: {tag: value}} aux tags to
+        attach to each read's records (e.g. basecaller ``mv`` move
+        tables, which fastq cannot carry — the analogue of mapping a
+        tag-bearing basecaller BAM with minimap2 -y).
 
     :returns: stats dict {mapped, unmapped}.
     """
@@ -122,6 +127,8 @@ def align_reads(
                         references[hit.ref_id][1], hit.ref_start,
                         hit.cigar, oriented,
                         query_start=hit.query_start)}
+                if tags_by_read and name in tags_by_read:
+                    tags = {**(tags or {}), **tags_by_read[name]}
                 cigar = hit.cigar
                 if hit.query_start:
                     cigar = "{}S".format(hit.query_start) + cigar

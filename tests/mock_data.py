@@ -227,3 +227,56 @@ def simulate_hpbias_read(ref_arr, start, length, rng):
     if ins.size:
         out[slot[ins]] = _HP_BASES_U8[rng.integers(0, 4, ins.size)]
     return out.tobytes().decode()
+
+
+def simulate_dwell_read(ref_arr, start, length, rng, stride=5):
+    """ONT-like read whose errors are dwell-correlated, plus its mv tag.
+
+    The basecaller's move table (``mv`` tag: ``[stride, m0, m1, ...]``,
+    one flag per signal stride, a 1 starting each emitted base) encodes
+    per-base dwell — how long the molecule sat in the pore. Fast
+    transits (dwell 1) carry most of the error in real data, which is
+    exactly why the reference feeds dwell as a read-level feature
+    channel (``medaka_read_matrix.c:169-228``, rl_lstm384_dwells in
+    ``options.py:175-182``). Here: per-base dwell ~ 1 + Geometric(0.45)
+    capped at 12; substitution probability 10% at dwell 1, 4% at dwell
+    2, else 0.6%; deletions 4% at dwell 1 (the base and its dwell
+    vanish from the read); insertions 0.4% with dwell 1 (artifact
+    bases are fast). A dwell-aware model can discount exactly the
+    bases an unaware one must trust.
+
+    :returns: (seq str, mv int8 ndarray) in basecalled orientation.
+    """
+    piece = ref_arr[start:start + length]
+    dwell = np.minimum(1 + rng.geometric(0.45, len(piece)), 12)
+    fast = dwell == 1
+    mid = dwell == 2
+    p_sub = np.where(fast, 0.10, np.where(mid, 0.04, 0.006))
+    p_del = np.where(fast, 0.04, 0.0)
+    p_ins = 0.004
+    u = rng.random(len(piece))
+    ev = np.zeros(len(piece), np.int8)          # 0 match
+    ev[u < p_sub + p_del + p_ins] = 2           # 2 ins (after base)
+    ev[u < p_sub + p_del] = 3                   # 3 del
+    ev[u < p_sub] = 1                           # 1 sub
+    out_bases = []
+    out_dwell = []
+    for i in range(len(piece)):
+        e = ev[i]
+        if e == 3:
+            continue
+        base = piece[i]
+        if e == 1:
+            base = _HP_BASES_U8[
+                (np.searchsorted(_HP_BASES_U8, base)
+                 + rng.integers(1, 4)) % 4]
+        out_bases.append(base)
+        out_dwell.append(dwell[i])
+        if e == 2:
+            out_bases.append(_HP_BASES_U8[rng.integers(0, 4)])
+            out_dwell.append(1)
+    seq = np.asarray(out_bases, np.uint8).tobytes().decode()
+    mv = np.zeros(1 + int(np.sum(out_dwell)), np.int8)
+    mv[0] = stride
+    mv[1 + np.cumsum([0] + out_dwell[:-1])] = 1
+    return seq, mv

@@ -200,6 +200,128 @@ def q_from_acc(acc):
 
 
 # ---------------------------------------------------------------------------
+# Dwell-channel campaign (round 5): the reference's current read-level
+# catalogue is rl_lstm384_dwells / rl_lstm384_no_dwells
+# (``options.py:175-182``) with dwells extracted from basecaller ``mv``
+# move tables (``medaka_read_matrix.c:169-228``). --condition=dwells
+# builds mv-tagged synthetic reads whose errors are dwell-correlated
+# (tests/mock_data.simulate_dwell_read), featurizes the same BAMs twice
+# (include_dwells True/False), trains twin LatentSpaceLSTMs, and
+# reports both Q-vs-majority results so the channel's value is
+# measured, not assumed.
+
+
+def build_dwell_set(out_dir, n_drafts, threads=4):
+    """Per-draft labelled read-level features, with and without dwells."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from mock_data import simulate_dwell_read
+
+    from medaka_tpu import mapping
+    from medaka_tpu.features import create_samples
+    from medaka_tpu.io.fastx import FastaWriter
+
+    rng0 = np.random.default_rng(99)
+    ref_seq = "".join(rng0.choice(list("ACGT"), size=20_000))
+    contig = "dwellg"
+    truth_fa = str(out_dir / "truth.fasta")
+    with FastaWriter(truth_fa) as fw:
+        fw.write("truth_" + contig, ref_seq)
+    fwd_arr = np.frombuffer(ref_seq.encode(), np.uint8).copy()
+    rc_arr = np.frombuffer(
+        ref_seq.translate(_RC)[::-1].encode(), np.uint8).copy()
+
+    rates = [0.002, 0.005, 0.01]
+    depths = [20, 30, 45, 60]
+    read_len = 3000
+    sets = {"dwell": {"train": [], "valid": []},
+            "nodwell": {"train": [], "valid": []}}
+    for k in range(n_drafts):
+        rng = np.random.default_rng(5000 + k)
+        rate = rates[k % len(rates)]
+        depth = depths[(k // len(rates)) % len(depths)]
+        ddir = out_dir / "draft{:02d}".format(k)
+        ddir.mkdir(exist_ok=True)
+        draft_fa = str(ddir / "draft.fasta")
+        with FastaWriter(draft_fa) as fw:
+            fw.write(contig, mutate(ref_seq, rng, rate))
+        reads_fq = str(ddir / "reads.fq")
+        tags_by_read = {}
+        n_reads = max(1, int(len(ref_seq) * depth / read_len))
+        with open(reads_fq, "w") as fh:
+            for i in range(n_reads):
+                length = min(read_len, len(ref_seq) - 1)
+                # reverse reads are simulated on the RC'd reference so
+                # seq and mv are both in basecalled orientation
+                arr = fwd_arr if rng.random() < 0.5 else rc_arr
+                start = int(rng.integers(0, len(ref_seq) - length))
+                seq, mv = simulate_dwell_read(arr, start, length, rng)
+                name = "dw{}".format(i)
+                tags_by_read[name] = {"mv": mv}
+                fh.write("@{}\n{}\n+\n{}\n".format(
+                    name, seq, "5" * len(seq)))
+        reads_bam = str(ddir / "reads.bam")
+        mapping.align_reads(
+            reads_fq, draft_fa, reads_bam, threads=threads,
+            tags_by_read=tags_by_read)
+        truth_bam = str(ddir / "truth.bam")
+        mapping.align_reads(truth_fa, draft_fa, truth_bam, md=True)
+        held_out = k % 5 == 4
+        for variant, include in (("dwell", True), ("nodwell", False)):
+            feats = str(ddir / "feats_{}.hdf5".format(variant))
+            n = create_samples(
+                reads_bam, feats, truth_bam=truth_bam, threads=threads,
+                feature_encoder_name="ReadAlignmentFeatureEncoder",
+                feature_encoder_args={
+                    "include_dwells": include, "max_reads": 100},
+                chunk_len=500, chunk_ovlp=100)
+            sets[variant]["valid" if held_out else "train"].append(feats)
+        print("draft {:02d}: rate={} depth={}x -> {} samples".format(
+            k, rate, depth, n), flush=True)
+    return sets
+
+
+def run_dwell_campaign(out_dir, n_drafts, epochs, lstm_size=128):
+    """Twin training: use_dwells=True vs False on the same reads."""
+    import jax
+    import jax.numpy as jnp
+
+    from medaka_tpu import training
+
+    marker = out_dir / "dataset.json"
+    if marker.exists():
+        sets = json.loads(marker.read_text())
+        print("Reusing dwell dataset.", flush=True)
+    else:
+        sets = build_dwell_set(out_dir, n_drafts)
+        marker.write_text(json.dumps(sets))
+    compute_dtype = (
+        jnp.bfloat16 if jax.default_backend() != "cpu" else None)
+    results = {}
+    for variant, use_dwells in (("dwell", True), ("nodwell", False)):
+        batcher = training.TrainBatcher(
+            sets[variant]["train"], validation=sets[variant]["valid"],
+            batch_size=32, seed=0)
+        model, params = training.run_training(
+            str(out_dir / ("train_" + variant)), batcher, epochs=epochs,
+            model_dict={
+                "type": "LatentSpaceLSTM",
+                "kwargs": {"lstm_size": lstm_size,
+                           "use_dwells": use_dwells}},
+            compute_dtype=compute_dtype, early_stop_epochs=60)
+        acc, mj = evaluate(batcher, model, params, compute_dtype)
+        results[variant] = {
+            "val_q": round(q_from_acc(acc), 2),
+            "majority_q": round(q_from_acc(mj), 2),
+            "q_margin": round(q_from_acc(acc) - q_from_acc(mj), 2)}
+        print(variant, json.dumps(results[variant]), flush=True)
+    results["dwell_advantage_q"] = round(
+        results["dwell"]["val_q"] - results["nodwell"]["val_q"], 2)
+    print("DWELL_CAMPAIGN " + json.dumps(results), flush=True)
+    (out_dir / "dwell_results.json").write_text(json.dumps(results))
+    return results
+
+
+# ---------------------------------------------------------------------------
 # Variant-calling campaign (round 5): the reference's second flagship
 # workflow (``scripts/medaka_variant:1-182`` — "Haploid variant calling
 # via neural networks" — and the diploid SNP decoder,
@@ -575,11 +697,17 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     read_level = "--read-level" in sys.argv
     lstm_size = 128
+    cnn_size = 128
+    kernels = None
     condition = "lambda"
     eval_only = "--eval-only" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--lstm-size"):
             lstm_size = int(a.split("=", 1)[1])
+        if a.startswith("--cnn-size"):
+            cnn_size = int(a.split("=", 1)[1])
+        if a.startswith("--kernels"):
+            kernels = [int(x) for x in a.split("=", 1)[1].split(",")]
         if a.startswith("--condition"):
             condition = a.split("=", 1)[1]
         if a.startswith("--cross-eval"):
@@ -595,6 +723,11 @@ def main():
 
     if eval_only:
         variant_eval(out_dir)
+        return
+    if condition == "dwells":
+        run_dwell_campaign(
+            out_dir, n_drafts if len(args) > 1 else 20, epochs,
+            lstm_size=lstm_size)
         return
 
     marker = out_dir / "dataset.json"
@@ -639,9 +772,12 @@ def main():
     model_dict = None
     diploid_lut = None
     if read_level:
-        model_dict = {
-            "type": "LatentSpaceLSTM",
-            "kwargs": {"lstm_size": lstm_size, "use_dwells": False}}
+        kwargs = {"lstm_size": lstm_size, "use_dwells": False}
+        if cnn_size != 128:
+            kwargs["cnn_size"] = cnn_size
+        if kernels is not None:
+            kwargs["kernel_sizes"] = kernels
+        model_dict = {"type": "LatentSpaceLSTM", "kwargs": kwargs}
     elif condition == "diploid_snp":
         from medaka_tpu.labels import DiploidLabelScheme
         scheme = DiploidLabelScheme()
