@@ -200,7 +200,8 @@ def consensus_workflow(
             params=params, feature_encoder=feature_encoder,
             label_scheme=label_scheme, batch_size=batch_size,
             chunk_len=chunk_len, chunk_overlap=chunk_ovlp,
-            bam_workers=max(1, threads // 2))
+            bam_workers=max(1, threads // 2),
+            output_shards=max(1, min(4, threads // 2)))
     else:
         logger.info("Reusing existing %s.", probs)
     stitch.stitch_to_fasta(
