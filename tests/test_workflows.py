@@ -697,3 +697,53 @@ class TestVariantCallingFullLoop:
         assert score["snp"]["recall"] >= 0.97, score
         assert score["snp"]["f1"] >= 0.95, score
         assert score["indel"]["f1"] >= 0.85, score
+
+
+class TestDiploidSnpFullLoop:
+    """The bundled diploid SNP model — the first trained
+    DiploidLabelScheme (15-class) model in this framework (round-5
+    campaign: het+hom SNVs on two haplotypes, 50/50 reads, HP-tagged
+    truth BAMs) — measured through `medaka_tpu snp` on held-out
+    genomes: aggregate SNP P/R/F1 = 0.968/0.894/0.929, genotype
+    concordance 0.930 (0.991/0.918/0.953 and 0.980 at 60x). The
+    residual recall gap is characterized: misses are het sites argmax-
+    decoded as hom-ref (the reference's diploid decode is argmax too,
+    labels.py:1088-1244). Floors pinned with margin at 30x."""
+
+    def test_diploid_snp_precision_recall(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "perf"))
+        import train_campaign as tc
+
+        from medaka_tpu import common as mcommon
+        from medaka_tpu import mapping, models, prediction
+        from medaka_tpu.io.fastx import FastaWriter
+
+        rng = np.random.default_rng(2718)
+        ref_seq = "".join(rng.choice(list("ACGT"), size=40_000))
+        ref_fa = str(tmp_path / "ref.fasta")
+        with FastaWriter(ref_fa) as fw:
+            fw.write("dipctg", ref_seq)
+        haps, records = tc.plant_variants(ref_seq, rng, diploid=True)
+        truth_vcf = str(tmp_path / "truth.vcf")
+        tc.write_truth_vcf(truth_vcf, "dipctg", len(ref_seq), records)
+        reads_fq = str(tmp_path / "reads.fq")
+        tc.simulate_hap_reads(haps, 30, rng, reads_fq)
+        bam = str(tmp_path / "reads.bam")
+        mapping.align_reads(reads_fq, ref_fa, bam, threads=2)
+
+        probs = str(tmp_path / "probs.hdf")
+        prediction.predict(
+            bam, probs,
+            model_path=models.resolve_model("gru256_diploid_snp_demo"),
+            batch_size=8, chunk_len=1000, chunk_overlap=200,
+            bam_workers=2)
+        called = str(tmp_path / "called.vcf")
+        variant.snps_from_hdf(probs, ref_fa, called)
+        score = tc.score_vcf(truth_vcf, called, ref_fa)
+        assert score["snp"]["precision"] >= 0.90, score
+        assert score["snp"]["recall"] >= 0.82, score
+        assert score["snp"]["f1"] >= 0.88, score
+        assert score["gt_concordance"] >= 0.85, score
