@@ -97,13 +97,23 @@ class Batch:
                 feats[i, :n, :r] = s.features[:n, :r]
                 lengths[i] = n
         else:
-            feats = np.zeros(
+            # np.empty + selective zeroing: a full batch of full-length
+            # chunks (the steady state) pays no kernel zero-fill pages
+            # for the 12.8 MB it is about to overwrite anyway; only row
+            # tails and whole padding rows are cleared (they MUST be —
+            # uninitialized float garbage can hold NaN/inf, and padded
+            # rows do flow through the device forward)
+            feats = np.empty(
                 (batch_size, chunk_len, first.shape[-1]),
                 dtype=np.float32)
             for i, s in enumerate(samples):
                 n = min(s.size, chunk_len)
                 feats[i, :n] = s.features[:n]
+                if n < chunk_len:
+                    feats[i, n:] = 0.0
                 lengths[i] = n
+            if len(samples) < batch_size:
+                feats[len(samples):] = 0.0
         return cls(feats, lengths, list(samples))
 
 
