@@ -399,3 +399,113 @@ class TestRLEGolden:
         pairs = tuple(scheme._alignment_to_pairs(aln))
         assert pairs[0][1] == ("A", 3)
         assert pairs[1][1] == ("C", 3)
+
+
+class _FakeAln:
+    """Minimal stand-in for a BamRecord in TruthAlignment tests."""
+
+    def __init__(self, start, end, ref_id=0):
+        self.reference_start = start
+        self.reference_end = end
+        self.reference_length = end - start
+        self.ref_id = ref_id
+
+    def get_reference_sequence(self):
+        return "A" * self.reference_length
+
+    @property
+    def query_sequence(self):
+        return "A" * self.reference_length
+
+
+class TestTruthAlignmentOverlapRules:
+    """The four-case overlap policy of reference ``labels.py:53-136``:
+    comparable-length overlapping segments split the disputed window,
+    an engulfed short segment is dropped (both dropped if the long one
+    is comparable), and a much longer segment wins outright."""
+
+    def _filter(self, alns, **kw):
+        from medaka_tpu.labels import TruthAlignment
+        region = Region("r", 0, 100_000)
+        return TruthAlignment._filter_alignments(
+            [TruthAlignment(a) for a in alns], region,
+            min_length=1000, **kw)
+
+    def test_disjoint_kept_sorted(self):
+        out = self._filter([_FakeAln(5000, 8000), _FakeAln(0, 4000)])
+        assert [(a.start, a.end) for a in out] == [
+            (0, 4000), (5000, 8000)]
+
+    def test_comparable_overlap_splits_window(self):
+        # comparable lengths, modest overlap: boundary moves so the
+        # segments abut at each other's former ends
+        out = self._filter([_FakeAln(0, 6000), _FakeAln(5000, 11000)])
+        assert [(a.start, a.end) for a in out] == [
+            (0, 5000), (6000, 11000)]
+
+    def test_engulfed_short_dropped_long_wins(self):
+        # the long segment is >= 2x the short one: short is dropped,
+        # long keeps the whole window
+        out = self._filter([_FakeAln(0, 20000), _FakeAln(1000, 4000)])
+        assert [(a.start, a.end) for a in out] == [(0, 20000)]
+
+    def test_engulfed_comparable_both_dropped(self):
+        # mostly-engulfed and comparable length: irreconcilable, both go
+        out = self._filter([_FakeAln(0, 6000), _FakeAln(2000, 8000)])
+        assert out == []
+
+    def test_min_length_after_trim(self):
+        # a segment trimmed below min_length by the split is dropped:
+        # disputed 600 / small 1500 = 0.4 < 0.5 so the window splits —
+        # left [0, 5400], right [6000, 6900] -> 900 < min_length
+        out = self._filter(
+            [_FakeAln(0, 6000), _FakeAln(5400, 6900)],
+            length_ratio=10.0)
+        assert [(a.start, a.end) for a in out] == [(0, 5400)]
+
+    def test_insert_only_zero_reflen_dropped(self):
+        out = self._filter([_FakeAln(0, 0), _FakeAln(0, 3000)])
+        assert [(a.start, a.end) for a in out] == [(0, 3000)]
+
+
+class TestTruthAlignmentHaplotypeGrouping:
+    """Reference ``labels.py:170-234``: per anchor-haplotype segment,
+    pick each other haplotype's best-overlapping segment and trim every
+    member to the window intersection; anchors with no partner are
+    skipped."""
+
+    def _group(self, by_hap):
+        from medaka_tpu.labels import TruthAlignment
+        wrapped = {
+            h: [TruthAlignment(a) for a in alns]
+            for h, alns in by_hap.items()}
+        return TruthAlignment._group_and_trim_by_haplotype(wrapped)
+
+    def test_single_haplotype_passthrough(self):
+        groups = self._group({None: [_FakeAln(0, 5000)]})
+        assert len(groups) == 1 and len(groups[0]) == 1
+
+    def test_two_haplotypes_trim_to_intersection(self):
+        groups = self._group({
+            1: [_FakeAln(0, 6000)],
+            2: [_FakeAln(1000, 7000)]})
+        assert len(groups) == 1
+        (a, b), = groups
+        assert (a.start, a.end) == (1000, 6000)
+        assert (b.start, b.end) == (1000, 6000)
+
+    def test_best_overlap_partner_chosen(self):
+        groups = self._group({
+            1: [_FakeAln(0, 6000)],
+            2: [_FakeAln(0, 1500), _FakeAln(1400, 6200)]})
+        (a, b), = groups
+        # the second hap-2 segment covers more of the anchor window
+        assert (a.start, a.end) == (1400, 6000)
+        assert b.aln.reference_start == 1400
+
+    def test_anchor_without_partner_skipped(self):
+        groups = self._group({
+            1: [_FakeAln(0, 3000), _FakeAln(10000, 13000)],
+            2: [_FakeAln(0, 2900)]})
+        assert len(groups) == 1
+        assert groups[0][0].start == 0

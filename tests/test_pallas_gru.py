@@ -427,3 +427,24 @@ class TestTrainableLSTM:
         diff = self._max_rel_diff(
             jax.grad(loss_kernel)(uni), jax.grad(loss_scan)(uni))
         assert diff < 0.05, diff
+
+
+def test_apply_interpret_dispatch_matches_scan():
+    """GRUModel.apply(fused=True, interpret=True) must route through
+    the flagship split-path kernels (bypassing the batch/width perf
+    heuristics) and agree with the f32 scan — the driver's multichip
+    dryrun validates the production kernel path on CPU this way."""
+    import jax
+    import jax.numpy as jnp
+
+    from medaka_tpu.models.gru import GRUModel
+
+    model = GRUModel(num_features=10, num_classes=5, gru_size=32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).random((3, 40, 10)).astype(np.float32)
+    lengths = jnp.asarray([40, 17, 40], jnp.int32)
+    ref = np.asarray(model.apply(params, x, lengths=lengths))
+    got = np.asarray(model.apply(
+        params, x, lengths=lengths, compute_dtype=jnp.bfloat16,
+        fused=True, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=0.02)
