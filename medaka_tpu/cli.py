@@ -243,6 +243,13 @@ def main(argv=None):
     p.add_argument("output")
     p.add_argument("--regions", nargs="+", default=None)
     p.add_argument("--threshold", type=float, default=0.04)
+    p.add_argument(
+        "--het_rescue", type=float, default=None, metavar="PROB",
+        help="Diploid models only: call a het genotype when the argmax "
+             "is hom-ref but the best (ref, X) class carries at least "
+             "this probability (recommended 0.1; measured SNP F1 "
+             "0.929 -> 0.967 on the round-5 diploid campaign). Default "
+             "off = reference-parity argmax decoding.")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(func=_cmd_snp)
 
@@ -809,7 +816,8 @@ def _cmd_snp(args):
     regions = _regions_arg(args.regions) if args.regions else None
     variant.snps_from_hdf(
         args.inputs, args.ref_fasta, args.output, regions=regions,
-        threshold=args.threshold, verbose=args.verbose)
+        threshold=args.threshold, verbose=args.verbose,
+        het_rescue=args.het_rescue)
     return 0
 
 

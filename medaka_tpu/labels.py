@@ -664,7 +664,21 @@ class DiploidLabelScheme(BaseLabelScheme):
 
     def _prob_to_snp(self, outputs, positions, ref_name, ref_symbols,
                      return_all=False):
-        """Direct diploid genotype calling (``labels.py:1158-1230``)."""
+        """Direct diploid genotype calling (``labels.py:1158-1230``).
+
+        When ``self.het_rescue`` is set (a probability threshold;
+        default off = reference parity), loci whose argmax is the
+        homozygous-reference class but whose best (ref, X) heterozygous
+        class still carries ≥ that much probability are called het.
+        Plain argmax under-calls het sites systematically — unweighted
+        cross-entropy training sees ~1 het per ~1100 columns, so mass
+        leaks toward hom-ref. Measured on the round-5 diploid
+        campaign's held-out genomes (PARITY.md): threshold 0.1 lifts
+        SNP F1 0.929 → 0.967 (recall 0.894 → 0.984 for 1.7 points of
+        precision). An improvement over the reference's decode
+        (``labels.py:1158-1230`` is pure argmax), hence opt-in.
+        """
+        het_rescue = getattr(self, "het_rescue", None)
         argmax = outputs.argmax(axis=1)
         probs = outputs[np.arange(outputs.shape[0]), argmax]
         quals = self._phred(1 - probs)
@@ -672,6 +686,19 @@ class DiploidLabelScheme(BaseLabelScheme):
         for network_output, amax, prob, qual, pos, ref_symbol in zip(
                 outputs, argmax, probs, quals, positions, ref_symbols):
             call = self._decoding[amax]
+            if (het_rescue and call == (ref_symbol, ref_symbol)
+                    and ref_symbol in "ACGT"):
+                best_p, best_call = 0.0, None
+                for alt in "ACGT":
+                    if alt == ref_symbol:
+                        continue
+                    pair = tuple(sorted((ref_symbol, alt)))
+                    p_pair = float(network_output[self._encoding[pair]])
+                    if p_pair > best_p:
+                        best_p, best_call = p_pair, pair
+                if best_p >= het_rescue:
+                    call, prob = best_call, best_p
+                    qual = self._phred(1 - prob)
 
             def _info(rs, p, c):
                 if not self.verbose:

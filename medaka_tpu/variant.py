@@ -159,11 +159,17 @@ def variants_from_hdf(
 def snps_from_hdf(
         inputs, ref_fasta: str, output: str,
         regions: Optional[List[common.Region]] = None,
-        threshold: float = 0.04, verbose: bool = False):
+        threshold: float = 0.04, verbose: bool = False,
+        het_rescue: Optional[float] = None):
     """Decode SNPs (single-locus) from sample HDF5s into a VCF.
 
     Reference: ``medaka/variant.py:122-177``. No ``join_samples`` pass is
     needed since loci are treated independently.
+
+    :param het_rescue: diploid-scheme only — call a het genotype when
+        the argmax is hom-ref but the best (ref, X) class carries at
+        least this probability (recommended 0.1; default off =
+        reference-parity argmax). See ``DiploidLabelScheme._prob_to_snp``.
     """
     logger = common.get_named_logger("SNPs")
     index = datastore.DataIndex(inputs)
@@ -171,6 +177,8 @@ def snps_from_hdf(
         regions = index.regions
     label_scheme = _load_label_scheme(index, logger)
     label_scheme.verbose = verbose
+    if het_rescue is not None:
+        label_scheme.het_rescue = float(het_rescue)
 
     with FastaReader(ref_fasta) as fa:
         lengths = {r: fa.get_reference_length(r) for r in fa.references}

@@ -509,3 +509,50 @@ class TestTruthAlignmentHaplotypeGrouping:
             2: [_FakeAln(0, 2900)]})
         assert len(groups) == 1
         assert groups[0][0].start == 0
+
+
+class TestDiploidHetRescue:
+    """Opt-in decode improvement over the reference's pure-argmax
+    diploid genotyping: a hom-ref argmax with >= threshold probability
+    on the best (ref, X) het class is called het. Measured on the
+    round-5 diploid campaign: SNP F1 0.929 -> 0.967 at threshold 0.1
+    (PARITY.md)."""
+
+    def _outputs(self, scheme, ref="A", hom_ref=0.7, het=0.25, alt="C"):
+        out = np.zeros((1, scheme.num_classes), np.float32)
+        out[0, scheme._encoding[(ref, ref)]] = hom_ref
+        out[0, scheme._encoding[tuple(sorted((ref, alt)))]] = het
+        out[0] /= out[0].sum()
+        return out
+
+    def test_default_is_reference_parity_argmax(self):
+        scheme = DiploidLabelScheme()
+        res = scheme._prob_to_snp(
+            self._outputs(scheme), np.array([7]), "ctg", "A")
+        assert res == []
+
+    def test_rescue_calls_het_above_threshold(self):
+        scheme = DiploidLabelScheme()
+        scheme.het_rescue = 0.1
+        res = scheme._prob_to_snp(
+            self._outputs(scheme), np.array([7]), "ctg", "A")
+        assert len(res) == 1
+        v = res[0]
+        assert v.pos == 7 and v.ref == "A" and v.alt == ["C"]
+        assert v.genotype_data["GT"] == "0/1"
+
+    def test_rescue_respects_threshold(self):
+        scheme = DiploidLabelScheme()
+        scheme.het_rescue = 0.4
+        res = scheme._prob_to_snp(
+            self._outputs(scheme, het=0.25), np.array([7]), "ctg", "A")
+        assert res == []
+
+    def test_rescue_never_touches_real_calls(self):
+        # a genuine het argmax is decoded identically with rescue on
+        scheme = DiploidLabelScheme()
+        out = self._outputs(scheme, hom_ref=0.2, het=0.7)
+        plain = scheme._prob_to_snp(out, np.array([3]), "ctg", "A")
+        scheme.het_rescue = 0.1
+        rescued = scheme._prob_to_snp(out, np.array([3]), "ctg", "A")
+        assert [str(v) for v in rescued] == [str(v) for v in plain]

@@ -747,3 +747,47 @@ class TestDiploidSnpFullLoop:
         assert score["snp"]["recall"] >= 0.82, score
         assert score["snp"]["f1"] >= 0.88, score
         assert score["gt_concordance"] >= 0.85, score
+
+    def test_het_rescue_improves_recall(self, tmp_path):
+        """Same loop decoded twice: --het_rescue 0.1 must beat plain
+        argmax on recall without giving up the precision floor
+        (campaign aggregate: F1 0.929 -> 0.967, PARITY.md)."""
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "perf"))
+        import train_campaign as tc
+
+        from medaka_tpu import mapping, models, prediction
+        from medaka_tpu.io.fastx import FastaWriter
+
+        rng = np.random.default_rng(1618)
+        ref_seq = "".join(rng.choice(list("ACGT"), size=40_000))
+        ref_fa = str(tmp_path / "ref.fasta")
+        with FastaWriter(ref_fa) as fw:
+            fw.write("dipctg", ref_seq)
+        haps, records = tc.plant_variants(ref_seq, rng, diploid=True)
+        truth_vcf = str(tmp_path / "truth.vcf")
+        tc.write_truth_vcf(truth_vcf, "dipctg", len(ref_seq), records)
+        reads_fq = str(tmp_path / "reads.fq")
+        tc.simulate_hap_reads(haps, 30, rng, reads_fq)
+        bam = str(tmp_path / "reads.bam")
+        mapping.align_reads(reads_fq, ref_fa, bam, threads=2)
+        probs = str(tmp_path / "probs.hdf")
+        prediction.predict(
+            bam, probs,
+            model_path=models.resolve_model("gru256_diploid_snp_demo"),
+            batch_size=8, chunk_len=1000, chunk_overlap=200,
+            bam_workers=2)
+
+        plain_vcf = str(tmp_path / "plain.vcf")
+        variant.snps_from_hdf(probs, ref_fa, plain_vcf)
+        rescue_vcf = str(tmp_path / "rescue.vcf")
+        variant.snps_from_hdf(
+            probs, ref_fa, rescue_vcf, het_rescue=0.1)
+        plain = tc.score_vcf(truth_vcf, plain_vcf, ref_fa)
+        rescued = tc.score_vcf(truth_vcf, rescue_vcf, ref_fa)
+        assert rescued["snp"]["recall"] > plain["snp"]["recall"], (
+            plain, rescued)
+        assert rescued["snp"]["f1"] >= plain["snp"]["f1"], (plain, rescued)
+        assert rescued["snp"]["precision"] >= 0.90, rescued
