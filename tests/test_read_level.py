@@ -614,3 +614,62 @@ class TestDwellInferenceEndToEnd:
         assert np.all(np.isfinite(sample.label_probs))
         probs_sum = sample.label_probs.sum(-1)
         np.testing.assert_allclose(probs_sum, 1.0, atol=2e-3)
+
+
+class TestDwellBundlePolishes:
+    """The round-5 dwell-campaign bundle (rl_lstm128_dwells_demo,
+    use_dwells=True; val Q36.10 vs majority Q35.38 where the no-dwell
+    twin landed exactly AT the majority ceiling Q35.38 — the dwell
+    channel is the model's entire advantage on dwell-informative data)
+    polishes a fresh mv-tagged pileup end to end."""
+
+    def test_polish_fresh_dwell_genome(self, tmp_path):
+        from mock_data import simulate_dwell_read
+
+        from medaka_tpu import mapping, models, native, prediction, stitch
+        from medaka_tpu.io.fastx import FastaReader, FastaWriter
+
+        rng = np.random.default_rng(77)
+        truth = "".join(rng.choice(list("ACGT"), size=10_000))
+        # a 0.5%-mutated draft to polish
+        import os
+        import sys
+        here = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, here)
+        sys.path.insert(0, os.path.join(here, "perf"))
+        import train_campaign as tc
+        draft = tc.mutate(truth, rng, 0.005)
+        draft_fa = str(tmp_path / "draft.fasta")
+        with FastaWriter(draft_fa) as fw:
+            fw.write("dwg", draft)
+        fwd = np.frombuffer(truth.encode(), np.uint8).copy()
+        rc = np.frombuffer(
+            truth.translate(str.maketrans("ACGT", "TGCA"))[::-1].encode(),
+            np.uint8).copy()
+        tags = {}
+        reads_fq = str(tmp_path / "reads.fq")
+        with open(reads_fq, "w") as fh:
+            n_reads = int(len(truth) * 30 / 3000)
+            for i in range(n_reads):
+                arr = fwd if i % 2 == 0 else rc
+                start = int(rng.integers(0, len(truth) - 3000))
+                seq, mv = simulate_dwell_read(arr, start, 3000, rng)
+                tags["r{}".format(i)] = {"mv": mv}
+                fh.write("@r{}\n{}\n+\n{}\n".format(
+                    i, seq, "5" * len(seq)))
+        bam = str(tmp_path / "reads.bam")
+        mapping.align_reads(reads_fq, draft_fa, bam, tags_by_read=tags)
+
+        probs = str(tmp_path / "probs.hdf")
+        prediction.predict(
+            bam, probs,
+            model_path=models.resolve_model("rl_lstm128_dwells_demo"),
+            batch_size=8, chunk_len=500, chunk_overlap=100,
+            bam_workers=2)
+        out = str(tmp_path / "cons.fasta")
+        stitch.stitch_to_fasta(probs, draft_fa, out)
+        cons = FastaReader(out).fetch("dwg")
+        d_draft = native.edit_distance(draft, truth)
+        d_cons = native.edit_distance(cons, truth)
+        # polishing must remove at least half the draft's errors
+        assert d_cons < 0.5 * d_draft, (d_cons, d_draft)
