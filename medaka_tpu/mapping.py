@@ -195,13 +195,19 @@ def consensus_workflow(
         return out
     probs = os.path.join(output_dir, "consensus_probs.hdf")
     if not os.path.exists(probs):
+        # NOTE: deliberately a single plain HDF5 (no output_shards):
+        # consensus_probs.hdf is a documented stage artifact that
+        # external tooling — including the reference stack itself
+        # (pinned by tests/test_crossstack.py) — may read directly; a
+        # shard manifest would silently truncate such readers. Users
+        # who want sharded write throughput run `inference
+        # --output_shards` explicitly.
         prediction.predict(
             bam, probs, model_path=model_path, model=model,
             params=params, feature_encoder=feature_encoder,
             label_scheme=label_scheme, batch_size=batch_size,
             chunk_len=chunk_len, chunk_overlap=chunk_ovlp,
-            bam_workers=max(1, threads // 2),
-            output_shards=max(1, min(4, threads // 2)))
+            bam_workers=max(1, threads // 2))
     else:
         logger.info("Reusing existing %s.", probs)
     stitch.stitch_to_fasta(

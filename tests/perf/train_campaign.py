@@ -200,6 +200,118 @@ def q_from_acc(acc):
 
 
 # ---------------------------------------------------------------------------
+# RLE campaign (round 5): the reference's legacy run-length-encoded
+# model family (``medaka/rle.py``, HardRLE encoders + RLELabelScheme,
+# ``labels.py:1247-1324``) — the last untraversed model surface. Reads
+# and truth are homopolymer-compressed against the draft
+# (``rle.compress_bam``; run lengths ride in the qualities), features
+# are qscore-stratified counts (10 x num_qstrat), labels are
+# (base, run) classes, and the end-to-end eval expands the decoded
+# (base, run) consensus back to sequence space and scores edit
+# distance against the full truth.
+
+RLE_QSTRAT = 12
+
+
+def build_rle_set(out_dir, n_drafts, threads=4):
+    """Per-draft RLE-compressed labelled features + eval manifest."""
+    from medaka_tpu import mapping, rle
+    from medaka_tpu.features import create_samples
+    from medaka_tpu.io.fastx import FastaReader, FastaWriter
+    from medaka_tpu.rle import RLEConverter
+
+    ref_seq = FastaReader(WORKFLOW + "/reference.fasta").fetch(
+        "lambda_5kb")
+    contig = "lambda_5kb"
+    truth_fa = str(out_dir / "truth.fasta")
+    with FastaWriter(truth_fa) as fw:
+        fw.write("truth_" + contig, ref_seq)
+
+    rates = [0.002, 0.005, 0.01]
+    depths = [20, 30, 45, 60]
+    train, valid, evals = [], [], []
+    for k in range(n_drafts):
+        rng = np.random.default_rng(7000 + k)
+        rate = rates[k % len(rates)]
+        depth = depths[(k // len(rates)) % len(depths)]
+        ddir = out_dir / "draft{:02d}".format(k)
+        ddir.mkdir(exist_ok=True)
+        draft_fa = str(ddir / "draft.fasta")
+        draft_seq = mutate(ref_seq, rng, rate)
+        with FastaWriter(draft_fa) as fw:
+            fw.write(contig, draft_seq)
+        compact_fa = str(ddir / "draft_compact.fasta")
+        with FastaWriter(compact_fa) as fw:
+            fw.write(contig, RLEConverter(draft_seq).compact_basecall)
+        reads_fq = str(ddir / "reads.fq")
+        subsample_reads(reads_fq, depth / 450.0, rng)
+        reads_bam = str(ddir / "reads.bam")
+        mapping.align_reads(
+            reads_fq, draft_fa, reads_bam, threads=threads)
+        truth_bam = str(ddir / "truth.bam")
+        mapping.align_reads(truth_fa, draft_fa, truth_bam, md=True)
+        rle_reads = str(ddir / "rle_reads.bam")
+        rle.compress_bam(reads_bam, rle_reads, draft_fa, threads=threads)
+        rle_truth = str(ddir / "rle_truth.bam")
+        rle.compress_bam(truth_bam, rle_truth, draft_fa)
+        feats = str(ddir / "feats.hdf5")
+        n = create_samples(
+            rle_reads, feats, truth_bam=rle_truth, threads=threads,
+            feature_encoder_name="HardRLEFeatureEncoder",
+            feature_encoder_args={"num_qstrat": RLE_QSTRAT},
+            label_scheme_name="RLELabelScheme",
+            chunk_len=1000, chunk_ovlp=200)
+        held_out = k % 5 == 4
+        (valid if held_out else train).append(feats)
+        if held_out:
+            evals.append({
+                "dir": str(ddir), "rle_reads": rle_reads,
+                "compact_draft": compact_fa, "contig": contig})
+        print("rle draft {:02d}: rate={} depth={}x -> {} samples".format(
+            k, rate, depth, n), flush=True)
+    return train, valid, evals
+
+
+def rle_eval(out_dir, model_path=None, threads=4):
+    """End-to-end RLE consensus on held-out drafts: predict on the
+    compressed BAM, stitch (RLE decode expands runs), score edit
+    distance of the expanded consensus against the full truth."""
+    from medaka_tpu import native, prediction, stitch
+    from medaka_tpu.io.fastx import FastaReader
+
+    out_dir = pathlib.Path(out_dir)
+    sets = json.loads((out_dir / "dataset.json").read_text())
+    truth_seq = FastaReader(str(out_dir / "truth.fasta")).fetch(
+        "truth_lambda_5kb")
+    model_path = model_path or str(
+        out_dir / "train" / "model-best_val_loss.tar.gz")
+    rows = []
+    for ev in sets["eval"]:
+        gdir = pathlib.Path(ev["dir"])
+        probs = str(gdir / "eval_probs.hdf")
+        if os.path.exists(probs):
+            os.unlink(probs)
+        prediction.predict(
+            ev["rle_reads"], probs, model_path=model_path,
+            batch_size=32, chunk_len=1000, chunk_overlap=200,
+            bam_workers=2)
+        cons_fa = str(gdir / "consensus.fasta")
+        stitch.stitch_to_fasta(
+            probs, ev["compact_draft"], cons_fa)
+        cons = FastaReader(cons_fa).fetch(ev["contig"])
+        edits = native.edit_distance(cons, truth_seq)
+        q = -10.0 * np.log10(max(1e-9, edits / len(truth_seq)))
+        rows.append({"draft": gdir.name, "edits": edits,
+                     "q": round(q, 2)})
+        print("rle eval {}".format(json.dumps(rows[-1])), flush=True)
+    agg = {"rows": rows,
+           "median_q": round(float(np.median([r["q"] for r in rows])), 2)}
+    print("RLE_EVAL " + json.dumps(agg), flush=True)
+    (out_dir / "rle_eval.json").write_text(json.dumps(agg))
+    return agg
+
+
+# ---------------------------------------------------------------------------
 # Dwell-channel campaign (round 5): the reference's current read-level
 # catalogue is rl_lstm384_dwells / rl_lstm384_no_dwells
 # (``options.py:175-182``) with dwells extracted from basecaller ``mv``
@@ -718,6 +830,8 @@ def main():
     variant_cond = condition in ("variant", "diploid_snp")
     n_drafts = int(args[1]) if len(args) > 1 else (
         20 if variant_cond else 40)
+    if condition == "rle" and len(args) <= 1:
+        n_drafts = 40
     epochs = int(args[2]) if len(args) > 2 else 300
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -743,6 +857,11 @@ def main():
     elif variant_cond:
         train, valid, evals = build_variant_set(
             out_dir, n_drafts, condition)
+        marker.write_text(json.dumps({
+            "train": train, "valid": valid, "eval": evals,
+            "condition": condition}))
+    elif condition == "rle":
+        train, valid, evals = build_rle_set(out_dir, n_drafts)
         marker.write_text(json.dumps({
             "train": train, "valid": valid, "eval": evals,
             "condition": condition}))
@@ -788,6 +907,12 @@ def main():
                        "gru_size": 256}}
         diploid_lut = np.array(
             [scheme._encoding[(s, s)] for s in "*ACGT"])
+    elif condition == "rle":
+        model_dict = {
+            "type": "GRUModel",
+            "kwargs": {"num_features": 10 * RLE_QSTRAT,
+                       "num_classes": 1 + 4 * RLE_QSTRAT,
+                       "gru_size": 256}}
     model, params = training.run_training(
         str(out_dir / "train"), batcher, epochs=epochs,
         model_dict=model_dict,
@@ -802,6 +927,8 @@ def main():
         flush=True)
     if variant_cond:
         variant_eval(out_dir, condition=condition)
+    elif condition == "rle":
+        rle_eval(out_dir)
 
 
 if __name__ == "__main__":
