@@ -884,6 +884,15 @@ def main():
         train = list(train) + [ref_feats]
 
     batch_size = 32 if read_level else 128
+    use_lr_schedule = True
+    if condition == "rle":
+        # the compact lambda genome yields only ~160 train samples:
+        # at batch 128 that is ~2 steps/epoch, so the 500-step LR
+        # warmup would swallow the entire run (measured: stuck at
+        # 0.65 train acc after 100 epochs). Small batches + constant
+        # LR fit the tiny-dataset regime.
+        batch_size = 16
+        use_lr_schedule = False
     batcher = training.TrainBatcher(
         train, validation=valid, batch_size=batch_size, seed=0)
     compute_dtype = (
@@ -916,7 +925,8 @@ def main():
     model, params = training.run_training(
         str(out_dir / "train"), batcher, epochs=epochs,
         model_dict=model_dict,
-        compute_dtype=compute_dtype, early_stop_epochs=60)
+        compute_dtype=compute_dtype, early_stop_epochs=60,
+        use_lr_schedule=use_lr_schedule)
 
     acc, mj = evaluate(
         batcher, model, params, compute_dtype, diploid_lut=diploid_lut)

@@ -791,3 +791,59 @@ class TestDiploidSnpFullLoop:
             plain, rescued)
         assert rescued["snp"]["f1"] >= plain["snp"]["f1"], (plain, rescued)
         assert rescued["snp"]["precision"] >= 0.90, rescued
+
+
+class TestRLEFullLoop:
+    """The RLE (run-length-encoded) model family end to end — the last
+    previously-untraversed model surface (reference medaka/rle.py +
+    RLELabelScheme, labels.py:1247-1324). The round-5 campaign trains a
+    49-class GRU on HardRLE (qscore-stratified) features of
+    RLE-compressed real workflow reads; held-out drafts decode to
+    expanded consensus at 2-5 edits from the 5 kb truth (median Q31.6).
+    This pins the loop at reduced depth with margin."""
+
+    def test_rle_consensus_polishes(self, tmp_path):
+        import sys
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(here, "perf"))
+        import train_campaign as tc
+
+        from medaka_tpu import mapping, models, native, prediction, rle
+        from medaka_tpu import stitch as stitch_mod
+        from medaka_tpu.io.fastx import FastaReader, FastaWriter
+        from medaka_tpu.rle import RLEConverter
+
+        WORKFLOW = "/root/reference/medaka/test/data/workflow"
+        truth = FastaReader(WORKFLOW + "/reference.fasta").fetch(
+            "lambda_5kb")
+        rng = np.random.default_rng(4242)
+        draft_seq = tc.mutate(truth, rng, 0.005)
+        draft_fa = str(tmp_path / "draft.fasta")
+        with FastaWriter(draft_fa) as fw:
+            fw.write("lambda_5kb", draft_seq)
+        compact_fa = str(tmp_path / "draft_compact.fasta")
+        with FastaWriter(compact_fa) as fw:
+            fw.write("lambda_5kb",
+                     RLEConverter(draft_seq).compact_basecall)
+        reads_fq = str(tmp_path / "reads.fq")
+        tc.subsample_reads(reads_fq, 20 / 450.0, rng)
+        bam = str(tmp_path / "reads.bam")
+        mapping.align_reads(reads_fq, draft_fa, bam, threads=4)
+        rle_bam = str(tmp_path / "rle_reads.bam")
+        rle.compress_bam(bam, rle_bam, draft_fa, threads=4)
+
+        probs = str(tmp_path / "probs.hdf")
+        prediction.predict(
+            rle_bam, probs,
+            model_path=models.resolve_model("gru256_rle_demo"),
+            batch_size=8, chunk_len=1000, chunk_overlap=200,
+            bam_workers=2)
+        cons_fa = str(tmp_path / "cons.fasta")
+        stitch_mod.stitch_to_fasta(probs, compact_fa, cons_fa)
+        cons = FastaReader(cons_fa).fetch("lambda_5kb")
+        d_draft = native.edit_distance(draft_seq, truth)
+        d_cons = native.edit_distance(cons, truth)
+        # campaign: 2-5 edits at 20-60x; generous margin at 20x
+        assert d_cons <= 12, (d_cons, d_draft)
+        assert d_cons < 0.5 * d_draft, (d_cons, d_draft)
