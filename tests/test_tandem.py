@@ -449,3 +449,81 @@ def test_record_name_multi_underscore_contig():
     # without known_refs: reference-parity greedy split (round-trips)
     bare = RecordName.from_str(str(rn))
     assert str(bare) == str(rn)
+
+
+class TestDetermineGtAndAlleles:
+    """Genotype combinatorics of ``determine_gt_and_alleles``
+    (reference ``io.py:149-191``): HOM contigs, per-haplotype
+    missing/ref calls, 1|2 multi-allelic sites."""
+
+    def _aln(self, query_name):
+        class A:
+            pass
+        a = A()
+        a.query_name = query_name
+        return a
+
+    def _run(self, monkeypatch, names_alts, ref_seq="AAA"):
+        from medaka_tpu.tandem import io_utils
+
+        alts = {name: alt for name, alt in names_alts}
+
+        def fake_alt(aln, rn):
+            return alts[aln.query_name]
+
+        monkeypatch.setattr(io_utils, "get_alt_from_aln", fake_alt)
+        alns = [self._aln(name) for name, _ in names_alts]
+        return io_utils.determine_gt_and_alleles(alns, ref_seq)
+
+    def _name(self, qname, hap):
+        from medaka_tpu.tandem.record_name import RecordName
+        return str(RecordName(
+            query_name=qname, ref_name="chr1", ref_start=10,
+            ref_end=20, hap=hap))
+
+    def test_hom_alt(self, monkeypatch):
+        alt, gt = self._run(
+            monkeypatch, [(self._name("molecule_HOM", 1), "AATA")])
+        assert (alt, gt) == ("AATA", "1|1")
+
+    def test_hom_ref(self, monkeypatch):
+        alt, gt = self._run(
+            monkeypatch, [(self._name("mol_HOM", 1), "AAA")])
+        assert (alt, gt) == (".", "0|0")
+
+    def test_both_haps_ref(self, monkeypatch):
+        alt, gt = self._run(monkeypatch, [
+            (self._name("m", 1), "AAA"), (self._name("m", 2), "AAA")])
+        assert (alt, gt) == (".", "0|0")
+
+    def test_single_hap_ref_other_missing(self, monkeypatch):
+        alt, gt = self._run(monkeypatch, [(self._name("m", 1), "AAA")])
+        assert (alt, gt) == (".", "0|.")
+        alt, gt = self._run(monkeypatch, [(self._name("m", 2), "AAA")])
+        assert (alt, gt) == (".", ".|0")
+
+    def test_single_hap_alt_other_missing(self, monkeypatch):
+        alt, gt = self._run(monkeypatch, [(self._name("m", 1), "ATA")])
+        assert (alt, gt) == (["ATA"], "1|.")
+
+    def test_het_alt_ref(self, monkeypatch):
+        alt, gt = self._run(monkeypatch, [
+            (self._name("m", 1), "AAA"), (self._name("m", 2), "ATA")])
+        assert (alt, gt) == ("ATA", "0|1")
+
+    def test_het_two_alts(self, monkeypatch):
+        alt, gt = self._run(monkeypatch, [
+            (self._name("m", 1), "ATA"), (self._name("m", 2), "AGA")])
+        assert alt == ["ATA", "AGA"] and gt == "1|2"
+
+    def test_hom_alt_two_haps(self, monkeypatch):
+        alt, gt = self._run(monkeypatch, [
+            (self._name("m", 1), "ATA"), (self._name("m", 2), "ATA")])
+        assert (alt, gt) == ("ATA", "1|1")
+
+    def test_three_contigs_rejected(self, monkeypatch):
+        with pytest.raises(ValueError):
+            self._run(monkeypatch, [
+                (self._name("m", 1), "ATA"),
+                (self._name("m", 2), "AGA"),
+                (self._name("m", 1), "ACA")])
