@@ -686,7 +686,8 @@ class DiploidLabelScheme(BaseLabelScheme):
         for network_output, amax, prob, qual, pos, ref_symbol in zip(
                 outputs, argmax, probs, quals, positions, ref_symbols):
             call = self._decoding[amax]
-            if (het_rescue and call == (ref_symbol, ref_symbol)
+            if (het_rescue is not None
+                    and call == (ref_symbol, ref_symbol)
                     and ref_symbol in "ACGT"):
                 best_p, best_call = 0.0, None
                 for alt in "ACGT":
@@ -696,7 +697,7 @@ class DiploidLabelScheme(BaseLabelScheme):
                     p_pair = float(network_output[self._encoding[pair]])
                     if p_pair > best_p:
                         best_p, best_call = p_pair, pair
-                if best_p >= het_rescue:
+                if best_call is not None and best_p >= het_rescue:
                     call, prob = best_call, best_p
                     qual = self._phred(1 - prob)
 

@@ -50,8 +50,6 @@ class Batch:
     features: np.ndarray
     lengths: np.ndarray
     samples: List[Sample]
-    # work-region index per sample (direct mode; None on the HDF5 path)
-    region_ids: Optional[List[int]] = None
 
     @property
     def n_valid(self) -> int:
@@ -306,18 +304,18 @@ class DataLoader:
                         pending.append(piece)
                         pending_rids.append(rid)
                         if len(pending) == self.batch_size:
-                            self._emit(pending, pending_rids)
+                            self._emit(pending)
                             pending, pending_rids = [], []
                             flush_events()
                     continue
                 pending.append(payload)
                 pending_rids.append(rid)
                 if len(pending) == self.batch_size:
-                    self._emit(pending, pending_rids)
+                    self._emit(pending)
                     pending, pending_rids = [], []
                     flush_events()
             if pending:
-                self._emit(pending, pending_rids)
+                self._emit(pending)
                 pending, pending_rids = [], []
             flush_events()
         except BaseException as e:  # pragma: no cover
@@ -326,13 +324,12 @@ class DataLoader:
         finally:
             self._batch_q.put(None)
 
-    def _emit(self, samples: List[Sample], region_ids: List[int]):
+    def _emit(self, samples: List[Sample]):
         self.n_samples += len(samples)
-        batch = Batch.collate(
-            samples, self.batch_size, self.chunk_len,
-            max_reads=getattr(self.fencoder, "max_reads", None))
-        batch.region_ids = list(region_ids)
-        self._batch_q.put(batch)
+        self._batch_q.put(
+            Batch.collate(
+                samples, self.batch_size, self.chunk_len,
+                max_reads=getattr(self.fencoder, "max_reads", None)))
 
     def __iter__(self):
         while True:
@@ -667,6 +664,17 @@ def run_prediction_direct(
         raise ValueError(
             "The direct consensus path needs the model bundle's label "
             "scheme (argmax classes are decoded to its symbols).")
+    from medaka_tpu import labels as labels_mod
+    if getattr(type(label_scheme), "decode_consensus", None) is not \
+            labels_mod.HaploidLabelScheme.decode_consensus:
+        # RLE expands (base, run) classes and diploid has 15 classes —
+        # neither is a plain symbols[argmax] decode, so the on-device
+        # 1-byte class + 1-byte qual contract cannot represent them
+        raise ValueError(
+            "--direct supports plain haploid consensus decoding only; "
+            "{} overrides decode_consensus (e.g. RLE run expansion). "
+            "Use the default HDF5 path for this model.".format(
+                type(label_scheme).__name__))
     if full_precision:
         compute_dtype = None
     if batch_size is None:

@@ -276,7 +276,8 @@ def write_consensus_output(
         verbatim from the draft).
     """
     logger = common.get_named_logger("Stitcher")
-    if isinstance(draft, str):
+    close_draft = isinstance(draft, str)
+    if close_draft:
         draft = FastaReader(draft)
     gap_record: Dict[str, List[Tuple[int, int]]] = {}
     with open(output, "w") as fastx:
@@ -316,6 +317,8 @@ def write_consensus_output(
 
     if fillgaps:
         write_gaps_bed(gap_record, output + ".gaps_in_draft_coords.bed")
+    if close_draft:
+        draft.close()
 
 
 class DirectStitcher:

@@ -178,6 +178,13 @@ def snps_from_hdf(
     label_scheme = _load_label_scheme(index, logger)
     label_scheme.verbose = verbose
     if het_rescue is not None:
+        from medaka_tpu import labels as labels_mod
+        if not isinstance(label_scheme, labels_mod.DiploidLabelScheme):
+            raise ValueError(
+                "--het_rescue applies to diploid models only; these "
+                "probabilities carry a {} (a haploid argmax has no "
+                "het class to rescue).".format(
+                    type(label_scheme).__name__))
         label_scheme.het_rescue = float(het_rescue)
 
     with FastaReader(ref_fasta) as fa:

@@ -847,3 +847,50 @@ class TestRLEFullLoop:
         # campaign: 2-5 edits at 20-60x; generous margin at 20x
         assert d_cons <= 12, (d_cons, d_draft)
         assert d_cons < 0.5 * d_draft, (d_cons, d_draft)
+
+
+class TestDirectAndRescueGuards:
+    """Misuse guards found by round-5 self-review: --direct must refuse
+    schemes whose decode is not plain symbols[argmax], and --het_rescue
+    must refuse non-diploid probabilities instead of silently no-oping."""
+
+    def test_direct_refuses_rle_scheme(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from mock_data import create_simple_bam
+
+        from medaka_tpu import prediction
+        from medaka_tpu.features import CountsFeatureEncoder
+        from medaka_tpu.labels import RLELabelScheme
+        from medaka_tpu.models.majority import MajorityVoteModel
+
+        bam = create_simple_bam(str(tmp_path / "simple.bam"))
+        with pytest.raises(ValueError, match="direct"):
+            prediction.predict_direct(
+                bam, str(tmp_path / "out.fasta"),
+                str(tmp_path / "draft.fasta"),
+                model=MajorityVoteModel(), params={},
+                feature_encoder=CountsFeatureEncoder(),
+                label_scheme=RLELabelScheme())
+
+    def test_het_rescue_refuses_haploid_probs(self, tmp_path):
+        from medaka_tpu.io.fastx import FastaWriter
+
+        ls = HaploidLabelScheme()
+        pos = np.zeros(5, dtype=POSITIONS_DTYPE)
+        pos["major"] = np.arange(5)
+        probs = np.full((5, 5), 0.01, np.float32)
+        probs[:, 1] = 0.96
+        s = Sample("ctg", None, None, None, pos, probs,
+                   np.full(5, 30))
+        hdf = str(tmp_path / "probs.hdf")
+        with datastore.DataStore(hdf, "w") as ds:
+            ds.set_meta(ls, "label_scheme")
+            ds.write_sample(s)
+        ref_fa = str(tmp_path / "ref.fasta")
+        with FastaWriter(ref_fa) as fw:
+            fw.write("ctg", "ACGTA")
+        with pytest.raises(ValueError, match="diploid"):
+            variant.snps_from_hdf(
+                [hdf], ref_fa, str(tmp_path / "o.vcf"), het_rescue=0.1)
