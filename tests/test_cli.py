@@ -287,3 +287,17 @@ def test_consensus_joint(workspace, tmp_path):
     cons = FastaReader(
         os.path.join(out_dir, "consensus.fasta")).fetch("ref")
     assert len(cons) > 0.9 * len(seq)
+
+
+def test_python_dash_m_entrypoint():
+    """`python -m medaka_tpu` must work (the __main__ shim)."""
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "medaka_tpu", "--version"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0
+    assert "medaka_tpu" in out.stdout + out.stderr
