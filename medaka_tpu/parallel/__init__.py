@@ -174,7 +174,8 @@ def make_sharded_forward(model, mesh: Mesh, compute_dtype=jnp.bfloat16,
 
 
 def cross_entropy_loss(model, params, batch, compute_dtype=None,
-                       training=True, apply_kwargs=None):
+                       training=True, apply_kwargs=None,
+                       class_weights=None):
     """Masked cross-entropy over a (features, labels, mask) batch dict.
 
     ``labels`` are int class ids; ``mask`` (B, T) excludes padding.
@@ -182,6 +183,13 @@ def cross_entropy_loss(model, params, batch, compute_dtype=None,
     the reference metrics (``medaka/models.py:315-345``).
     ``training=False`` for evaluation (batch-norm running statistics,
     no need for differentiable kernel paths).
+
+    :param class_weights: optional (num_classes,) per-target-class loss
+        weights, normalised like torch's weighted CrossEntropyLoss
+        (sum of weights at the targets in the denominator). The
+        reference trains unweighted; this is an opt-in lever for
+        class-imbalanced schemes (e.g. rare heterozygous diploid
+        classes).
     """
     logits = model.apply(
         params, batch["features"], normalise=False,
@@ -193,7 +201,12 @@ def cross_entropy_loss(model, params, batch, compute_dtype=None,
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(
         logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    loss = -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, logp.dtype)[
+            labels.astype(jnp.int32)] * mask
+        loss = -(ll * w).sum() / jnp.maximum(w.sum(), 1e-6)
+    else:
+        loss = -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
     pred = jnp.argmax(logits, axis=-1)
     n_correct = ((pred == labels) * batch["mask"]).sum()
     n_total = batch["mask"].sum()
@@ -218,12 +231,13 @@ def majority_baseline_accuracy(batch):
 
 
 def make_train_step(model, optimizer, mesh: Mesh,
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.bfloat16, class_weights=None):
     """Build a jitted, mesh-sharded SGD step.
 
     Batch is sharded over ``data``; params/opt-state are laid out by
     their own shardings (TP over ``model`` via :func:`shard_params`).
     Loss/metric outputs are replicated scalars (GSPMD inserts the psum).
+    ``class_weights`` — see :func:`cross_entropy_loss`.
     """
     bspec = batch_sharding(mesh)
     fence = _tp_kernel_fence(model, mesh)
@@ -250,7 +264,7 @@ def make_train_step(model, optimizer, mesh: Mesh,
                 kwargs["bn_stats"] = stats
             loss, (n_correct, n_total) = cross_entropy_loss(
                 model, p, batch, compute_dtype=compute_dtype,
-                apply_kwargs=kwargs)
+                apply_kwargs=kwargs, class_weights=class_weights)
             return loss, (n_correct, n_total, stats)
 
         (loss, (n_correct, n_total, stats)), grads = jax.value_and_grad(

@@ -483,7 +483,7 @@ def run_training(
         compute_dtype=jnp.bfloat16, seed: int = 0,
         early_stop_epochs: int = 20, initial_params=None,
         resume: bool = False, samples_per_epoch: Optional[int] = None,
-        use_lr_schedule: bool = True):
+        use_lr_schedule: bool = True, class_weights=None):
     """Train a consensus model (reference ``training.py:60-236``).
 
     :param train_name: output directory.
@@ -558,7 +558,8 @@ def run_training(
     opt_state = opt.init(params)
 
     step_fn = parallel.make_train_step(
-        model, opt, mesh, compute_dtype=compute_dtype)
+        model, opt, mesh, compute_dtype=compute_dtype,
+        class_weights=class_weights)
 
     eval_fn = jax.jit(
         lambda p, b: parallel.cross_entropy_loss(

@@ -811,6 +811,7 @@ def main():
     lstm_size = 128
     cnn_size = 128
     kernels = None
+    het_weight = None
     condition = "lambda"
     eval_only = "--eval-only" in sys.argv
     for a in sys.argv[1:]:
@@ -822,6 +823,8 @@ def main():
             kernels = [int(x) for x in a.split("=", 1)[1].split(",")]
         if a.startswith("--condition"):
             condition = a.split("=", 1)[1]
+        if a.startswith("--het-weight"):
+            het_weight = float(a.split("=", 1)[1])
         if a.startswith("--cross-eval"):
             cross_eval(a.split("=", 1)[1].split(","))
             return
@@ -899,6 +902,7 @@ def main():
         jnp.bfloat16 if jax.default_backend() != "cpu" else None)
     model_dict = None
     diploid_lut = None
+    class_weights = None
     if read_level:
         kwargs = {"lstm_size": lstm_size, "use_dwells": False}
         if cnn_size != 128:
@@ -916,6 +920,13 @@ def main():
                        "gru_size": 256}}
         diploid_lut = np.array(
             [scheme._encoding[(s, s)] for s in "*ACGT"])
+        if het_weight is not None:
+            # upweight the heterozygous classes (~1 per 1100 columns in
+            # this condition) against the hom-dominated background
+            class_weights = np.ones(scheme.num_classes, np.float32)
+            for pair, cls in scheme._encoding.items():
+                if pair[0] != pair[1]:
+                    class_weights[cls] = het_weight
     elif condition == "rle":
         model_dict = {
             "type": "GRUModel",
@@ -926,7 +937,7 @@ def main():
         str(out_dir / "train"), batcher, epochs=epochs,
         model_dict=model_dict,
         compute_dtype=compute_dtype, early_stop_epochs=60,
-        use_lr_schedule=use_lr_schedule)
+        use_lr_schedule=use_lr_schedule, class_weights=class_weights)
 
     acc, mj = evaluate(
         batcher, model, params, compute_dtype, diploid_lut=diploid_lut)

@@ -161,3 +161,32 @@ def test_coordinatorless_multi_process_init():
 
     jax.devices()  # ensure the backend is initialised
     parallel.initialize_distributed(None, 2, 1)  # must be a no-op
+
+
+def test_class_weighted_loss(setup):
+    """class_weights follow torch's weighted-CE semantics: weights at
+    the target labels scale both numerator and denominator; uniform
+    weights reproduce the unweighted loss exactly."""
+    import jax.numpy as jnp
+
+    model, params, x, lengths = setup
+    rng = np.random.default_rng(3)
+    batch = {
+        "features": jnp.asarray(x),
+        "labels": jnp.asarray(rng.integers(0, 5, (8, 64)), dtype=jnp.int32),
+        "mask": jnp.asarray(
+            (np.arange(64)[None, :] < lengths[:, None]).astype(np.float32)),
+        "lengths": jnp.asarray(lengths),
+    }
+    base, _ = parallel.cross_entropy_loss(model, params, batch)
+    uniform, _ = parallel.cross_entropy_loss(
+        model, params, batch, class_weights=np.full(5, 3.0, np.float32))
+    np.testing.assert_allclose(float(uniform), float(base), rtol=1e-6)
+    # upweighting one class moves the loss toward that class's mean nll
+    w = np.ones(5, np.float32)
+    w[2] = 100.0
+    heavy, _ = parallel.cross_entropy_loss(
+        model, params, batch, class_weights=w)
+    only2 = {**batch, "mask": batch["mask"] * (batch["labels"] == 2)}
+    target, _ = parallel.cross_entropy_loss(model, params, only2)
+    assert abs(float(heavy) - float(target)) < abs(float(base) - float(target))
