@@ -232,6 +232,12 @@ def main(argv=None):
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--ambig_ref", action="store_true")
     p.add_argument("--gvcf", action="store_true")
+    p.add_argument(
+        "--min_qual", type=float, default=None, metavar="Q",
+        help="Drop variant records with QUAL below this (default: emit "
+             "all, like the reference; gVCF reference rows are kept). "
+             "The bundled variant model's measured operating curve is "
+             "in PARITY.md — QUAL>=5 is its indel F1 peak.")
     p.set_defaults(func=_cmd_vcf)
 
     p = subparsers.add_parser(
@@ -807,7 +813,8 @@ def _cmd_vcf(args):
     regions = _regions_arg(args.regions) if args.regions else None
     variant.variants_from_hdf(
         args.inputs, args.ref_fasta, args.output, regions=regions,
-        verbose=args.verbose, ambig_ref=args.ambig_ref, gvcf=args.gvcf)
+        verbose=args.verbose, ambig_ref=args.ambig_ref, gvcf=args.gvcf,
+        min_qual=args.min_qual)
     return 0
 
 

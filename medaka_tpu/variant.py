@@ -109,7 +109,7 @@ def variants_from_hdf(
         inputs, ref_fasta: str, output: str,
         regions: Optional[List[common.Region]] = None,
         verbose: bool = False, ambig_ref: bool = False,
-        gvcf: bool = False):
+        gvcf: bool = False, min_qual: Optional[float] = None):
     """Decode variants from sample HDF5s into a VCF.
 
     Reference: ``medaka/variant.py:180-244``.
@@ -121,6 +121,11 @@ def variants_from_hdf(
     :param verbose: add verbose info fields to records.
     :param ambig_ref: decode variants at ambiguous (non-ACGT) reference.
     :param gvcf: emit records for all reference positions.
+    :param min_qual: drop records with QUAL below this (default off =
+        reference parity, which emits unfiltered records; gVCF
+        reference rows are never dropped). The measured operating
+        curve for the bundled variant model is in PARITY.md — e.g.
+        QUAL>=5 is the indel F1 peak.
     """
     logger = common.get_named_logger("Variants")
     index = datastore.DataIndex(inputs)
@@ -153,6 +158,11 @@ def variants_from_hdf(
                 variants = label_scheme.decode_variants(
                     sample, ref_seq, ambig_ref=ambig_ref,
                     return_all=gvcf)
+                if min_qual is not None:
+                    variants = [
+                        v for v in variants
+                        if v.alt == ["."] or (
+                            v.qual != "." and float(v.qual) >= min_qual)]
                 writer.write_variants(variants, sort=True)
 
 

@@ -942,3 +942,46 @@ class TestWeightedDiploidSnp:
         assert score["snp"]["precision"] >= 0.84, score
         assert score["snp"]["f1"] >= 0.90, score
         assert score["gt_concordance"] >= 0.95, score
+
+
+def test_vcf_min_qual_filter(tmp_path):
+    """--min_qual drops low-QUAL variant records but keeps gVCF
+    reference rows; default remains emit-everything (reference parity)."""
+    from medaka_tpu.io.fastx import FastaWriter
+
+    ls = HaploidLabelScheme()
+    draft = "ACGTACGTACGTACGTACGT"
+    cons = list(draft)
+    cons[5] = "G"    # confident SNP (draft C -> G)
+    cons[13] = "T"   # weak SNP (draft C -> T at p=0.55)
+    pos = np.zeros(len(draft), dtype=POSITIONS_DTYPE)
+    pos["major"] = np.arange(len(draft))
+    probs = np.full((len(draft), 5), 0.01, np.float32)
+    for i, sym in enumerate(cons):
+        p = 0.55 if i == 13 else 0.97
+        probs[i, ls.symbols.index(sym)] = p
+    s = Sample("ctg", None, None, None, pos, probs,
+               np.full(len(draft), 30))
+    hdf = str(tmp_path / "probs.hdf")
+    with datastore.DataStore(hdf, "w") as ds:
+        ds.set_meta(ls, "label_scheme")
+        ds.write_sample(s)
+    ref_fa = str(tmp_path / "ref.fasta")
+    with FastaWriter(ref_fa) as fw:
+        fw.write("ctg", draft)
+
+    def records(path):
+        return [l for l in open(path) if not l.startswith("#")]
+
+    out_all = str(tmp_path / "all.vcf")
+    variant.variants_from_hdf([hdf], ref_fa, out_all)
+    assert len(records(out_all)) == 2
+    out_filt = str(tmp_path / "filt.vcf")
+    variant.variants_from_hdf([hdf], ref_fa, out_filt, min_qual=5.0)
+    recs = [r for r in records(out_filt)]
+    assert len(recs) == 1 and "\t6\t" in recs[0]
+    # gVCF reference rows survive the filter
+    out_gvcf = str(tmp_path / "g.vcf")
+    variant.variants_from_hdf(
+        [hdf], ref_fa, out_gvcf, gvcf=True, min_qual=5.0)
+    assert sum(1 for r in records(out_gvcf) if "\t.\t" in r) > 10
